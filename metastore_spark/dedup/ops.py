@@ -1,0 +1,254 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, all shuffle-architected for 100 TB:
+
+- exact        : fingerprint → groupBy(min id). One shuffle on the
+                 16-byte hash, partial aggregation map-side.
+- minhash LSH  : shingle → minhash signature (JVM-side higher-order
+                 exprs, no UDF) → band → bucket join. Candidate pairs
+                 only ever materialize within a bucket, so the join is
+                 an equi-join on (band, bandhash) — never O(n²).
+- simhash      : 63-bit rotation-invariant signature, hamming ≤ k via
+                 bit_count(xor). Buckets by signature prefix for scale.
+- ngram jaccard: blocked exact verification (array_intersect /
+                 array_union on distinct n-gram sets).
+- embedding    : cosine near-dup, see metastore_spark.similarity.
+
+MinHash per Broder 1997 ("On the resemblance and containment of
+documents"); banding analysis per Leskovec/Rajaraman/Ullman, "Mining
+of Massive Datasets" ch.3 — public algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metastore_spark.text.ops import fingerprint, word_tokens
+
+def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """fingerprint → min(id): the survivor per exact-duplicate group."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per exact-content group (lowest id wins).
+
+    Scale: semi-join against the keys frame; both sides shuffle on the
+    fingerprint/id — no row ever compares against more than its group.
+    """
+    keys = exact_dedup_keys(df, text_col, id_col)
+    return df.join(
+        keys, F.col(id_col) == F.col("keep_id"), "left_semi"
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingle set of a text column."""
+    toks = word_tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 128,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signatures as a DataFrame: (id, sig array<bigint>).
+
+    The i-th hash family member is ``xxhash64(shingle, i)`` (a keyed
+    64-bit hash — a standard substitute for explicit affine
+    permutations). Physically: explode shingles → groupBy(id) with
+    num_perm ``min`` aggregates. Partial aggregation collapses each
+    partition to one row per doc before the shuffle, so the exchange
+    carries O(docs × num_perm × 8 bytes) regardless of text size —
+    the correct shape at 100 TB. No Python UDF anywhere.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(num_perm)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    bands: int = 32,
+    num_perm: int = 128,
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate id pairs.
+
+    ``num_perm`` must be divisible by ``bands``; rows per band
+    r = num_perm/bands sets the similarity threshold ≈ (1/bands)^(1/r).
+
+    Scale: explode to (band_idx, band_hash) — one shuffle keyed by the
+    band hash; the self-join happens only inside buckets. Skewed
+    buckets (boilerplate) are handled by AQE skew-join splitting.
+    """
+    r = num_perm // bands
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col(sig_col), b * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sig_a: Column, sig_b: Column) -> Column:
+    """Fraction of agreeing signature positions ≈ Jaccard similarity."""
+    agree = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    )
+    return agree.cast("double") / F.size(sig_a)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup pairs above ``threshold``."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, k)
+    cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, num_perm)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                minhash_jaccard_estimate(F.col("sig_a"), F.col("sig_b")), 4
+            ).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 63,
+) -> DataFrame:
+    """SimHash signatures as a DataFrame: (id, simhash bigint).
+
+    Charikar 2002 ("Similarity estimation techniques from rounding
+    algorithms"). Bit i of the signature is the sign of the sum over
+    tokens of ±1 at bit i of the token hash (bits 0..62; the long sign
+    bit stays unused). Physically: explode tokens → groupBy(id) with
+    one ``sum`` aggregate per bit — partial aggregation shrinks each
+    partition to one row per doc before the shuffle; each aggregate is
+    a two-instruction codegen expression, never a nested array walk.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), F.xxhash64(F.col("tok")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    g = tok.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("bigint")
+    for i in range(bits):
+        sig = sig + F.when(
+            F.col(f"b{i}") > 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return g.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming.
+
+    Scale path: bucket by the top ``prefix_bits`` of the signature so
+    the self-join is an equi-join per bucket (misses pairs differing in
+    the prefix — the standard multi-probe/rotation trade; rotations can
+    be added as extra bucket keys).
+    """
+    sigs = simhash_signatures(df, text_col, id_col).withColumn(
+        "bucket", F.shiftright(F.col("simhash"), 63 - prefix_bits)
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    dist = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,106 @@
+"""Filter algebra: visibility, term/match predicates, AND/OR combinators.
+
+All of these return plain ``Column`` boolean expressions, so Catalyst
+sees ordinary predicates: they fold into the parquet scan as
+PushedFilters, participate in partition pruning, and stay inside
+whole-stage codegen. Nothing here ever materializes a row in Python.
+
+Reference semantics being reproduced:
+- visibility (row-level security): ``findability == 'published' OR
+  owner == userid`` (metastore/models.py:58-79; pinned by
+  tests/test_controllers.py:416-438)
+- residual-param filters: AND across fields, OR within a field's value
+  list (metastore/models.py:97-105)
+- ``term`` = exact keyword equality (events kind, metastore/models.py:97;
+  tests/test_controllers.py:601-609); ``match`` = analyzed equality on
+  text fields (dataset kind — case/tokenization tolerant,
+  tests/test_controllers.py:319-331)
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metastore_spark.search.analysis import analyze_terms_column
+
+
+def visibility_predicate(
+    findability_col: str,
+    owner_col: str | None,
+    userid: str | None,
+    published_value: str = "published",
+) -> Column:
+    """Row-level security: public rows, plus the caller's own rows.
+
+    Anonymous (userid=None) sees exactly the published set; an
+    authenticated caller additionally sees every row they own,
+    regardless of findability.
+    """
+    pred = F.col(findability_col) == F.lit(published_value)
+    if userid is not None and owner_col is not None:
+        pred = pred | (F.col(owner_col) == F.lit(userid))
+    return pred
+
+
+def term_predicate(field: str, value: object) -> Column:
+    """Exact keyword equality — no analysis (events-kind filters)."""
+    return F.col(field) == F.lit(value)
+
+
+def match_predicate(field: str, value: object) -> Column:
+    """Analyzed equality for text fields (dataset-kind filters).
+
+    ES ``match`` analyzes both sides and requires the query tokens to
+    appear in the field. For single-token values this is token
+    containment in the analyzed field; numbers and booleans coerce
+    through their string form (tests/test_controllers.py:319-331).
+    """
+    if isinstance(value, bool):
+        text = "true" if value else "false"
+    else:
+        text = str(value)
+    tokens = [t for t in _simple_tokens(text) if t]
+    if not tokens:
+        return F.lit(False)
+    field_tokens = analyze_terms_column(F.col(field).cast("string"))
+    conds = [F.array_contains(field_tokens, t) for t in tokens]
+    return reduce(lambda a, b: a & b, conds)
+
+
+def _simple_tokens(text: str) -> list[str]:
+    import re
+
+    return re.split(r"[^0-9a-zA-Z]+", text.lower())
+
+
+def filters_predicate(
+    filters: dict[str, list[object]],
+    mode: str = "term",
+) -> Column | None:
+    """AND across fields, OR within each field's value list.
+
+    ``mode`` selects term (exact) vs match (analyzed) per-value
+    semantics, mirroring the per-kind switch at metastore/models.py:97.
+    """
+    make = term_predicate if mode == "term" else match_predicate
+    per_field: list[Column] = []
+    for field, values in filters.items():
+        if not values:
+            continue
+        ors = [make(field, v) for v in values]
+        per_field.append(reduce(lambda a, b: a | b, ors))
+    if not per_field:
+        return None
+    return reduce(lambda a, b: a & b, per_field)
+
+
+def apply_filters(
+    df: DataFrame,
+    filters: dict[str, list[object]],
+    mode: str = "term",
+) -> DataFrame:
+    pred = filters_predicate(filters, mode)
+    return df.filter(pred) if pred is not None else df

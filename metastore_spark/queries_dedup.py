@@ -1,0 +1,118 @@
+"""Dedup query bindings on the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metastore_spark.dedup import ops as dd
+from metastore_spark.queries import query, _t
+
+
+@query(
+    "dedup_exact_keys",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(MIN(doc_id) AS BIGINT)                              AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors: one (fingerprint, keep_id) per content
+    group; lowest doc_id wins. One shuffle on the hash key."""
+    return dd.exact_dedup_keys(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_exact_rows",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE doc_id IN (
+      SELECT MIN(doc_id)
+      FROM documents
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    )
+    """,
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup applied: surviving rows via left-semi join."""
+    out = dd.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
+@query("dedup_minhash_pairs", oracle=None)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (jaccard_est ≥ 0.8). Non-SQL: the
+    banding/bucket join; correctness pinned by tests/test_dedup.py."""
+    return dd.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        num_perm=64, bands=16, threshold=0.8,
+    )
+
+
+@query("dedup_simhash_pairs", oracle=None)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 of 63 bits), prefix-bucketed.
+    Correctness pinned by tests/test_dedup.py."""
+    return dd.simhash_near_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')) AS tset
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tset, b.tset))), 4) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tset, b.tset))) >= 0.8
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dups, blocked by lang.
+
+    The blocked equi-join is the scale pattern: candidates only form
+    inside a block (here lang; production adds a length bucket), then
+    exact set arithmetic verifies. JVM-side array_intersect/union.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tset"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tset"), F.col("b.tset")))
+    union = F.size(F.array_union(F.col("a.tset"), F.col("b.tset")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+            jac.alias("_jac"),
+        )
+        .filter(F.col("_jac") >= 0.8)
+        .drop("_jac")
+    )

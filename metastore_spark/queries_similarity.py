@@ -1,0 +1,89 @@
+"""Similarity-search query bindings on the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metastore_spark import similarity as sim
+from metastore_spark.queries import query, _t
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Fetch one embedding as the query parameter (driver-side scalar
+    fetch of a single row — a parameter lookup, not a data loop)."""
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the vec_id=0 query vector.
+
+    The exact baseline every ANN variant is measured against; compiles
+    to one scan + TakeOrderedAndProject.
+    """
+    qvec = _query_vec(spark, sf_dir, 0)
+    return sim.cosine_topk(_t(spark, sf_dir, "embeddings"), qvec, k=10)
+
+
+@query(
+    "emb_near_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.3
+    """,
+)
+def emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact mode for the
+    oracle; production uses n_planes>0 SRP-LSH blocking).
+
+    Threshold 0.3 — the synthetic corpus has no true near-dups (max
+    pairwise cosine ≈ 0.48), so the gate exercises a non-empty tail.
+    """
+    return sim.cosine_near_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=0
+    )
+
+
+@query("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF two-stage ANN: centroid assignment + nprobe search.
+
+    Centroids here are a deterministic sample of the data (production:
+    k-means on a sample). Non-SQL: recall vs. the exact baseline is
+    pinned by tests/test_similarity.py.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") % 100 == 0).select("embedding").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in sample[:8]]
+    indexed = sim.ivf_assign(emb, centroids)
+    qvec = _query_vec(spark, sf_dir, 0)
+    return sim.ivf_topk(indexed, centroids, qvec, k=10, nprobe=3)

@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``     : brute-force exact top-k against one query
+  vector. The query vector folds into the plan as literals, so the
+  scan is a single pass with a TakeOrderedAndProject top-k — on a
+  cluster this is embarrassingly parallel and never shuffles data.
+- ``cosine_near_pairs``: all-pairs above a threshold, blocked by a
+  random-hyperplane LSH bucket so the join is an equi-join on the
+  bucket key (the 100 TB path); exact verification inside buckets.
+- ``ivf_topk``        : IVF-style two-stage search — assign rows to
+  the nearest of k centroids at index time, probe only the closest
+  ``nprobe`` centroid partitions at query time.
+
+All dot products are JVM-side higher-order functions (zip_with +
+aggregate) over array<double> — no Python per row.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_lit(vec_col: Column, qvec: list[float]) -> Column:
+    """Dot product of a vector column with a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return F.aggregate(
+        F.zip_with(vec_col.cast("array<double>"), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec_col.cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_sim_lit(vec_col: Column, qvec: list[float]) -> Column:
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
+    return _dot_lit(vec_col, qvec) / (_norm(vec_col) * F.lit(qnorm))
+
+
+def cosine_topk(
+    df: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact brute-force cosine top-k (the baseline ANN oracle)."""
+    sim = F.round(cosine_sim_lit(F.col(vec_col), qvec), round_dp)
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _dot_cols(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG; fixed seed)."""
+    state = seed | 1
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            v.append(((state >> 11) / float(1 << 52)) * 2.0 - 1.0)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 7) -> Column:
+    """Random-hyperplane (SRP) bucket id: one bit per plane sign.
+
+    Charikar 2002 SimHash for cosine — vectors in the same bucket
+    agree on all n_planes signs; P[same bucket] = (1 - θ/π)^n_planes.
+    """
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        sign_bit = F.when(_dot_lit(vec_col, plane) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + F.shiftleft(sign_bit.cast("bigint"), i)
+    return bucket
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold.
+
+    n_planes=0 → exact all-pairs (oracle / small data). n_planes>0 →
+    SRP-LSH blocking: the join becomes an equi-join on the bucket key,
+    trading recall for never materializing O(n²) pairs.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if n_planes > 0:
+        base = base.withColumn(
+            "_bucket", lsh_bucket(F.col(vec_col), dim, n_planes)
+        )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if n_planes > 0:
+        cond = cond & (F.col("a._bucket") == F.col("b._bucket"))
+    sim = _dot_cols(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        _norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, round_dp).alias("cos_sim"),
+            sim.alias("_raw_sim"),
+        )
+        # threshold on the unrounded value (the rounded column is
+        # presentation-only; filtering on it would shift the boundary)
+        .filter(F.col("_raw_sim") >= threshold)
+        .drop("_raw_sim")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF index build).
+
+    Centroids are parameters (driver-side list, typically k-means of a
+    sample); assignment is a literal-folded argmin, one scan, no
+    shuffle. Persist partitioned by ``centroid_id`` so queries prune.
+    """
+    best_id = F.lit(-1)
+    best_sim = F.lit(-2.0)
+    for ci, c in enumerate(centroids):
+        sim = cosine_sim_lit(F.col(vec_col), c)
+        better = sim > best_sim
+        best_id = F.when(better, F.lit(ci)).otherwise(best_id)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return df.select(F.col(id_col), F.col(vec_col), best_id.alias("centroid_id"))
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    qvec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Probe the nprobe closest centroid partitions, exact top-k inside.
+
+    With the index table partitioned by centroid_id, the probe filter
+    is partition pruning — the scan touches nprobe/k of the data.
+    """
+    qnorm = math.sqrt(sum(x * x for x in qvec)) or 1.0
+
+    def centroid_sim(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(c, qvec)) / (cn * qnorm)
+
+    probe = sorted(
+        range(len(centroids)), key=lambda ci: -centroid_sim(centroids[ci])
+    )[:nprobe]
+    sim = F.round(cosine_sim_lit(F.col(vec_col), qvec), round_dp)
+    return (
+        indexed.filter(F.col("centroid_id").isin(probe))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+Everything here is a pure Column expression (JVM-side, whole-stage
+codegen) — no Python in the per-row hot path. These are the building
+blocks a 100 TB document-corpus pipeline runs on every row, so they
+must vectorize: tokenization is one regexp split, ratios are
+higher-order array functions, fingerprints are built-in hashes.
+
+Operators:
+- ``tokens`` / ``token_count``   : whitespace + regex tokenization
+- ``quality_features``           : length/word/stopword-ratio scoring
+- ``langid_expr``                : marker-word n-gram language heuristic
+- ``fingerprint``                : normalized-text content fingerprint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from metastore_spark.search.analysis import ENGLISH_STOPWORDS
+
+# Marker words per language for the n-gram/stopword language-ID
+# heuristic. Tiny profile sets keep the expression JVM-evaluable; a
+# production profile would be a broadcast dict of char-trigram
+# frequencies applied the same way.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "que", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-romanized markers
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_tokens(col: Column) -> Column:
+    """Alphanumeric-run tokenization of lowercased text."""
+    t = F.split(F.lower(col), r"[^a-z0-9]+")
+    return F.filter(t, lambda x: x != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def avg_token_len(col: Column) -> Column:
+    """Mean token length, 4dp — a cheap garbled-text signal."""
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return F.round(total.cast("double") / F.size(toks), 4)
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Share of tokens that are English stop words, 4dp.
+
+    Natural prose sits around 0.3-0.5; keyword spam and boilerplate
+    sit near 0 — a standard quality-filter feature.
+    """
+    toks = word_tokens(col)
+    stops = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.round(n_stop.cast("double") / F.size(toks), 4)
+
+
+def langid_expr(col: Column) -> Column:
+    """Greatest-marker-hits language guess over LANG_MARKERS profiles.
+
+    Ties break by profile order (en first), mirroring a stable argmax.
+    """
+    toks = word_tokens(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(-1).cast("int")
+    for lang, markers in LANG_MARKERS.items():
+        marks = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(marks, t)))
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+
+    The exact-dedup key: whitespace/case variations collapse to one
+    fingerprint; any semantic change produces a new one.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def rolling_hashes(col: Column, window: int = 8, mod: int = 1 << 31) -> Column:
+    """Polynomial rolling hashes of every ``window``-gram of tokens.
+
+    The winnowing-style fingerprint set for near-dup detection
+    (Schleimer et al., SIGMOD 2003 'Winnowing' — public algorithm).
+    JVM-side: transform over token positions, aggregate for the
+    polynomial hash. Returns array<bigint>.
+    """
+    toks = word_tokens(col)
+    n = F.size(toks)
+    base = F.lit(1000003).cast("bigint")
+
+    def gram_hash(i: Column) -> Column:
+        gram = F.slice(toks, i + 1, window)
+        return F.aggregate(
+            gram,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: (acc * base + F.xxhash64(t)) % F.lit(mod),
+        )
+
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    return F.when(n < window, F.array().cast("array<bigint>")).otherwise(
+        F.transform(idx, gram_hash)
+    )
