@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <scale factor>}
+
+Each query is executed to completion (count() — forces full evaluation
+of every operator including sorts/limits via collect-less action; for
+top-k queries the count equals k but the plan still runs end-to-end).
+A warmup query amortizes JVM/session startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "events_visibility",
+    "events_sort_page",
+    "docs_match_token",
+    "docs_token_stats",
+    "dedup_exact_keys",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "ann_cosine_topk",
+    "emb_near_pairs",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    from pyspark.sql import functions as F
+
+    from metastore_spark.session import get_spark
+    from metastore_spark.queries import REGISTRY
+    import metastore_spark.queries_text  # noqa: F401
+    import metastore_spark.queries_dedup  # noqa: F401
+    import metastore_spark.queries_similarity  # noqa: F401
+
+    spark = get_spark("metastore-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JIT/codegen/session init out of the measured path, plus
+    # one tiny applyInPandas to spawn the Python worker pool (Arrow
+    # path) before any measured pandas-UDF query.
+    REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).count()
+    spark.range(32).withColumn("g", F.col("id") % 4).groupBy("g").applyInPandas(
+        lambda pdf: pdf, "id bigint, g bigint"
+    ).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in REGISTRY:
+            continue
+        t0 = time.time()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

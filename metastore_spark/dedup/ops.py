@@ -26,6 +26,29 @@ from pyspark.sql import functions as F
 
 from metastore_spark.text.ops import fingerprint, word_tokens
 
+def _splitmix(x: int) -> int:
+    """SplitMix64 finalizer (Steele et al. 2014) — deterministic
+    constant generator for the minhash affine family."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    z = z ^ (z >> 31)
+    return z
+
+
+def _to_i64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _mix_a(i: int) -> int:
+    return _to_i64(_splitmix(2 * i) | 1)  # odd → bijective multiplier
+
+
+def _mix_b(i: int) -> int:
+    return _to_i64(_splitmix(2 * i + 1))
+
+
 def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """fingerprint → min(id): the survivor per exact-duplicate group."""
     return (
@@ -47,9 +70,14 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingle set of a text column."""
-    toks = word_tokens(col)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingle set from a token-array column.
+
+    IMPORTANT: pass a *materialized* token column (select word_tokens
+    into a column first). Interpreted higher-order lambdas do no
+    common-subexpression elimination, so an inline tokenizer subtree
+    would re-run the full regex split k times per shingle.
+    """
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
     grams = F.transform(
@@ -63,6 +91,11 @@ def shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingle set of a text column."""
+    return shingles_from_tokens(word_tokens(col), k)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -72,19 +105,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures as a DataFrame: (id, sig array<bigint>).
 
-    The i-th hash family member is ``xxhash64(shingle, i)`` (a keyed
-    64-bit hash — a standard substitute for explicit affine
-    permutations). Physically: explode shingles → groupBy(id) with
-    num_perm ``min`` aggregates. Partial aggregation collapses each
-    partition to one row per doc before the shuffle, so the exchange
-    carries O(docs × num_perm × 8 bytes) regardless of text size —
-    the correct shape at 100 TB. No Python UDF anywhere.
+    Each shingle is string-hashed ONCE (xxhash64); the i-th family
+    member is an affine remix ``h*A_i + B_i`` over the wrapping int64
+    ring (odd multipliers are bijections mod 2^64, so each remix is a
+    permutation of hash space — a valid MinHash family; string bytes
+    are never re-hashed per permutation). Physically: explode shingles
+    → groupBy(id) with num_perm ``min`` aggregates. Partial
+    aggregation collapses each partition to one row per doc before the
+    shuffle, so the exchange carries O(docs × num_perm × 8 bytes)
+    regardless of text size — the correct shape at 100 TB. No Python
+    UDF anywhere.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    sh = (
+        df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("shingle"),
+        )
+        .select(F.col(id_col), F.xxhash64(F.col("shingle")).alias("h"))
     )
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        F.min(
+            F.col("h") * F.lit(_mix_a(i)).cast("bigint")
+            + F.lit(_mix_b(i)).cast("bigint")
+        ).alias(f"mh{i}")
         for i in range(num_perm)
     ]
     sigs = sh.groupBy(id_col).agg(*aggs)
@@ -163,8 +207,14 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     k: int = 3,
 ) -> DataFrame:
-    """End-to-end MinHash+LSH near-dup pairs above ``threshold``."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, k)
+    """End-to-end MinHash+LSH near-dup pairs above ``threshold``.
+
+    The signature frame feeds three consumers (banding + both sides of
+    the verification join); persist it so the shingle/hash pipeline
+    runs once. In a production pipeline signatures are materialized to
+    a table keyed by id — this is the in-session equivalent.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, k).persist()
     cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, num_perm)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))

@@ -90,10 +90,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.array_distinct(
-            F.filter(
-                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-                lambda t: t != F.lit(""),
-            )
+            F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
         ).alias("tset"),
     )
     a = toks.alias("a")

@@ -68,8 +68,8 @@ def emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold 0.3 — the synthetic corpus has no true near-dups (max
     pairwise cosine ≈ 0.48), so the gate exercises a non-empty tail.
     """
-    return sim.cosine_near_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=0
+    return sim.cosine_near_pairs_blocked(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
     )
 
 

@@ -102,9 +102,8 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-training corpus filter shape, fully pushdown-friendly."""
     d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
     wtoks = ops.word_tokens(F.col("text"))
-    stops = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
     ratio = (
-        F.size(F.filter(wtoks, lambda t: F.array_contains(stops, t))).cast("double")
+        ops._count_occurrences(wtoks, ENGLISH_STOPWORDS).cast("double")
         / F.size(wtoks)
     )
     return (

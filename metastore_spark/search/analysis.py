@@ -230,6 +230,5 @@ def analyze_terms_column(col: Column) -> Column:
     Stays inside whole-stage codegen — use for per-row filter
     predicates in the hot path.
     """
-    toks = F.split(F.lower(col), _TOKEN_SPLIT)
-    toks = F.filter(toks, lambda t: t != F.lit(""))
+    toks = F.array_remove(F.split(F.lower(col), _TOKEN_SPLIT), "")
     return F.array_except(toks, F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS]))

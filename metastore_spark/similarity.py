@@ -145,6 +145,93 @@ def cosine_near_pairs(
     )
 
 
+def cosine_near_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 1024,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked matrix multiply.
+
+    The classic distributed-GEMM shape: pack vectors into blocks of
+    ``block_size`` (groupBy + collect_list — each block is ~block_size
+    × dim × 8 bytes, well under executor memory), join the
+    upper-triangle of block pairs, and compute each block-pair's
+    block_size² similarities with ONE vectorized numpy matmul inside
+    applyInPandas. Only pairs above threshold are emitted, so the
+    output (and the shuffle after) stays proportional to the result,
+    never to n².
+
+    Compared with the per-pair expression path, this turns 64 FLOPs ×
+    n² interpreted expression evaluations into n²/block_size² BLAS
+    calls — two orders of magnitude on wall-clock, and each task is
+    independent, so it scales linearly with executors.
+    """
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+
+    blocks = (
+        df.select(
+            (F.col(id_col) / block_size).cast("bigint").alias("block_id"),
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .groupBy("block_id")
+        .agg(
+            F.collect_list(F.col(id_col)).alias("ids"),
+            F.collect_list("_v").alias("vecs"),
+        )
+        .persist()  # consumed by both sides of the block-pair join
+    )
+    a = blocks.select(
+        F.col("block_id").alias("ba"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    b = blocks.select(
+        F.col("block_id").alias("bb"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    pairs = a.join(b, F.col("ba") <= F.col("bb"))
+
+    out_schema = "id_a bigint, id_b bigint, cos_sim double"
+
+    def gemm(pdf):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for _, r in pdf.iterrows():
+            ids_a = np.asarray(r["ids_a"], dtype=np.int64)
+            ids_b = np.asarray(r["ids_b"], dtype=np.int64)
+            ma = np.stack(r["vecs_a"])
+            mb = np.stack(r["vecs_b"])
+            ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+            sims = ma @ mb.T
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = ids_a[ia] < ids_b[ib]  # upper triangle incl. same-block
+            ia, ib = ia[keep], ib[keep]
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids_a[ia],
+                        "id_b": ids_b[ib],
+                        "cos_sim": np.round(sims[ia, ib], round_dp),
+                    }
+                )
+            )
+        return (
+            pd.concat(rows)
+            if rows
+            else pd.DataFrame(columns=["id_a", "id_b", "cos_sim"])
+        )
+
+    return pairs.groupBy("ba", "bb").applyInPandas(gemm, out_schema)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],

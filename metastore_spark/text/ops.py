@@ -39,9 +39,25 @@ def tokens(col: Column) -> Column:
 
 
 def word_tokens(col: Column) -> Column:
-    """Alphanumeric-run tokenization of lowercased text."""
-    t = F.split(F.lower(col), r"[^a-z0-9]+")
-    return F.filter(t, lambda x: x != F.lit(""))
+    """Alphanumeric-run tokenization of lowercased text.
+
+    array_remove (codegen'd builtin) instead of a higher-order filter
+    lambda: HOF lambdas are interpreted per element and measured ~10×
+    slower on this hot path.
+    """
+    return F.array_remove(F.split(F.lower(col), r"[^a-z0-9]+"), "")
+
+
+def _count_occurrences(arr: Column, values: tuple[str, ...]) -> Column:
+    """How many elements of ``arr`` are in ``values`` (with duplicates).
+
+    Chained array_remove keeps this in whole-stage codegen; a
+    size-difference instead of a per-element lambda.
+    """
+    removed = arr
+    for v in values:
+        removed = F.array_remove(removed, v)
+    return F.size(arr) - F.size(removed)
 
 
 def token_count(col: Column) -> Column:
@@ -66,8 +82,7 @@ def stopword_ratio(col: Column) -> Column:
     sit near 0 — a standard quality-filter feature.
     """
     toks = word_tokens(col)
-    stops = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    n_stop = _count_occurrences(toks, ENGLISH_STOPWORDS)
     return F.round(n_stop.cast("double") / F.size(toks), 4)
 
 
@@ -80,8 +95,7 @@ def langid_expr(col: Column) -> Column:
     best_lang = F.lit("und")
     best_score = F.lit(-1).cast("int")
     for lang, markers in LANG_MARKERS.items():
-        marks = F.array(*[F.lit(m) for m in markers])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(marks, t)))
+        score = _count_occurrences(toks, markers)
         is_better = score > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)
