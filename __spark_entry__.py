@@ -21,6 +21,7 @@ from metastore_spark.queries import REGISTRY
 import metastore_spark.queries_text  # noqa: F401,E402
 import metastore_spark.queries_dedup  # noqa: F401,E402
 import metastore_spark.queries_similarity  # noqa: F401,E402
+import metastore_spark.queries_search  # noqa: F401,E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

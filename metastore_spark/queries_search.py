@@ -1,0 +1,74 @@
+"""Full-text search query bindings: the inverted index + BM25 ranking
+bound to the documents table, with a complete DuckDB mirror of the
+scoring formula as the oracle (stem-free analysis tier, so both
+engines tokenize identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metastore_spark.queries import query, _t
+from metastore_spark.search.analysis import ENGLISH_STOPWORDS
+from metastore_spark.search.index import build_index
+from metastore_spark.search.scoring import bm25_scores
+
+_Q = "spark join stream"
+_STOPS_SQL = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _Q.split())
+
+
+@query(
+    "search_bm25_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         t -> t <> '' AND t NOT IN ({_STOPS_SQL})) AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (SELECT AVG(len(toks)) AS avgdl, COUNT(*) AS nd FROM tok),
+    flat AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    post AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM flat WHERE term IN ({_TERMS_SQL})
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+    scored AS (
+      SELECT p.doc_id,
+             SUM( ln(1 + (nd - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ) AS s
+      FROM post p
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, ROUND(s, 4) AS score
+    FROM scored
+    ORDER BY ROUND(s, 4) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def search_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O12 full-text relevance: inverted index + BM25 top-20.
+
+    The oracle reproduces the entire pipeline (analysis → postings →
+    corpus-global docfreq → BM25 k1=1.2 b=0.75 → top-k) in DuckDB SQL,
+    value-hash-checking the real scores, not just row shapes.
+
+    Reference semantics: multi_match scoring with dfs_query_then_fetch
+    global IDF (metastore/models.py:88-96,141).
+    """
+    d = _t(spark, sf_dir, "documents")
+    idx = build_index(d, "doc_id", ["text"], stem=False)
+    scores = bm25_scores(idx, _Q, {"text": 1.0}, stem=False)
+    return (
+        scores.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+        .limit(20)
+    )

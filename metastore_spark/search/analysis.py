@@ -227,8 +227,12 @@ def analyze_udf(texts: pd.Series) -> pd.Series:
 def analyze_terms_column(col: Column) -> Column:
     """JVM-side analysis without stemming: lowercase, split, stop words.
 
-    Stays inside whole-stage codegen — use for per-row filter
-    predicates in the hot path.
+    Preserves duplicate tokens (term frequency!) — stop words are
+    dropped via chained array_remove, NOT array_except (which dedupes).
+    Stays inside whole-stage codegen — safe for per-row predicates and
+    for index builds where tf matters.
     """
     toks = F.array_remove(F.split(F.lower(col), _TOKEN_SPLIT), "")
-    return F.array_except(toks, F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS]))
+    for s in ENGLISH_STOPWORDS:
+        toks = F.array_remove(toks, s)
+    return toks

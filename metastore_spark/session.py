@@ -81,6 +81,9 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
         # vectorized reader rejects; read as bigint nanoseconds instead
         # (keeps predicate pushdown; convert at projection with `div 1000`).
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # Externally-created sessions default to 200 shuffle partitions;
+        # size to local cores (AQE coalesces further at runtime).
+        ("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)),
     ):
         try:
             spark.conf.set(k, v)

@@ -1,0 +1,61 @@
+"""Dedup correctness on constructed corpora with known duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metastore_spark.dedup import ops as dd
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the tall green trees "
+    "near the old stone bridge across the quiet river"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    near = BASE.replace("quiet river", "silent stream")  # ~95% similar
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, "  " + BASE.upper() + "  "),  # whitespace/case variant of 0
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "another unrelated document mentioning joins aggregates and scans"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(corpus):
+    kept = dd.exact_dedup(corpus, "text", "doc_id")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # 0,1,3 collapse (fingerprint normalizes case+whitespace); 2,4,5 stay
+    assert ids == {0, 2, 4, 5}
+
+
+def test_minhash_finds_near_dups(corpus):
+    pairs = dd.minhash_dedup_pairs(
+        corpus, "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always found
+    assert (0, 2) in got or (1, 2) in got  # near dup
+    assert (4, 5) not in got  # unrelated pair absent
+
+
+def test_minhash_jaccard_estimate_close(corpus, spark):
+    sigs = dd.minhash_signatures(corpus, "text", "doc_id", num_perm=128)
+    rows = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+    a = spark.createDataFrame([(rows[0], rows[1])], "sa array<bigint>, sb array<bigint>")
+    est = a.select(
+        dd.minhash_jaccard_estimate(F.col("sa"), F.col("sb")).alias("j")
+    ).first()["j"]
+    assert est == 1.0  # identical text → identical signature
+
+
+def test_simhash_hamming(corpus):
+    pairs = dd.simhash_near_pairs(corpus, "text", "doc_id", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 0  # identical docs, distance 0
+    assert (0, 2) in got  # near dup within 10 bits
+    assert (4, 5) not in got

@@ -1,0 +1,57 @@
+"""Similarity-search correctness: brute-force vs blocked GEMM vs IVF."""
+
+import math
+
+import pytest
+
+from metastore_spark import similarity as sim
+
+
+def _vec(i: int, dim: int = 8) -> list[float]:
+    # deterministic unit-ish vectors; i and i+1 are close
+    return [math.sin(0.3 * i + 0.1 * j) + (1.5 if j == i % dim else 0.0)
+            for j in range(dim)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [(i, _vec(i)) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_topk_self_first(emb):
+    q = _vec(7)
+    out = sim.cosine_topk(emb, q, k=5).collect()
+    assert out[0]["vec_id"] == 7
+    assert out[0]["cos_sim"] == 1.0
+
+
+def test_blocked_matches_naive(emb):
+    naive = sim.cosine_near_pairs(emb, threshold=0.9, n_planes=0)
+    blocked = sim.cosine_near_pairs_blocked(emb, threshold=0.9, block_size=16)
+    a = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in naive.collect()}
+    b = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in blocked.collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_ivf_recall_against_exact(emb):
+    centroids = [_vec(0), _vec(13), _vec(27)]
+    indexed = sim.ivf_assign(emb, centroids)
+    q = _vec(13)
+    exact = [r["vec_id"] for r in sim.cosine_topk(emb, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in sim.ivf_topk(indexed, centroids, q, k=5, nprobe=2).collect()
+    ]
+    # nprobe=2 of 3 partitions: recall@5 must be high on clustered data
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_lsh_blocking_subset_of_exact(emb):
+    exact = sim.cosine_near_pairs(emb, threshold=0.9, n_planes=0)
+    lsh = sim.cosine_near_pairs(emb, threshold=0.9, n_planes=4, dim=8)
+    a = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert b <= a  # LSH may miss pairs but never invents them
+    assert len(b) > 0  # high-sim pairs agree on few hyperplanes
