@@ -1,0 +1,192 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with decode/feature-extract as Arrow-batched pipelines.
+
+Design for 100 TB of media:
+- media rows carry (uri, media_type, content binary, meta struct) —
+  content may be inlined (small thumbnails) or left NULL with only a
+  uri (object-store offload); both shapes flow through the same ops.
+- decode / resize / frame-sample run via ``mapInPandas``: one Python
+  worker per partition, Arrow batches in, Arrow batches out — the
+  only sane shape for CPU-bound media work in Spark. Batch size is
+  bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a
+  partition of 4K images never materializes at once.
+- partitioning: media tables should be bucketed/partitioned by a
+  content-hash prefix, so dedup (identical bytes) is a partition-local
+  groupBy.
+
+The actual codec calls are STUBBED (no PIL/ffmpeg in this
+environment): ``decode_image_features`` tries the real libraries and
+falls back to a deterministic fake decoder that parses our synthetic
+header. The Spark plumbing — schemas, Arrow batching, partitioning,
+UDF signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("uri", StringType()),
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("content", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", IntegerType()),
+                    StructField("codec", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_MAGIC = b"FAKEIMG1"
+
+
+def synth_image_bytes(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic synthetic 'image': magic + dims + seeded payload.
+    Stands in for real encoded bytes in tests and local runs."""
+    seed = hashlib.sha256(str(media_id).encode()).digest()
+    payload = (seed * ((width * height) // len(seed) + 1))[: width * height]
+    return _MAGIC + struct.pack("<II", width, height) + payload
+
+
+def make_media_df(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
+    """Synthetic media table (deterministic, seed-free)."""
+    rows = [
+        {
+            "media_id": i,
+            "uri": f"synth://images/{i}.img",
+            "media_type": "image",
+            "content": synth_image_bytes(i, width, height),
+            "meta": {
+                "width": width,
+                "height": height,
+                "duration_ms": None,
+                "codec": "fake",
+            },
+        }
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id bigint, width int, height int, n_bytes bigint, "
+    "mean_intensity double, content_sha256 string"
+)
+
+
+def _decode_one(content: bytes) -> tuple[int, int, float]:
+    """Decode stub: real path would use PIL; the fallback parses the
+    synthetic header. Raises on genuinely unknown formats."""
+    try:  # real decoder, if the environment has it
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        img = Image.open(io.BytesIO(content))
+        import numpy as np
+
+        arr = np.asarray(img, dtype="float64")
+        return img.width, img.height, float(arr.mean())
+    except ImportError:
+        pass
+    if content[: len(_MAGIC)] == _MAGIC:
+        width, height = struct.unpack_from("<II", content, len(_MAGIC))
+        payload = content[len(_MAGIC) + 8 :]
+        mean = sum(payload) / len(payload) if payload else 0.0
+        return width, height, mean
+    raise NotImplementedError(
+        "no image decoder available in this environment and content is "
+        "not a synthetic image"
+    )
+
+
+def decode_image_features(df: DataFrame) -> DataFrame:
+    """Image → feature row, Arrow-batched via mapInPandas.
+
+    Output: dims, byte size, mean intensity (the 'embedding' stand-in),
+    content hash (the exact-dedup key for media).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "n_bytes": [],
+                "mean_intensity": [],
+                "content_sha256": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, mean = _decode_one(bytes(content))
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(content))
+                out["mean_intensity"].append(mean)
+                out["content_sha256"].append(
+                    hashlib.sha256(bytes(content)).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        run, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def media_exact_dedup_keys(df: DataFrame) -> DataFrame:
+    """Exact media dedup: sha2 over bytes, JVM-side (no Python), one
+    partial-agg shuffle — identical shape to text exact dedup."""
+    return (
+        df.select(
+            F.col("media_id"), F.sha2(F.col("content"), 256).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.min("media_id").alias("keep_id"))
+    )
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize pipeline stub: real codecs absent → re-synthesize at the
+    target dims (deterministic). Demonstrates the map shape: binary in,
+    binary out, metadata updated, Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        synth_image_bytes(int(m), width, height)
+                        for m in pdf["media_id"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run, "media_id bigint, content binary, width int, height int"
+    )

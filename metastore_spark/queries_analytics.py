@@ -1,0 +1,181 @@
+"""Wider analytics coverage: window functions, rollup, anti-joins,
+distinct aggregates, running totals — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metastore_spark.queries import query, _t
+
+
+@query(
+    "top_customers_per_nation",
+    oracle="""
+    SELECT n_name, c_custkey, ROUND(c_acctbal, 2) AS acctbal, rnk
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+             ) AS rnk
+      FROM customer
+    ) t
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE rnk <= 3
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: window row_number, dimension broadcast join.
+
+    Scale notes: one shuffle on the partition key; nation broadcast.
+    For heavy skew on the window key, pre-aggregate a per-partition
+    top-k before the global window (not needed at catalog cardinality).
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    ranked = c.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+    return ranked.join(
+        F.broadcast(n), ranked.c_nationkey == n.n_nationkey
+    ).select(
+        "n_name",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "rnk",
+    )
+
+
+@query(
+    "orders_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)      AS n_orders,
+           ROUND(SUM(o_totalprice), 2)   AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation: ROLLUP(status, priority) including
+    the grand total — Spark expands grouping sets in one pass with
+    partial aggregation per set."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+    )
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: existence-negation without materializing the right
+    side — broadcast when the key set fits, else a shuffled left-anti.
+    Scoped to H1-1995 orders so the result is non-trivial at every SF.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "distinct_suppliers_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS BIGINT)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact distinct aggregates: Catalyst's expand+partial
+    strategy — each distinct column shuffles once on (group, value)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "customer_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+           ), 2) AS running_spend
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer: ordered window aggregation.
+
+    The frame is the default RANGE-to-current-row over a total order
+    (orderdate, orderkey unique) → deterministic cumulative sums.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "part_type_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT p_type, SUM(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type
+    )
+    SELECT p_type,
+           ROUND(r, 2) AS revenue,
+           ROUND(r / SUM(r) OVER (), 6) AS share
+    FROM rev
+    """,
+)
+def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-total: aggregate then unpartitioned window over the
+    (tiny) aggregate — the big table shuffles once for the groupBy;
+    the window runs on groups only."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "p_type",
+        F.round("r", 2).alias("revenue"),
+        F.round(F.col("r") / F.sum("r").over(w), 6).alias("share"),
+    )

@@ -1,0 +1,124 @@
+"""Structured Streaming ingestion for the events table.
+
+The reference's ``events`` kind is an append-only activity log
+(metastore/models.py:27-34) written by external services; the Spark
+expression of that is a streaming pipeline:
+
+    readStream (file/kafka source) → normalize → watermark →
+    windowed aggregation / dedup → writeStream (table sink)
+
+Everything here also runs in batch mode (the DataFrame code is
+identical — Structured Streaming's core design), which is how the
+tests validate it: ``trigger(availableNow=True)`` drains the source
+and stops, and results must equal the batch computation.
+
+Scale notes: the event stream partitions by source; the windowed
+aggregate shuffles by (window, key) with watermark-bounded state.
+``dropDuplicatesWithinWatermark`` keeps exactly-once semantics for
+at-least-once sources with bounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Parquet nanos arrive as bigint (see session.tune_runtime).
+EVENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events directory (parquet)."""
+    reader = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    import os
+
+    if os.path.isfile(path):
+        # file source wants a directory; narrow a single-file source
+        # with a glob filter on its parent
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.load(path)
+
+
+def normalize_events(stream: DataFrame) -> DataFrame:
+    """Project the wire shape into the query shape: real event_time
+    timestamp (from bigint nanos), typed columns preserved."""
+    return stream.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type with
+    late-data handling: rows later than ``watermark`` are dropped and
+    their window state is reclaimed — bounded memory forever."""
+    return (
+        normalize_events(stream)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def deduped_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once projection of an at-least-once source: drop
+    duplicate event_ids arriving within the watermark horizon."""
+    return (
+        normalize_events(stream)
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame, query_name: str, output_mode: str = "append"
+):
+    """Drain all available input into an in-memory table and stop —
+    the availableNow pattern used for incremental index refresh
+    (SURVEY.md §7 M5) and for tests."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,49 @@
+"""Multimodal plumbing tests: schema, Arrow batching, dedup, stubs."""
+
+import pytest
+
+from metastore_spark import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = mm.make_media_df(spark, 20)
+    # rows 17..19 share content with 0..2 (dedup targets)
+    dup = mm.make_media_df(spark, 3).selectExpr(
+        "media_id + 17 AS media_id", "uri", "media_type", "content", "meta"
+    )
+    return df.filter("media_id < 17").unionByName(dup)
+
+
+def test_decode_features(media):
+    feats = mm.decode_image_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 20
+    assert rows[0]["width"] == 32 and rows[0]["height"] == 24
+    assert rows[0]["n_bytes"] == len(mm.synth_image_bytes(0, 32, 24))
+    assert 0.0 < rows[0]["mean_intensity"] < 255.0
+    # deterministic: same content → same hash
+    assert rows[17]["content_sha256"] == rows[0]["content_sha256"]
+
+
+def test_media_dedup(media):
+    keys = mm.media_exact_dedup_keys(media)
+    kept = {r["keep_id"] for r in keys.collect()}
+    assert len(kept) == 17  # 3 dup contents collapsed
+    assert {17, 18, 19}.isdisjoint(kept)  # originals (lower ids) win
+
+
+def test_resize_stub(media, spark):
+    out = mm.resize_stub(media, 8, 8)
+    r = out.filter("media_id = 5").first()
+    assert r["width"] == 8
+    assert bytes(r["content"]) == mm.synth_image_bytes(5, 8, 8)
+
+
+def test_decode_rejects_unknown_bytes(spark):
+    df = spark.createDataFrame(
+        [{"media_id": 0, "content": b"not an image"}],
+        "media_id bigint, content binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no image decoder"):
+        mm.decode_image_features(df).collect()
