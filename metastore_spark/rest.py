@@ -1,0 +1,116 @@
+"""Thin HTTP layer: routing, JWT identity, JSONP — reference O14/O15.
+
+Mirrors metastore/blueprint.py: ``GET /metastore/search`` (datasets)
+and ``GET /metastore/search/<kind>``; identity from the ``Auth-Token``
+header or ``jwt`` query param; an invalid/absent token silently means
+anonymous (metastore/blueprint.py:22-29); responses are JSON, or
+JSONP when a ``callback`` param is present.
+
+Implementation is a plain WSGI app over the SearchEngine — no web
+framework needed; it runs under any WSGI server (gunicorn in the
+reference's deployment). JWT HS256 verification is implemented from
+RFC 7515/7519 with stdlib hmac; if PyJWT is available it is used
+instead (and enables other algorithms).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import json
+from urllib.parse import parse_qs
+
+from metastore_spark.api import SearchEngine
+
+
+def _b64url_decode(seg: str) -> bytes:
+    pad = "=" * (-len(seg) % 4)
+    return base64.urlsafe_b64decode(seg + pad)
+
+
+def decode_jwt(token: str | None, key: str) -> str | None:
+    """Return the ``userid`` claim, or None for missing/invalid tokens
+    (the reference's silent-anonymous contract)."""
+    if not token:
+        return None
+    try:
+        try:
+            import jwt as pyjwt  # optional
+
+            payload = pyjwt.decode(token, key, algorithms=["HS256"])
+            return payload.get("userid")
+        except ImportError:
+            pass
+        header_b64, payload_b64, sig_b64 = token.split(".")
+        header = json.loads(_b64url_decode(header_b64))
+        if header.get("alg") != "HS256":
+            return None
+        signing_input = f"{header_b64}.{payload_b64}".encode()
+        want = hmac.new(key.encode(), signing_input, hashlib.sha256).digest()
+        if not hmac.compare_digest(want, _b64url_decode(sig_b64)):
+            return None
+        payload = json.loads(_b64url_decode(payload_b64))
+        return payload.get("userid")
+    except Exception:
+        return None
+
+
+def encode_jwt(payload: dict, key: str) -> str:
+    """HS256 token mint (tests / local tooling)."""
+    def enc(obj) -> str:
+        raw = json.dumps(obj, separators=(",", ":")).encode()
+        return base64.urlsafe_b64encode(raw).rstrip(b"=").decode()
+
+    head = enc({"alg": "HS256", "typ": "JWT"})
+    body = enc(payload)
+    sig = hmac.new(key.encode(), f"{head}.{body}".encode(), hashlib.sha256).digest()
+    return f"{head}.{body}." + base64.urlsafe_b64encode(sig).rstrip(b"=").decode()
+
+
+def create_app(engine: SearchEngine, private_key: str):
+    """WSGI app: engine + key → callable(environ, start_response)."""
+
+    def app(environ, start_response):
+        path = environ.get("PATH_INFO", "")
+        if environ.get("REQUEST_METHOD") != "GET":
+            start_response("405 Method Not Allowed", [("Allow", "GET")])
+            return [b""]
+
+        kind = None
+        if path == "/metastore/search":
+            kind = "dataset"
+        elif path.startswith("/metastore/search/"):
+            kind = path[len("/metastore/search/") :] or None
+        if kind is None:
+            start_response(
+                "404 Not Found", [("Content-Type", "application/json")]
+            )
+            return [json.dumps({"error": "not found"}).encode()]
+
+        params = parse_qs(environ.get("QUERY_STRING", ""), keep_blank_values=True)
+        callback = params.pop("callback", [None])[0]
+        token = environ.get("HTTP_AUTH_TOKEN") or params.get("jwt", [None])[0]
+        userid = decode_jwt(token, private_key)
+
+        result = engine.search(kind, userid, params)
+        body = json.dumps(result, default=str)
+        if callback:
+            body = f"{callback}({body});"
+            ctype = "application/javascript"
+        else:
+            ctype = "application/json"
+        # error containment (metastore/controllers.py:12-17): failures
+        # are 200s with an error key, never 5xx
+        start_response("200 OK", [("Content-Type", ctype)])
+        return [body.encode()]
+
+    return app
+
+
+def serve(engine: SearchEngine, private_key: str, port: int = 5000):
+    """Dev server (reference server.py:6-16 equivalent)."""
+    from wsgiref.simple_server import make_server
+
+    httpd = make_server("", port, create_app(engine, private_key))
+    httpd.serve_forever()
