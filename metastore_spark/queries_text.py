@@ -118,13 +118,67 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(w, x -> x IN ({lst})))"
+
+
+_LANG_SCORES = ",\n             ".join(
+    f"{_marker_sql(m)} AS s_{lang}" for lang, m in ops.LANG_MARKERS.items()
+)
+
+
 @query(
     "docs_langid",
-    oracle=None,  # heuristic argmax over marker profiles — checked by unit test
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             {_LANG_SCORES}
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                  AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_pred
+    FROM s
+    """,
 )
 def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic over marker-word profiles."""
+    """Language-ID heuristic: first-in-order argmax over marker-word
+    profiles, mirrored as a CASE chain in the oracle."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", "lang", ops.langid_expr(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "docs_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
+             AS INTEGER) AS n_bpe_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-token estimator: BPE-ish pre-tokenization count per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ops.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        "n_chars",
     )

@@ -102,6 +102,20 @@ def langid_expr(col: Column) -> Column:
     return best_lang
 
 
+# Simplified GPT-2-style byte-pair pre-tokenization pattern (public:
+# the openai/gpt-2 regex, minus unicode classes and lookahead so it
+# runs identically under Java regex and RE2): contractions, letter
+# runs, digit runs, punctuation runs — each optionally space-prefixed.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under BPE-ish pre-tokenization — the standard
+    'how many LLM tokens is this corpus' estimator (one regexp pass,
+    JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+
+
 def fingerprint(col: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercase text.
 

@@ -26,7 +26,7 @@ def _normalize(rows, colnames):
         for i in order:
             v = row[i]
             if isinstance(v, float):
-                v = f"{v:.9g}"
+                v = repr(v)  # full precision — stricter than the driver
             vals.append(str(v))
         out.append("\x00".join(vals))
     return sorted(out)
