@@ -1,0 +1,134 @@
+"""As-of join + remaining relational coverage (cube, set ops,
+percentiles), all DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metastore_spark.operators.asof import asof_join
+from metastore_spark.queries import query, _t
+
+
+@query(
+    "events_asof_signup",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT e.event_id,
+           e.user_id,
+           s.event_id AS signup_event_id_asof,
+           ROUND(s.value, 2) AS signup_value_asof
+    FROM events e
+    ASOF LEFT JOIN signups s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state attach: each purchase gets the user's most
+    recent signup at-or-before it — checked against DuckDB's native
+    ASOF JOIN. events.ts is bigint nanos (ordering-equivalent)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["event_id", "value"],
+        suffix="_signup",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_signup").alias("signup_event_id_asof"),
+        F.round("value_signup", 2).alias("signup_value_asof"),
+    )
+
+
+@query(
+    "orders_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)    AS n_orders,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over two dimensions (all 2^2 grouping sets in one
+    expand + partial-agg pass)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "active_buyers_not_erroring",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+    """,
+)
+def active_buyers_not_erroring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra: INTERSECT/EXCEPT chain (distinct semantics),
+    hash-partitioned by the set key. The error leg is time-scoped so
+    the result is non-trivial (events.ts = bigint nanos here)."""
+    cutoff_ns = 1704240000 * 10**9  # 2024-01-03T00:00:00Z
+    e = _t(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    viewers = e.filter(F.col("event_type") == "view").select("user_id")
+    errorers = e.filter(
+        (F.col("event_type") == "error") & (F.col("ts") < F.lit(cutoff_ns))
+    ).select("user_id")
+    return buyers.intersect(viewers).exceptAll(errorers.distinct())
+
+
+@query(
+    "lineitem_price_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). At 100 TB swap for percentile_approx —
+    kept exact here so the oracle pins real values."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query("events_user_approx_distinct", oracle=None)
+def events_user_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch count per event_type (approx algorithms differ
+    across engines → rows-only; accuracy vs exact is pinned by
+    tests/test_operators_extra.py)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
