@@ -59,6 +59,25 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@query("dedup_minhash_clusters", oracle=None)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups: MinHash+LSH pairs → connected components
+    (iterative min-label propagation — transitive closure the pair
+    list can't express; non-SQL). Returns non-singleton members."""
+    from metastore_spark.dedup.cluster import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(
+        d, "text", "doc_id", num_perm=64, bands=16, threshold=0.8
+    ).persist()
+    cc = connected_components(d.select("doc_id"), pairs)
+    return cc.filter(F.col("doc_id") != F.col("cluster_id")).unionByName(
+        cc.join(
+            pairs.select(F.col("id_a").alias("doc_id")).distinct(), "doc_id"
+        ).filter(F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 @query(
     "dedup_jaccard_pairs",
     oracle="""

@@ -1,0 +1,196 @@
+"""More classic analytic shapes (TPC-H-inspired), each stressing a
+distinct planner capability, each DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metastore_spark.queries import query, _t
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (CASE-sum pivots) over a join — the
+    priority-class rollup of TPC-H Q12 restated on this schema."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: ratio of conditional to total aggregate in one pass
+    (no second scan, no self-join)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o_totalprice, 2)            AS totalprice,
+           ROUND(SUM(l_quantity), 2)         AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(l_quantity) > 30
+    ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate + HAVING + top-k. The HAVING filter
+    runs post-aggregation (small), top-25 is per-partition top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 30)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "q19_disjunctive_pushdown",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT)                          AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 40
+           AND l_quantity BETWEEN 20 AND 60)
+    """,
+)
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    factors per-table conjuncts out of the disjunction and pushes them
+    below the join (l_quantity ranges to lineitem, brand/size to part)
+    — the predicate-rewrite stress test."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 40)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(20, 40)
+        & F.col("l_quantity").between(20, 60)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT s_name, n_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_acctbal = (
+      SELECT MAX(s2.s_acctbal)
+      FROM supplier s2 WHERE s2.s_nationkey = supplier.s_nationkey
+    )
+    ORDER BY s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H Q2's aggregate correlation):
+    rewritten as join-against-grouped-max — the standard decorrelation
+    Catalyst would apply, stated explicitly."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    best = s.groupBy(F.col("s_nationkey").alias("bn")).agg(
+        F.max("s_acctbal").alias("best_bal")
+    )
+    return (
+        s.join(
+            F.broadcast(best),
+            (s.s_nationkey == best.bn) & (s.s_acctbal == best.best_bal),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_name")
+    )
