@@ -20,18 +20,29 @@ import time
 
 
 HEADLINE = [
+    # TPC-H-style relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",
+    "q18_large_orders",
+    "q19_disjunctive_pushdown",
+    "top_customers_per_nation",
+    # reference search semantics
     "events_visibility",
     "events_sort_page",
+    "search_bm25_docs",
     "docs_match_token",
+    # LLM-pipeline operators
     "docs_token_stats",
+    "docs_bpe_tokens",
     "dedup_exact_keys",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "ann_cosine_topk",
     "emb_near_pairs",
+    # temporal / streaming
+    "events_asof_signup",
+    "events_stream_hourly",
 ]
 
 
@@ -43,10 +54,8 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from metastore_spark.session import get_spark
+    import __spark_entry__  # noqa: F401 — registers every query module
     from metastore_spark.queries import REGISTRY
-    import metastore_spark.queries_text  # noqa: F401
-    import metastore_spark.queries_dedup  # noqa: F401
-    import metastore_spark.queries_similarity  # noqa: F401
 
     spark = get_spark("metastore-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,113 @@
+"""Property-based tests for the filter algebra (SURVEY.md §5: the
+reference pins AND/OR/typing only pointwise; properties pin the whole
+combinator space).
+
+Oracle: a pure-Python evaluator of the documented semantics —
+AND across fields, OR within a field's value list, term = exact
+typed equality, match = analyzed token containment.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from metastore_spark.operators.filters import apply_filters
+from metastore_spark.params import parse_params
+from metastore_spark.search.analysis import analyze
+
+FIELDS = ["f_str", "f_num", "f_bool"]
+
+doc_strategy = st.fixed_dictionaries(
+    {
+        "doc_id": st.integers(0, 10**6),
+        "f_str": st.sampled_from(["alpha", "beta", "gamma delta", "the x"]),
+        "f_num": st.integers(0, 5),
+        "f_bool": st.booleans(),
+    }
+)
+
+value_strategy = st.one_of(
+    st.sampled_from(["alpha", "beta", "gamma", "zeta"]),
+    st.integers(0, 6),
+    st.booleans(),
+)
+
+filters_strategy = st.dictionaries(
+    st.sampled_from(FIELDS),
+    st.lists(value_strategy, min_size=1, max_size=3),
+    min_size=0,
+    max_size=3,
+)
+
+
+def _match_one(field_value, filter_value) -> bool:
+    if isinstance(filter_value, bool):
+        text = "true" if filter_value else "false"
+    else:
+        text = str(filter_value)
+    want = analyze(text, stem=False)
+    if not want:
+        return False
+    if isinstance(field_value, bool):
+        field_text = "true" if field_value else "false"
+    else:
+        field_text = str(field_value)
+    have = set(analyze(field_text, stem=False))
+    return all(t in have for t in want)
+
+
+def _term_one(field_value, filter_value) -> bool:
+    if type(field_value) is bool or type(filter_value) is bool:
+        return type(field_value) is type(filter_value) and field_value == filter_value
+    return field_value == filter_value
+
+
+def _python_eval(doc: dict, filters: dict, mode: str) -> bool:
+    one = _term_one if mode == "term" else _match_one
+    return all(
+        any(one(doc[f], v) for v in vals) for f, vals in filters.items()
+    )
+
+
+@pytest.fixture(scope="module")
+def mk_df(spark):
+    def make(docs):
+        return spark.createDataFrame(
+            docs, "doc_id bigint, f_str string, f_num bigint, f_bool boolean"
+        )
+
+    return make
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(doc_strategy, min_size=1, max_size=8, unique_by=lambda d: d["doc_id"]),
+       filters=filters_strategy)
+@pytest.mark.parametrize("mode", ["term", "match"])
+def test_filters_match_python_reference(mk_df, docs, filters, mode):
+    df = mk_df(docs)
+    got = {
+        r["doc_id"] for r in apply_filters(df, filters, mode=mode).collect()
+    }
+    want = {d["doc_id"] for d in docs if _python_eval(d, filters, mode)}
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(filters=filters_strategy)
+def test_parse_roundtrip(filters):
+    """JSON-encoding params and parsing them back yields the same
+    typed filter spec (the wire contract is lossless)."""
+    params = {k: [json.dumps(v) for v in vs] for k, vs in filters.items()}
+    spec = parse_params(params)
+    assert spec.filters == filters
