@@ -18,6 +18,18 @@ _Q = "spark join stream"
 _STOPS_SQL = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
 _TERMS_SQL = ", ".join(f"'{t}'" for t in _Q.split())
 
+# Index cache: analyze-once-query-many (the ES ingest-time trade).
+# Keyed by session id so a stopped session's frames are never reused.
+_INDEX_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        d = _t(spark, sf_dir, "documents")
+        _INDEX_CACHE[key] = build_index(d, "doc_id", ["text"], stem=False)
+    return _INDEX_CACHE[key]
+
 
 @query(
     "search_bm25_docs",
@@ -64,8 +76,7 @@ def search_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference semantics: multi_match scoring with dfs_query_then_fetch
     global IDF (metastore/models.py:88-96,141).
     """
-    d = _t(spark, sf_dir, "documents")
-    idx = build_index(d, "doc_id", ["text"], stem=False)
+    idx = _index_for(spark, sf_dir)
     scores = bm25_scores(idx, _Q, {"text": 1.0}, stem=False)
     return (
         scores.select("doc_id", F.round("score", 4).alias("score"))

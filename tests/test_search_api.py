@@ -234,6 +234,51 @@ def test_stemming_relevance(spark, engine_factory):
     assert [r["name"] for r in out["results"]] == ["a", "b"]
 
 
+def test_q_and_filter_conjunction(spark, engine_factory):
+    """tests/test_controllers.py:153-168: q hits multiple docs, an
+    owner filter narrows to one."""
+    docs = [
+        {
+            "id": str(i),
+            "name": f"d{i}",
+            "title": f"shared topic plus word{i}",
+            "datahub": fx._datahub(owner=f"BlaBla{i}@test2.com"),
+        }
+        for i in range(3)
+    ]
+    e = engine_factory(fx.make_datasets(spark, docs))
+    out = run(e, "dataset", q='"topic"')
+    assert out["summary"]["total"] == 3
+    out = run(e, "dataset", q='"topic"', **{"datahub.owner": '"BlaBla1@test2.com"'})
+    assert out["summary"]["total"] == 1
+    assert out["results"][0]["name"] == "d1"
+
+
+def test_most_fields_score_summation(spark, engine_factory):
+    """multi_match most_fields: a doc matching in BOTH title and
+    readme outranks a doc matching in title alone (scores sum —
+    metastore/models.py:95 'most_fields')."""
+    docs = [
+        {
+            "id": "both",
+            "name": "both",
+            "title": "fishing boats",
+            "datahub": fx._datahub(),
+            "datapackage": {"readme": "all about fishing", "not_readme": None},
+        },
+        {
+            "id": "title-only",
+            "name": "title-only",
+            "title": "fishing boats",
+            "datahub": fx._datahub(),
+            "datapackage": {"readme": "something else", "not_readme": None},
+        },
+    ]
+    e = engine_factory(fx.make_datasets(spark, docs))
+    out = run(e, "dataset", q='"fishing"')
+    assert [r["name"] for r in out["results"]] == ["both", "title-only"]
+
+
 # -- events kind (tests/test_controllers.py:556-609) ------------------------
 
 
