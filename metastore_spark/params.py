@@ -79,8 +79,17 @@ def parse_params(params: dict[str, list[str] | str]) -> QuerySpec:
         parsed: list[object] = []
         for v in values:
             try:
-                parsed.append(json.loads(v))
+                val = json.loads(v)
             except (json.JSONDecodeError, TypeError) as e:
                 raise ParamError(f"invalid JSON value for {key!r}: {v!r}") from e
+            if isinstance(val, (dict, list)):
+                # ES rejects object/array values in match/term queries →
+                # the reference surfaces its error envelope; fail here
+                # with the same observable outcome.
+                raise ParamError(
+                    f"filter value for {key!r} must be a scalar, got "
+                    f"{type(val).__name__}"
+                )
+            parsed.append(val)
         spec.filters[key] = parsed
     return spec

@@ -75,15 +75,13 @@ def emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_topk", oracle=None)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF two-stage ANN: centroid assignment + nprobe search.
-
-    Centroids here are a deterministic sample of the data (production:
-    k-means on a sample). Non-SQL: recall vs. the exact baseline is
-    pinned by tests/test_similarity.py.
+    """IVF two-stage ANN: k-means centroids (Lloyd's, farthest-point
+    init, DataFrame-native) + nprobe partition search. Non-SQL
+    (iterative); recall vs. the exact baseline is pinned by
+    tests/test_serve_index.py and tests/test_similarity.py.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    sample = emb.filter(F.col("vec_id") % 100 == 0).select("embedding").collect()
-    centroids = [[float(x) for x in r["embedding"]] for r in sample[:8]]
+    centroids = sim.kmeans_centroids(emb, k=8, max_iter=3)
     indexed = sim.ivf_assign(emb, centroids)
     qvec = _query_vec(spark, sf_dir, 0)
     return sim.ivf_topk(indexed, centroids, qvec, k=10, nprobe=3)

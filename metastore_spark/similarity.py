@@ -254,6 +254,66 @@ def ivf_assign(
     return df.select(F.col(id_col), F.col(vec_col), best_id.alias("centroid_id"))
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-6,
+) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column, DataFrame-native.
+
+    Per iteration: assignment is a literal-folded argmin (one scan, no
+    shuffle — `ivf_assign`), the update is posexplode → groupBy
+    (centroid, position) partial-agg means (the exchange carries
+    k × dim partial sums, not vectors). Centroids live driver-side
+    (k × dim floats — parameters, not data). Deterministic
+    initialization from evenly-strided ids; converges on centroid
+    movement < ``tol``. This is the index-build step that makes
+    `ivf_topk`'s partitions balanced instead of sample-arbitrary.
+    """
+    # Farthest-point initialization on a deterministic sample: strided
+    # ids can alias a periodic cluster structure; max-min-distance
+    # seeding cannot put two seeds in one tight cluster.
+    sample_rows = df.orderBy(id_col).limit(max(64, 32 * k)).select(vec_col).collect()
+    sample = [[float(x) for x in r[vec_col]] for r in sample_rows]
+
+    def d2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    centroids = [sample[0]]
+    while len(centroids) < k and len(centroids) < len(sample):
+        far = max(sample, key=lambda v: min(d2(v, c) for c in centroids))
+        centroids.append(far)
+
+    for _ in range(max_iter):
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        updated_rows = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "pos", "val"
+                ),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]
+        for r in updated_rows:
+            new_centroids[r["centroid_id"]][r["pos"]] = float(r["m"])
+        shift = max(
+            abs(a - b)
+            for cn, co in zip(new_centroids, centroids)
+            for a, b in zip(cn, co)
+        )
+        centroids = new_centroids
+        if shift < tol:
+            break
+    return centroids
+
+
 def ivf_topk(
     indexed: DataFrame,
     centroids: list[list[float]],

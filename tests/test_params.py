@@ -45,3 +45,10 @@ def test_control_params_not_filters():
 def test_multivalue_param():
     spec = parse_params({"k": ['"a"', '"b"']})
     assert spec.filters["k"] == ["a", "b"]
+
+
+def test_object_and_array_values_rejected():
+    with pytest.raises(ParamError):
+        parse_params({"k": '{"x": 1}'})
+    with pytest.raises(ParamError):
+        parse_params({"k": "[1, 2]"})
