@@ -46,7 +46,15 @@ def visibility_predicate(
 
 
 def term_predicate(field: str, value: object) -> Column:
-    """Exact keyword equality — no analysis (events-kind filters)."""
+    """Exact equality — no analysis (events-kind filters).
+
+    Cross-type comparisons follow SQL coercion (Spark's binary-
+    comparison rules, pinned by tests/test_filter_properties.py):
+    bool↔number via int cast (False≡0), string↔number via numeric
+    cast of the string, string↔bool via boolean cast of the string.
+    The reference leaves these corners unpinned (its term filters are
+    keyword-typed); SQL semantics is this engine's documented choice.
+    """
     return F.col(field) == F.lit(value)
 
 

@@ -60,9 +60,28 @@ def _match_one(field_value, filter_value) -> bool:
 
 
 def _term_one(field_value, filter_value) -> bool:
-    if type(field_value) is bool or type(filter_value) is bool:
-        return type(field_value) is type(filter_value) and field_value == filter_value
-    return field_value == filter_value
+    """SQL comparison-coercion semantics (what the engine documents):
+    bool↔number compares via int cast (False≡0, True≡1); string↔number
+    compares via numeric cast of the string (non-numeric → no match);
+    bool↔string compares via boolean cast of the string."""
+    fv, qv = field_value, filter_value
+    fb, qb = isinstance(fv, bool), isinstance(qv, bool)
+    if fb and qb:
+        return fv == qv
+    if fb != qb:
+        b, other = (fv, qv) if fb else (qv, fv)
+        if isinstance(other, (int, float)):
+            return int(b) == other
+        return str(other).strip().lower() in (
+            ("true", "t", "yes", "y", "1") if b else ("false", "f", "no", "n", "0")
+        )
+    if isinstance(fv, str) != isinstance(qv, str):
+        s, num = (fv, qv) if isinstance(fv, str) else (qv, fv)
+        try:
+            return float(s) == num
+        except ValueError:
+            return False
+    return fv == qv
 
 
 def _python_eval(doc: dict, filters: dict, mode: str) -> bool:
