@@ -61,27 +61,28 @@ def term_predicate(field: str, value: object) -> Column:
 def match_predicate(field: str, value: object) -> Column:
     """Analyzed equality for text fields (dataset-kind filters).
 
-    ES ``match`` analyzes both sides and requires the query tokens to
-    appear in the field. For single-token values this is token
-    containment in the analyzed field; numbers and booleans coerce
-    through their string form (tests/test_controllers.py:319-331).
+    ES ``match`` analyzes BOTH sides with the same analyzer and
+    requires every query token to appear in the field. The query side
+    uses ``analyze(stem=False)`` — the exact Python counterpart of the
+    column-side ``analyze_terms_column`` (same split, same stop-word
+    set, no possessive strip), so a stop word in the value drops out
+    on both sides instead of silently never matching. Numbers and
+    booleans coerce through their string form
+    (tests/test_controllers.py:319-331). A value that analyzes to no
+    tokens matches nothing (ES zero_terms_query: none).
     """
+    from metastore_spark.search.analysis import analyze
+
     if isinstance(value, bool):
         text = "true" if value else "false"
     else:
         text = str(value)
-    tokens = [t for t in _simple_tokens(text) if t]
+    tokens = analyze(text, stem=False)
     if not tokens:
         return F.lit(False)
     field_tokens = analyze_terms_column(F.col(field).cast("string"))
     conds = [F.array_contains(field_tokens, t) for t in tokens]
     return reduce(lambda a, b: a & b, conds)
-
-
-def _simple_tokens(text: str) -> list[str]:
-    import re
-
-    return re.split(r"[^0-9a-zA-Z]+", text.lower())
 
 
 def filters_predicate(

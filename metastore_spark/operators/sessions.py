@@ -55,7 +55,9 @@ def session_stats(
     )
 
 
-SESSION_STATE_SCHEMA = "last_ts bigint, seq int"
+SESSION_STATE_SCHEMA = (
+    "last_ts bigint, seq int, start bigint, n bigint, val double"
+)
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_seq int, session_start bigint, "
     "session_end bigint, n_events bigint, session_value double"
@@ -144,7 +146,7 @@ def sessionize_stream(
     return stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=SESSION_OUT_SCHEMA,
-        stateStructType="last_ts bigint, seq int, start bigint, n bigint, val double",
+        stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout_conf,
     )

@@ -27,7 +27,16 @@ def salted_join(
     buckets and the small side replicated to match. The join key
     becomes (key, salt) — a hot key's rows spread over num_salts
     reducers instead of one.
+
+    Only inner and left joins are sound: the replicated small side
+    would emit unmatched rows once per salt under right/full outer.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "the replicated small side duplicates unmatched rows under "
+            "right/full outer semantics"
+        )
     big_salted = big.withColumn(
         "_salt", (F.rand(seed=42) * num_salts).cast("int")
     )

@@ -57,7 +57,14 @@ def parse_params(params: dict[str, list[str] | str]) -> QuerySpec:
     spec = QuerySpec()
 
     if "q" in multi:
-        spec.q = str(multi.pop("q")[0])
+        # the reference JSON-decodes q like every other param
+        # (metastore/models.py:92); unquoted text → error envelope
+        raw_q = multi.pop("q")[0]
+        try:
+            q_val = json.loads(raw_q)
+        except (json.JSONDecodeError, TypeError) as e:
+            raise ParamError(f"invalid JSON value for 'q': {raw_q!r}") from e
+        spec.q = str(q_val)
     if "size" in multi:
         try:
             size = int(multi.pop("size")[0])

@@ -19,12 +19,13 @@ _STOPS_SQL = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
 _TERMS_SQL = ", ".join(f"'{t}'" for t in _Q.split())
 
 # Index cache: analyze-once-query-many (the ES ingest-time trade).
-# Keyed by session id so a stopped session's frames are never reused.
-_INDEX_CACHE: dict[tuple[int, str], object] = {}
+# Keyed by Spark applicationId (stable and unique per session —
+# id(spark) could be recycled by the allocator after a session dies).
+_INDEX_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         d = _t(spark, sf_dir, "documents")
         _INDEX_CACHE[key] = build_index(d, "doc_id", ["text"], stem=False)

@@ -201,7 +201,18 @@ def porter_stem(word: str) -> str:
 
 
 def analyze(text: str | None, stem: bool = True) -> list[str]:
-    """Full english analysis of one string (driver-side / UDF kernel)."""
+    """English analysis of one string (driver-side / UDF kernel).
+
+    Two tiers, and the tier decides possessive handling so each tier
+    is internally consistent with its column-side counterpart:
+    - stem=True (full english): possessive strip + Porter stem — pairs
+      with ``analyze_udf`` (index build) for the search API.
+    - stem=False (light): tokens exactly as ``analyze_terms_column``
+      produces them (no possessive strip, no stem) — the pair used by
+      match predicates and the stem-free BM25 oracle path. Mixing
+      tiers between query and field side breaks matching (e.g. the
+      query token 'world' vs the field token "world's").
+    """
     if not text:
         return []
     out: list[str] = []
@@ -209,9 +220,10 @@ def analyze(text: str | None, stem: bool = True) -> list[str]:
         if not raw:
             continue
         tok = raw.lower()
-        if tok.endswith("'s"):
-            tok = tok[:-2]
-        tok = tok.strip("'")
+        if stem:
+            if tok.endswith("'s"):
+                tok = tok[:-2]
+            tok = tok.strip("'")
         if not tok or tok in ENGLISH_STOPWORDS:
             continue
         out.append(porter_stem(tok) if stem else tok)

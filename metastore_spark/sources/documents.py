@@ -38,7 +38,12 @@ def read_json_docs(
     )
     if schema is not None:
         if isinstance(schema, StructType):
-            schema = schema.add("_corrupt", "string")
+            # copy — StructType.add mutates the caller's schema in place
+            from pyspark.sql.types import StringType, StructField
+
+            schema = StructType(
+                list(schema.fields) + [StructField("_corrupt", StringType())]
+            )
             reader = reader.schema(schema)
         else:
             reader = reader.schema(f"{schema}, _corrupt string")

@@ -30,7 +30,12 @@ doc_strategy = st.fixed_dictionaries(
 )
 
 value_strategy = st.one_of(
-    st.sampled_from(["alpha", "beta", "gamma", "zeta"]),
+    # includes stop-word-bearing and stop-word-only values: both sides
+    # of a match must analyze identically (the corner a type-blind
+    # tokenizer on the query side silently breaks)
+    st.sampled_from(
+        ["alpha", "beta", "gamma", "zeta", "the x", "the", "gamma delta"]
+    ),
     st.integers(0, 6),
     st.booleans(),
 )

@@ -36,10 +36,17 @@ def test_sort_direction():
 
 def test_control_params_not_filters():
     spec = parse_params(
-        {"q": "x", "size": "10", "from": "1", "sort": "asc", "jwt": "t",
+        {"q": '"x"', "size": "10", "from": "1", "sort": "asc", "jwt": "t",
          "real": '"v"'}
     )
     assert set(spec.filters) == {"real"}
+    assert spec.q == "x"
+
+
+def test_unquoted_q_raises():
+    # reference JSON-decodes q too (metastore/models.py:92)
+    with pytest.raises(ParamError):
+        parse_params({"q": "unquoted"})
 
 
 def test_multivalue_param():

@@ -325,6 +325,28 @@ def test_events_exact_keyword_match(spark, engine_factory):
     assert out["results"][0]["dataset"] == "co2-ppm"
 
 
+def test_events_q_is_ignored(spark, engine_factory):
+    """events has q_fields: [] (metastore/models.py:33) — a q param
+    text-matches nothing, so all visible events return."""
+    e = engine_factory(events=fx.some_event_records(spark, 10))
+    out = run(e, "events", q='"anything"')
+    assert out["summary"]["total"] == 5  # visibility only
+
+
+def test_dynamic_bool_field_filter(spark, engine_factory):
+    """tests/test_controllers.py:182: filter on a dynamic boolean
+    field (loaded=true) not in the core mapping."""
+    docs = [
+        {"id": "a", "name": "a", "loaded": True, "datahub": fx._datahub()},
+        {"id": "b", "name": "b", "loaded": False, "datahub": fx._datahub()},
+        {"id": "c", "name": "c", "loaded": None, "datahub": fx._datahub()},
+    ]
+    e = engine_factory(fx.make_datasets(spark, docs))
+    out = run(e, "dataset", loaded="true")
+    assert out["summary"]["total"] == 1
+    assert out["results"][0]["name"] == "a"
+
+
 def test_events_totalbytes_zero(spark, engine_factory):
     e = engine_factory(events=fx.some_event_records(spark, 4))
     out = run(e, "events", userid="datahubid")
