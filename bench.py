@@ -72,10 +72,14 @@ def main() -> int:
     for name in HEADLINE:
         if name not in REGISTRY:
             continue
-        t0 = time.time()
-        df = REGISTRY[name].fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):  # best-of-2: one-off GC/compile noise out
+            t0 = time.time()
+            df = REGISTRY[name].fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
