@@ -77,9 +77,11 @@ class SearchEngine:
         return self._indexes[kind]
 
     def refresh(self, kind: str, df: DataFrame) -> None:
-        """Replace a kind's data (and drop its cached index)."""
+        """Replace a kind's data (and drop + release its cached index)."""
         self.dfs[kind] = df
-        self._indexes.pop(kind, None)
+        old = self._indexes.pop(kind, None)
+        if old is not None:
+            old.unpersist()
 
     # -- query --------------------------------------------------------------
 
@@ -144,9 +146,14 @@ class SearchEngine:
     def _with_core_boost(df: DataFrame, cfg: KindConfig, base: Column) -> DataFrame:
         if cfg.boost_owner_field is None:
             return df.withColumn("score", base)
-        bonus = F.when(
-            F.col(cfg.boost_owner_field) == "core", F.lit(CORE_BOOST)
-        ).otherwise(F.lit(0.0))
+        # the reference boost clause requires BOTH ownerid=='core' AND
+        # findability=='published' (metastore/models.py:65-73) — an
+        # authenticated core user's own unpublished rows are visible
+        # but NOT boosted.
+        cond = F.col(cfg.boost_owner_field) == "core"
+        if cfg.findability_field:
+            cond = cond & (F.col(cfg.findability_field) == "published")
+        bonus = F.when(cond, F.lit(CORE_BOOST)).otherwise(F.lit(0.0))
         return df.withColumn("score", base + bonus)
 
 

@@ -154,6 +154,11 @@ def lsh_candidate_pairs(
     band hash; the self-join happens only inside buckets. Skewed
     buckets (boilerplate) are handled by AQE skew-join splitting.
     """
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
+            "silent truncation would shift the similarity threshold"
+        )
     r = num_perm // bands
     banded = df.select(
         F.col(id_col),

@@ -99,9 +99,12 @@ def refresh_postings_increment(
 ) -> None:
     """Incremental index maintenance: drain newly-arrived document
     files (availableNow), analyze them (Arrow-batched stemmer), and
-    append their postings as a new increment. docfreq/avgdl are
-    re-aggregated from increments at read time (associative), so the
-    refresh never touches existing data.
+    append their postings as a new increment, in the SAME
+    (term, doc_id, field, tf) shape the full index build writes so
+    consumers can union increments with the base postings. docfreq and
+    avgdl must be re-aggregated after a refresh (both are associative
+    over postings/doclen — a groupBy away); this function maintains
+    postings only.
     """
     stream = spark.readStream.schema(schema).format("parquet").load(new_docs_dir)
 
@@ -117,6 +120,8 @@ def refresh_postings_increment(
             toks.select("doc_id", F.explode("toks").alias("term"))
             .groupBy("term", "doc_id")
             .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("field", F.lit(text_col))
+            .select("term", "doc_id", "field", "tf")
         )
         postings.write.mode("append").parquet(out_path)
 

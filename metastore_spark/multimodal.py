@@ -99,7 +99,7 @@ IMAGE_FEATURES_SCHEMA = (
 def _decode_one(content: bytes) -> tuple[int, int, float]:
     """Decode stub: real path would use PIL; the fallback parses the
     synthetic header. Raises on genuinely unknown formats."""
-    try:  # real decoder, if the environment has it
+    try:  # real decoder, if the environment has it AND recognizes the bytes
         import io
 
         from PIL import Image  # noqa: F401
@@ -109,7 +109,10 @@ def _decode_one(content: bytes) -> tuple[int, int, float]:
 
         arr = np.asarray(img, dtype="float64")
         return img.width, img.height, float(arr.mean())
-    except ImportError:
+    except Exception:
+        # no PIL (ImportError) or bytes PIL can't parse (synthetic
+        # format → UnidentifiedImageError): fall through to the
+        # synthetic decoder either way
         pass
     if content[: len(_MAGIC)] == _MAGIC:
         width, height = struct.unpack_from("<II", content, len(_MAGIC))

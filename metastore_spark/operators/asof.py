@@ -42,18 +42,22 @@ def asof_join(
     """
     lcols = left.columns
     l = left.withColumn("_origin", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    # payload travels as ONE struct: last(..., ignorenulls) then picks
+    # whole right ROWS atomically. Carrying columns separately would
+    # (a) resurrect stale values past a genuinely-NULL newer payload
+    # and (b) stitch fields from different right rows.
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ats"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
     ).withColumn("_origin", F.lit(0))
 
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    for c in r.columns:
-        if c not in l.columns:
-            l = l.withColumn(c, F.lit(None).cast(r.schema[c].dataType))
+    l = l.withColumn(
+        "_payload", F.lit(None).cast(r.schema["_payload"].dataType)
+    )
     unioned = l.unionByName(r.select(l.columns))
 
     # right rows sort before left rows at equal timestamps (_origin 0<1),
@@ -63,12 +67,13 @@ def asof_join(
         .orderBy(F.col("_ats").asc(), F.col("_origin").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = unioned
-    for c in payload_cols:
-        out = out.withColumn(
-            f"{c}{suffix}",
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w),
-        )
+    out = unioned.withColumn(
+        "_asof_payload", F.last(F.col("_payload"), ignorenulls=True).over(w)
+    )
     return out.filter(F.col("_origin") == 1).select(
-        *lcols, *[F.col(f"{c}{suffix}") for c in payload_cols]
+        *lcols,
+        *[
+            F.col(f"_asof_payload.{c}").alias(f"{c}{suffix}")
+            for c in payload_cols
+        ],
     )

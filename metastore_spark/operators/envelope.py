@@ -63,8 +63,17 @@ def run_envelope(
     size: int,
     bytes_col: str | None = None,
 ) -> Envelope:
-    """Execute the canonical search shape: summary aggs + one page."""
-    total, total_bytes = summary_agg(filtered, bytes_col)
-    page = paginate(filtered, sort_cols, offset, size)
-    results = [r.asDict(recursive=True) for r in page.collect()]
+    """Execute the canonical search shape: summary aggs + one page.
+
+    The filtered frame feeds two jobs (summary + page); persist it so
+    the filter/scoring pipeline runs once, and release the cache
+    before returning — per-request memory is bounded by the request.
+    """
+    filtered = filtered.persist()
+    try:
+        total, total_bytes = summary_agg(filtered, bytes_col)
+        page = paginate(filtered, sort_cols, offset, size)
+        results = [r.asDict(recursive=True) for r in page.collect()]
+    finally:
+        filtered.unpersist()
     return Envelope(results=results, total=total, total_bytes=total_bytes)

@@ -78,8 +78,12 @@ def parse_params(params: dict[str, list[str] | str]) -> QuerySpec:
         except (TypeError, ValueError) as e:
             raise ParamError(f"invalid from: {e}") from e
     if "sort" in multi:
-        raw = multi.pop("sort")[0].strip('"')
-        spec.sort_desc = raw.lower() != "asc"
+        raw = multi.pop("sort")[0].strip('"').lower()
+        if raw not in ("asc", "desc"):
+            # the reference forwards the raw order to ES, which rejects
+            # it → error envelope; same observable contract here
+            raise ParamError(f"invalid sort order: {raw!r}")
+        spec.sort_desc = raw != "asc"
     multi.pop("jwt", None)
 
     for key, values in multi.items():

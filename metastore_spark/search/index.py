@@ -40,6 +40,16 @@ class SearchIndex:
     num_docs: int
     docs: DataFrame      # original rows, keyed by doc_id
 
+    def unpersist(self) -> None:
+        """Release this index's cached blocks (call when replacing an
+        index — e.g. SearchEngine.refresh — or the old blocks linger
+        until LRU eviction)."""
+        for df in (self.postings, self.docfreq, self.doclen):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
 
 def build_index(
     df: DataFrame,

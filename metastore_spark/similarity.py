@@ -278,6 +278,8 @@ def kmeans_centroids(
     # seeding cannot put two seeds in one tight cluster.
     sample_rows = df.orderBy(id_col).limit(max(64, 32 * k)).select(vec_col).collect()
     sample = [[float(x) for x in r[vec_col]] for r in sample_rows]
+    if not sample:
+        raise ValueError("kmeans_centroids: input has no vectors")
 
     def d2(a: list[float], b: list[float]) -> float:
         return sum((x - y) ** 2 for x, y in zip(a, b))

@@ -49,6 +49,57 @@ def test_asof_preserves_left_rowcount(frames):
     assert asof_join(left, right, "uid", "ts", "ts", ["state"]).count() == left.count()
 
 
+def test_asof_null_payload_not_resurrected(spark):
+    """A newer right row with a NULL payload field must win as NULL —
+    and multi-column payloads must come from ONE right row, never
+    stitched across rows."""
+    ts = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 12:00:00"), "e1")],
+        "uid bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:00:00"), "old", 5),
+            (1, ts("2024-01-01 11:00:00"), None, None),  # newest: NULLs
+        ],
+        "uid bigint, ts timestamp, state string, v int",
+    )
+    out = asof_join(left, right, "uid", "ts", "ts", ["state", "v"]).first()
+    assert out["state_asof"] is None
+    assert out["v_asof"] is None
+
+
+def test_core_boost_requires_published(spark):
+    from metastore_spark.api import dataset_events_engine
+    from tests import fixtures as fx
+
+    e = dataset_events_engine(
+        spark, fx.multiple_user_records(spark), fx.empty_events(spark)
+    )
+    # core user sees their own unlisted/private docs, but only the
+    # PUBLISHED core doc gets the boost → it still ranks first, and
+    # the unpublished core docs don't outrank other published docs
+    out = e.search("dataset", "core", {"q": '"readme"'})
+    names = [r["name"] for r in out["results"]]
+    assert names[0] == "core-dataset"
+    # un-published core docs must NOT be boosted: with equal BM25
+    # scores the id tiebreak puts 'anonymous-dataset' second; the
+    # always-boost bug would rank 'core-private-dataset' there
+    assert names[1] == "anonymous-dataset"
+    assert out["summary"]["total"] == 6  # 4 published + core's own 2
+
+
+def test_lsh_bands_divisibility_guard(spark):
+    from metastore_spark.dedup.ops import lsh_candidate_pairs
+
+    sigs = spark.createDataFrame(
+        [(1, list(range(100)))], "doc_id bigint, sig array<bigint>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_candidate_pairs(sigs, "doc_id", bands=32, num_perm=100)
+
+
 def test_approx_distinct_within_rsd(spark):
     df = spark.range(10000).select(
         (F.col("id") % 1000).alias("uid"), F.lit("t").alias("g")

@@ -34,6 +34,12 @@ def test_sort_direction():
     assert parse_params({"sort": "desc"}).sort_desc is True
 
 
+def test_invalid_sort_raises():
+    # the reference forwards bad orders to ES → error envelope
+    with pytest.raises(ParamError):
+        parse_params({"sort": '"bogus"'})
+
+
 def test_control_params_not_filters():
     spec = parse_params(
         {"q": '"x"', "size": "10", "from": "1", "sort": "asc", "jwt": "t",
