@@ -1,0 +1,127 @@
+"""Temporal analytics bindings: pivot, day-over-day windows, and the
+binned range join — each DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metastore_spark.operators.rangejoin import range_join_binned
+from metastore_spark.queries import query, _t
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "events_pivot_by_type",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"ROUND(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN value END), 0), 2) AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user value sums, one column per event type. Spark's
+    pivot with an explicit value list compiles to the same single-pass
+    conditional aggregation the oracle spells out — no second scan to
+    discover pivot values."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "user_id",
+        *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "events_daily_delta",
+    oracle="""
+    WITH daily AS (
+      SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             SUM(value) AS revenue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT day,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY day), 2) AS dod_delta
+    FROM daily
+    """,
+)
+def events_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate → window chaining: daily purchase revenue with
+    day-over-day delta. The window runs over the (tiny) aggregate —
+    an unpartitioned ORDER BY over days, never over raw events."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(
+        F.date_format(
+            F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"
+        ).alias("day")
+    ).agg(F.sum("value").alias("revenue"))
+    w = Window.partitionBy().orderBy("day")
+    return daily.select(
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias(
+            "dod_delta"
+        ),
+    )
+
+
+@query(
+    "events_range_join_promos",
+    oracle="""
+    WITH promos AS (
+      SELECT 'p1' AS promo_id,
+             TIMESTAMP '2024-01-05 00:00:00' AS p_start, TIMESTAMP '2024-01-08 00:00:00' AS p_end
+      UNION ALL SELECT 'p2', TIMESTAMP '2024-01-10 12:00:00', TIMESTAMP '2024-01-11 00:00:00'
+      UNION ALL SELECT 'p3', TIMESTAMP '2024-01-20 00:00:00', TIMESTAMP '2024-01-27 00:00:00'
+    )
+    SELECT promo_id,
+           CAST(COUNT(*) AS BIGINT)  AS n_purchases,
+           ROUND(SUM(value), 2)      AS revenue
+    FROM events JOIN promos
+      ON ts >= p_start AND ts < p_end
+    WHERE event_type = 'purchase'
+    GROUP BY promo_id
+    ORDER BY promo_id
+    """,
+)
+def events_range_join_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via binning: purchases attributed to overlapping
+    promo windows. The bin equi-join replaces the O(P×I) nested loop
+    the naive range predicate would plan (see operators/rangejoin.py).
+    Timestamps are epoch nanos here; bins are 1-day wide."""
+    day_ns = 24 * 3600 * 10**9
+    epoch_ns = lambda s: int(  # noqa: E731
+        __import__("datetime")
+        .datetime.fromisoformat(s + "+00:00")
+        .timestamp()
+    ) * 10**9
+    promos = spark.createDataFrame(
+        [
+            ("p1", epoch_ns("2024-01-05 00:00:00"), epoch_ns("2024-01-08 00:00:00")),
+            ("p2", epoch_ns("2024-01-10 12:00:00"), epoch_ns("2024-01-11 00:00:00")),
+            ("p3", epoch_ns("2024-01-20 00:00:00"), epoch_ns("2024-01-27 00:00:00")),
+        ],
+        "promo_id string, p_start bigint, p_end bigint",
+    )
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    joined = range_join_binned(e, promos, "ts", "p_start", "p_end", day_ns)
+    return (
+        joined.groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("promo_id")
+    )

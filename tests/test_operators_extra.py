@@ -100,6 +100,27 @@ def test_lsh_bands_divisibility_guard(spark):
         lsh_candidate_pairs(sigs, "doc_id", bands=32, num_perm=100)
 
 
+def test_range_join_boundaries(spark):
+    from metastore_spark.operators.rangejoin import range_join_binned
+
+    points = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([5, 10, 19, 20, 35, 99])],
+        "pid bigint, ts bigint",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", 10, 20),   # [10,20): hits 10,19 — NOT 20 (exclusive)
+            ("b", 0, 100),   # spans many bins: hits everything
+            ("c", 35, 36),   # 1-unit interval inside one bin
+        ],
+        "iid string, s bigint, e bigint",
+    )
+    out = range_join_binned(points, intervals, "ts", "s", "e", bin_width=10)
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    want = {(1, "a"), (2, "a")} | {(i, "b") for i in range(6)} | {(4, "c")}
+    assert got == want
+
+
 def test_approx_distinct_within_rsd(spark):
     df = spark.range(10000).select(
         (F.col("id") % 1000).alias("uid"), F.lit("t").alias("g")
