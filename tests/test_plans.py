@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the plans SCALE.md promises must
+stay the plans Catalyst produces. A perf regression that changes a
+join strategy or loses pushdown fails here, not in production.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from metastore_spark.queries import REGISTRY
+import metastore_spark.queries_analytics  # noqa: F401
+import metastore_spark.queries_tpch_extra  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_scan_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached parquet
+    # column pruning: read exactly the 7 needed columns, not all 11
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert read_schema.split("struct<")[1].count(":") == 7
+    assert "l_orderkey" not in read_schema
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # partial (map-side) agg before the exchange, final after
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_broadcasts_and_topk(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    assert "SortMergeJoin" not in plan  # no fact-fact shuffle join
+
+
+def test_q5_lineitem_never_shuffle_joins(spark):
+    plan = _plan(spark, "q5_region_volume")
+    # every join broadcast: the only exchanges are for the final agg
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q19_pushes_factored_predicates(spark):
+    plan = _plan(spark, "q19_disjunctive_pushdown")
+    # Catalyst factors per-table conjuncts out of the OR-of-ANDs and
+    # pushes them into both scans
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l for l in pushed)
+    assert any("p_brand" in l or "p_size" in l for l in pushed)
+
+
+def test_events_sort_page_is_topk(spark):
+    import metastore_spark.queries  # noqa: F401
+
+    plan = _plan(spark, "events_sort_page")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort operator
