@@ -164,6 +164,113 @@ def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_priority_with_late_lines",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (the right side never
+    materializes into the output; duplicates on the probe side are
+    free). The correlated ship-after-order predicate rides the join."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-filter-aggregate baseline — every
+    predicate pushes to parquet, zero joins, one partial+final agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)   AS numcust,
+           ROUND(SUM(c_acctbal), 2)   AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (broadcast as a
+    1-row cross join) + anti join, grouped rollup of the survivors."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
     "q2_min_cost_supplier",
     oracle="""
     SELECT s_name, n_name, ROUND(s_acctbal, 2) AS acctbal
