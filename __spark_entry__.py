@@ -28,6 +28,7 @@ import metastore_spark.queries_asof  # noqa: F401,E402
 import metastore_spark.queries_tpch_extra  # noqa: F401,E402
 import metastore_spark.queries_sessions  # noqa: F401,E402
 import metastore_spark.queries_temporal  # noqa: F401,E402
+import metastore_spark.queries_sampling  # noqa: F401,E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,75 @@
+"""Deterministic sampling operators for training-data curation.
+
+Random sampling is useless in a reproducible data pipeline; these use
+content/id hashing as the randomness source, so every engine, every
+run, and every retry selects the same rows — and the DuckDB oracle
+can verify the exact selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metastore_spark.queries import query, _t
+
+
+@query(
+    "docs_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) t
+    WHERE rn <= 20
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sample: exactly 20 docs per language, chosen
+    by hash order — deterministic, balanced, reproducible (the
+    per-language rebalancing step of corpus curation).
+
+    Scale notes: one shuffle on the stratum key; for heavy strata the
+    window can be preceded by a per-partition top-k. Hash order = a
+    uniform permutation, so the quota is an unbiased sample.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "docs_weighted_mixture",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE (source IN ('src0', 'src1')
+           AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+               ('0','1','2','3','4','5','6','7'))
+       OR (source NOT IN ('src0', 'src1')
+           AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1'))
+    """,
+)
+def docs_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture: keep ~50% of the preferred sources and
+    ~12.5% of the rest, by hash bucket — the deterministic version of
+    dataset mixing weights. Pure predicate: pushes to the scan, no
+    shuffle at all."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    preferred = F.col("source").isin("src0", "src1")
+    keep = (preferred & bucket.isin(*"01234567")) | (
+        ~preferred & bucket.isin("0", "1")
+    )
+    return d.filter(keep).select("doc_id", "source")
