@@ -50,6 +50,44 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           md5(
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                 '<EMAIL>', 'g'),
+               '[0-9]{7,}', '<NUM>', 'g')
+           ) AS scrubbed_fp,
+           CAST(length(text) AS BIGINT) AS orig_len
+    FROM documents
+    """,
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails and long digit runs replaced by
+    placeholder tokens — one JVM regexp pipeline per row, fused into
+    the scan (the mandatory scrub step before any corpus leaves the
+    pipeline). Output fingerprints the scrubbed text so the oracle
+    verifies the exact transform."""
+    d = _t(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"),
+            r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+            "<EMAIL>",
+        ),
+        r"[0-9]{7,}",
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_fp"),
+        F.length("text").cast("bigint").alias("orig_len"),
+    )
+
+
+@query(
     "docs_weighted_mixture",
     oracle="""
     SELECT doc_id, source
