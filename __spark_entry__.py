@@ -26,6 +26,7 @@ import metastore_spark.queries_streaming  # noqa: F401,E402
 import metastore_spark.queries_analytics  # noqa: F401,E402
 import metastore_spark.queries_asof  # noqa: F401,E402
 import metastore_spark.queries_tpch_extra  # noqa: F401,E402
+import metastore_spark.queries_tpch_joins  # noqa: F401,E402
 import metastore_spark.queries_sessions  # noqa: F401,E402
 import metastore_spark.queries_temporal  # noqa: F401,E402
 import metastore_spark.queries_sampling  # noqa: F401,E402

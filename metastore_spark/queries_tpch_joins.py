@@ -1,0 +1,547 @@
+"""Remaining classic TPC-H join shapes (Q7-Q10, Q13, Q15-Q17, Q20,
+Q21), adapted to this catalog (no partsupp table, no commit/receipt
+dates — "late" means shipped >60 days after the order date, matching
+the convention queries_tpch_extra.q4 established).
+
+Each query keeps the ORIGINAL query's distinctive planner stress —
+join-order with a disjunctive nation pair (Q7), conditional market
+share over a 7-table join (Q8), multi-dimension profit rollup (Q9),
+top-k by aggregated revenue (Q10), outer-join histogram (Q13),
+argmax-against-aggregate view (Q15), distinct-count with an anti-join
+exclusion (Q16), correlated per-group average (Q17), nested
+semi-join reduction (Q20), and the EXISTS/NOT-EXISTS double
+correlation (Q21) — and is DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metastore_spark.queries import query, _t
+
+
+def _late() -> F.Column:
+    """Shipped more than 60 days after the order was placed."""
+    return F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+
+
+@query(
+    "q7_nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between a nation pair by year.
+    The nation-pair disjunction sits ABOVE both broadcast joins, so
+    each nation join stays a simple equi-join and the cross-side OR is
+    evaluated as a cheap post-join filter on two broadcast-joined
+    dims; lineitem (the fact) is never shuffled."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's market for one part
+    type, by year — the widest join in the suite (8 tables). Every
+    dimension broadcasts; the conditional numerator and the total ride
+    the same aggregation (one pass, no self-join)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    cust_eu = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(cust_eu), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year,
+           ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 6)) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year for a
+    part-name substring (no partsupp in this catalog, so profit is
+    discounted revenue). The LIKE filter prunes part before its
+    broadcast; lineitem flows through three broadcast joins unshuffled
+    until the (nation, year) aggregation. The sum aggregates DECIMAL
+    (exact, order-independent) — the double sum of this group lands on
+    a round-to-2dp halfway point and drifts by summation order."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("sum_profit")
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(c_acctbal, 2) AS acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers ranked by revenue lost to returns in one
+    quarter. Group-by keys include non-key attributes (name, acctbal,
+    nation) — they ride the aggregation rather than re-joining after
+    it; top-20 is TakeOrderedAndProject over the aggregated (small)
+    side."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: histogram of per-customer order counts. The filter
+    lives in the OUTER join condition (not WHERE — customers with zero
+    matching orders must survive with count 0); two stacked
+    aggregations, the second over an already-tiny domain."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum half-year revenue.
+    The revenue view is computed once and reused for both the argmax
+    scalar and the final join (cached to avoid recomputation); the
+    1-row max broadcasts as a cross join."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .cache()
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#11'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 7, 14, 23, 36, 45, 49, 50)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    (brand, type, size) combination, excluding a blacklist (NOT IN →
+    anti join against negative-balance suppliers; this catalog has no
+    partsupp, so lineitem supplies the part-supplier relation)."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 7, 14, 23, 36, 45, 49, 50)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS avg_pk, 0.5 * AVG(l_quantity) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey
+    ) pa ON p_partkey = avg_pk
+    WHERE p_brand = 'Brand#13' AND l_quantity < half_avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from unusually-small orders — the correlated
+    per-part average decorrelated into a groupBy + join (computed over
+    ALL parts' lineitems exactly as the correlated subquery would be;
+    the brand filter applies only to the outer side)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    per_part = l.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q20_promo_part_suppliers",
+    oracle="""
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'blue%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 100.0
+    )
+    ORDER BY s_name
+    """,
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved significant volume of a
+    part family in a year — nested IN-subquery with a HAVING
+    aggregate, expressed as agg → filter → left-semi join so only
+    qualifying supplier keys flow upward."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("blue"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100.0)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ),
+    order_suppliers AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN (SELECT DISTINCT l_orderkey FROM late) lo
+        ON l.l_orderkey = lo.l_orderkey
+      GROUP BY l.l_orderkey, l.l_suppkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM (
+      SELECT DISTINCT la.l_orderkey, la.l_suppkey
+      FROM late la
+      WHERE EXISTS (
+        SELECT 1 FROM order_suppliers o2
+        WHERE o2.l_orderkey = la.l_orderkey
+          AND o2.l_suppkey <> la.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = la.l_orderkey
+          AND l3.l_suppkey <> la.l_suppkey
+      )
+    ) blamed
+    JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers solely responsible for late multi-supplier
+    orders — the EXISTS (another supplier participated) / NOT EXISTS
+    (no OTHER supplier was late) double correlation. Decorrelated with
+    per-order aggregates instead of two self-joins: an order qualifies
+    when it has >1 distinct supplier overall but exactly 1 distinct
+    LATE supplier — each correlated predicate becomes one count."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .filter(_late())
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .cache()
+    )
+    # Orders where exactly one distinct supplier shipped late.
+    solo_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_late_supp"))
+        .filter(F.col("n_late_supp") == 1)
+        .select("l_orderkey")
+    )
+    # ... and more than one supplier participated at all.
+    multi_supp = (
+        l.join(F.broadcast(solo_late), "l_orderkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        late.join(F.broadcast(solo_late), "l_orderkey", "left_semi")
+        .join(F.broadcast(multi_supp), "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )

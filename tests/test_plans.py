@@ -67,3 +67,33 @@ def test_events_sort_page_is_topk(spark):
     plan = _plan(spark, "events_sort_page")
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no full sort operator
+
+
+def test_q7_q9_fact_never_shuffle_joins(spark):
+    # dims broadcast; lineitem reaches its aggregation without a
+    # join-induced shuffle (the only exchange is the final groupBy's)
+    import metastore_spark.queries_tpch_joins  # noqa: F401
+
+    for name in ("q7_nation_trade_volume", "q9_product_profit"):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "ShuffledHashJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_q10_topk_after_aggregate(spark):
+    import metastore_spark.queries_tpch_joins  # noqa: F401
+
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan  # top-20 merges, no global sort
+    assert "SortMergeJoin" not in plan
+
+
+def test_q13_outer_join_preserves_filter_placement(spark):
+    import metastore_spark.queries_tpch_joins  # noqa: F401
+
+    plan = _plan(spark, "q13_order_count_distribution")
+    # the priority filter must push into the orders scan (join-side
+    # filter of an outer join prunes the inner side pre-join)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderpriority" in l for l in pushed)
