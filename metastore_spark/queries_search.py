@@ -6,6 +6,9 @@ engines tokenize identically).
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -13,22 +16,53 @@ from metastore_spark.queries import query, _t
 from metastore_spark.search.analysis import ENGLISH_STOPWORDS
 from metastore_spark.search.index import build_index
 from metastore_spark.search.scoring import bm25_scores
+from metastore_spark.search.serve import load_index, materialize_index
 
 _Q = "spark join stream"
 _STOPS_SQL = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
 _TERMS_SQL = ", ".join(f"'{t}'" for t in _Q.split())
 
-# Index cache: analyze-once-query-many (the ES ingest-time trade).
-# Keyed by Spark applicationId (stable and unique per session —
+# Session-level handle cache: avoids re-opening the on-disk index per
+# call. Keyed by Spark applicationId (stable and unique per session —
 # id(spark) could be recycled by the allocator after a session dies).
 _INDEX_CACHE: dict[tuple[str, str], object] = {}
 
+_SERVE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse",
+    "serving_index",
+)
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """Identity of the documents source: path + size + mtime. A changed
+    or different source gets a different index directory, so a stale
+    index is never served."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = os.path.abspath(src)
+    return hashlib.md5(ident.encode()).hexdigest()[:16]
+
 
 def _index_for(spark: SparkSession, sf_dir: str):
+    """Serving-path index: materialized once on disk per corpus, then
+    every later call (any session, any process) reopens the bucketed
+    tables instead of re-analyzing the corpus — the analyze-at-ingest
+    trade ES makes (SCALE.md 'Full-text search'). A query touches only
+    term-pruned postings + two vocabulary-sized side tables."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
-        d = _t(spark, sf_dir, "documents")
-        _INDEX_CACHE[key] = build_index(d, "doc_id", ["text"], stem=False)
+        path = os.path.join(_SERVE_ROOT, _source_fingerprint(sf_dir))
+        done = os.path.join(path, "_DONE")
+        if not os.path.exists(done):
+            d = _t(spark, sf_dir, "documents")
+            materialize_index(spark, d, "doc_id", ["text"], path, stem=False)
+            with open(done, "w") as fh:
+                fh.write("ok\n")
+        _INDEX_CACHE[key] = load_index(spark, path)
     return _INDEX_CACHE[key]
 
 

@@ -43,6 +43,7 @@ def materialize_index(
     spark.createDataFrame(
         [(json.dumps(stats),)], "stats string"
     ).coalesce(1).write.mode("overwrite").json(os.path.join(path, "stats"))
+    idx.unpersist()  # the build's cached blocks; readers use the files
 
 
 def load_index(spark: SparkSession, path: str, docs=None) -> SearchIndex:
