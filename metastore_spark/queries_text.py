@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from metastore_spark.queries import query, _t
 from metastore_spark.search.analysis import ENGLISH_STOPWORDS
 from metastore_spark.text import ops
+from metastore_spark.dedup.ops import shingles_from_tokens as dd_shingles
 
 _STOPLIST_SQL = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
 
@@ -181,4 +182,188 @@ def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ops.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         "n_chars",
+    )
+
+
+@query(
+    "docs_repetition_signals",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_uniq,
+             MAX(cnt) AS top_cnt
+      FROM (
+        SELECT doc_id, t, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+        GROUP BY doc_id, t
+      )
+      GROUP BY doc_id
+    ),
+    big AS (
+      SELECT doc_id, MAX(cnt) AS top_bigram_cnt, SUM(cnt) AS n_bigrams
+      FROM (
+        SELECT doc_id, g, COUNT(*) AS cnt
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> concat_ws(' ', toks[i], toks[i + 1]))) AS g
+          FROM tok WHERE len(toks) >= 2
+        )
+        GROUP BY doc_id, g
+      )
+      GROUP BY doc_id
+    )
+    SELECT uni.doc_id, n_tokens,
+           ROUND(CAST(n_uniq AS DOUBLE) / n_tokens, 4)          AS uniq_ratio,
+           ROUND(CAST(top_cnt AS DOUBLE) / n_tokens, 4)         AS top_token_frac,
+           ROUND(CAST(top_bigram_cnt AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac
+    FROM uni JOIN big USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct
+    token ratio, most-frequent-token fraction, most-frequent-bigram
+    fraction. High repetition → low-quality / machine-generated text.
+
+    Shape at scale: one explode + two partial-agg aggregations per
+    granularity (token, bigram) — the exchange carries (doc, gram,
+    count) rows, and grams never leave the JVM. No O(doc²) anywhere;
+    this is a map-side-heavy pipeline identical in shape to the
+    postings build (SCALE.md 'Full-text search')."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ops.word_tokens(F.col("text")).alias("toks"))
+    uni_counts = (
+        toks.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    uni = uni_counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    bigrams = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    big = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram_cnt"), F.sum("cnt").alias("n_bigrams"))
+    )
+    return (
+        uni.join(big, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_uniq").cast("double") / F.col("n_tokens"), 4).alias(
+                "uniq_ratio"
+            ),
+            F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 4).alias(
+                "top_token_frac"
+            ),
+            F.round(
+                F.col("top_bigram_cnt").cast("double") / F.col("n_bigrams"), 4
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "docs_contamination",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(toks) < 5
+               THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 3),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                     toks[i+3], toks[i+4]))
+             END) AS shingles
+      FROM tok
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh
+      WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    rest AS (
+      SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s
+      FROM sh WHERE source NOT IN ('src0', 'src1', 'src2')
+    )
+    SELECT doc_id,
+           CAST(MAX(n_shingles) AS BIGINT)  AS n_shingles,
+           CAST(COUNT(*) AS BIGINT)         AS n_hit,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_shingles), 4) AS contam_frac
+    FROM rest JOIN bench USING (s)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: 5-gram shingle overlap
+    between candidate training documents and a held-out benchmark set
+    (here: sources src0-src2 stand in for the eval corpus).
+
+    Shape at scale: distinct benchmark shingles form a (relatively)
+    small set — semi-joined against exploded candidate shingles, then
+    one groupBy(doc). The join is on the shingle string; production
+    would hash shingles to int64 first (same plan, 8-byte keys). This
+    is the standard decontamination pass every LLM data pipeline runs
+    before training."""
+    d = _t(spark, sf_dir, "documents")
+    bench_src = ("src0", "src1", "src2")
+    toks = d.select(
+        "doc_id", "source", ops.word_tokens(F.col("text")).alias("toks")
+    )
+    sh = toks.select(
+        "doc_id",
+        "source",
+        dd_shingles(F.col("toks"), 5).alias("shingles"),
+    )
+    bench = (
+        sh.filter(F.col("source").isin(*bench_src))
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    rest = sh.filter(~F.col("source").isin(*bench_src)).select(
+        "doc_id", F.size("shingles").alias("n_shingles"), F.explode("shingles").alias("s")
+    )
+    return (
+        rest.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_shingles").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_shingles"), 4
+            ).alias("contam_frac"),
+        )
+        .orderBy("doc_id")
     )

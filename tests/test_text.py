@@ -55,3 +55,48 @@ def test_rolling_hashes(spark):
     out = df.select(ops.rolling_hashes(F.col("text"), window=8).alias("h")).collect()
     assert len(out[0]["h"]) == 3  # 10 tokens, window 8 → 3 grams
     assert out[1]["h"] == []  # under window → empty
+
+
+def test_repetition_signals_handcomputed(spark):
+    from metastore_spark.queries import REGISTRY
+    import metastore_spark.queries_text  # noqa: F401
+    import tempfile, os
+
+    # "a b a b a" → 5 tokens, 2 uniq, top token 'a'×3,
+    # bigrams: "a b","b a","a b","b a" → top bigram frac 2/4
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "a b a b a", "en", "src9", 9)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        row = (
+            REGISTRY["docs_repetition_signals"].fn(spark, d).collect()[0]
+        )
+    assert row["n_tokens"] == 5
+    assert row["uniq_ratio"] == pytest.approx(0.4)
+    assert row["top_token_frac"] == pytest.approx(0.6)
+    assert row["top_bigram_frac"] == pytest.approx(0.5)
+
+
+def test_contamination_flags_only_overlapping_docs(spark):
+    from metastore_spark.queries import REGISTRY
+    import metastore_spark.queries_text  # noqa: F401
+    import tempfile, os
+
+    bench_text = "one two three four five six seven"
+    clean_text = "alpha beta gamma delta epsilon zeta eta"
+    # contaminated doc shares the 5-gram "two three four five six"
+    dirty_text = "x two three four five six y"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (1, bench_text, "en", "src0", 1),
+                (2, clean_text, "en", "src5", 1),
+                (3, dirty_text, "en", "src5", 1),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = REGISTRY["docs_contamination"].fn(spark, d).collect()
+    assert [r["doc_id"] for r in rows] == [3]
+    assert rows[0]["n_hit"] == 1  # exactly "two three four five six"
+    assert rows[0]["n_shingles"] == 3
