@@ -30,6 +30,7 @@ import metastore_spark.queries_tpch_joins  # noqa: F401,E402
 import metastore_spark.queries_sessions  # noqa: F401,E402
 import metastore_spark.queries_temporal  # noqa: F401,E402
 import metastore_spark.queries_sampling  # noqa: F401,E402
+import metastore_spark.queries_multimodal  # noqa: F401,E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -24,8 +24,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",
+    "q7_nation_trade_volume",
+    "q9_product_profit",
+    "q13_order_count_distribution",
     "q18_large_orders",
     "q19_disjunctive_pushdown",
+    "q21_waiting_suppliers",
     "top_customers_per_nation",
     # reference search semantics
     "events_visibility",
@@ -38,8 +42,12 @@ HEADLINE = [
     "dedup_exact_keys",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
+    "dedup_jaccard_verified",
+    "docs_repetition_signals",
+    "docs_contamination",
     "ann_cosine_topk",
     "emb_near_pairs",
+    "multimodal_binary_dedup",
     # temporal / streaming
     "events_asof_signup",
     "events_stream_hourly",
