@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "emb_near_pairs",
     "multimodal_binary_dedup",
+    "docs_curation_pipeline",
     # temporal / streaming
     "events_asof_signup",
     "events_stream_hourly",

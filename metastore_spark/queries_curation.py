@@ -1,0 +1,201 @@
+"""The end-to-end corpus-curation pipeline, as ONE verified query.
+
+Every LLM training-data pipeline runs this exact chain before any
+token reaches a tokenizer: quality gate → scrub → exact dedup →
+benchmark decontamination → deterministic mixture. Each stage exists
+in this repo as a standalone operator; this module composes them into
+the shape a production run has, and the DuckDB oracle verifies the
+composition end-to-end (stage boundaries are where silent bugs live —
+a filter applied after the dedup instead of before changes survivors).
+
+Scale shape: scrub fuses into the scan; the quality gate is one
+explode + partial-agg (gram counts never leave the JVM); dedup is one
+16-byte-key shuffle; decontamination is a hash semi-join against the
+(small) benchmark shingle set; the mixture quota is one shuffle on
+the stratum key. Nothing quadratic, nothing Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metastore_spark.dedup.ops import shingle_stream
+from metastore_spark.queries import query, _t
+from metastore_spark.text import ops
+
+_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_BENCH_SRC = ("src0", "src1", "src2")
+
+
+@query(
+    "docs_curation_pipeline",
+    oracle="""
+    WITH scrubbed AS (
+      SELECT doc_id, lang, source,
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                 '<EMAIL>', 'g'),
+               '[0-9]{7,}', '<NUM>', 'g') AS text
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang, source, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM scrubbed
+    ),
+    topcnt AS (
+      SELECT doc_id, MAX(cnt) AS top_cnt
+      FROM (
+        SELECT doc_id, tk, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS tk FROM tok)
+        GROUP BY doc_id, tk
+      )
+      GROUP BY doc_id
+    ),
+    quality AS (
+      SELECT tok.doc_id, lang, source, text, len(toks) AS n_tokens
+      FROM tok JOIN topcnt ON tok.doc_id = topcnt.doc_id
+      WHERE len(toks) >= 20
+        AND CAST(top_cnt AS DOUBLE) / len(toks) <= 0.25
+    ),
+    deduped AS (
+      SELECT * FROM quality
+      WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM quality
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      )
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(toks) < 5
+               THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 3),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                     toks[i+3], toks[i+4]))
+             END) AS shingles
+      FROM tok
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh
+      WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+            WHERE source NOT IN ('src0', 'src1', 'src2')) r
+      JOIN bench USING (s)
+    ),
+    clean AS (
+      SELECT * FROM deduped
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, lang, source, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM clean
+    )
+    WHERE rn <= 50
+    ORDER BY doc_id
+    """,
+)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate (≥20 tokens, top-token ≤25%) → PII scrub → exact
+    dedup (scrub-then-fingerprint, min doc_id survives) → benchmark
+    decontamination (5-gram overlap with src0-2, computed on the PRE-
+    dedup corpus so a contaminated duplicate can't launder its twin)
+    → deterministic per-language quota (50, hash order).
+
+    Stage-order subtleties the oracle pins: quality runs on SCRUBBED
+    text (a redacted email shortens the doc), dedup groups only
+    quality survivors, and contamination is detected on the full
+    corpus, not survivors."""
+    d = _t(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL, "<EMAIL>"),
+        r"[0-9]{7,}",
+        "<NUM>",
+    )
+    toks = (
+        d.select("doc_id", "lang", "source", scrub.alias("text"))
+        .withColumn("toks", ops.word_tokens(F.col("text")))
+        .cache()
+    )
+
+    # -- stage 1: quality gate. Top-token count via explode +
+    #    partial-agg (the repetition-signals shape), not a per-doc
+    #    lambda — grams collapse map-side before the doc_id shuffle.
+    topcnt = (
+        toks.select("doc_id", F.explode("toks").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    quality = (
+        toks.withColumn("n_tokens", F.size("toks"))
+        .join(topcnt, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("top_cnt").cast("double") / F.col("n_tokens") <= 0.25)
+        )
+    )
+
+    # -- stage 2: exact dedup on normalized scrubbed text
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    keep = (
+        quality.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = quality.join(keep, "doc_id", "left_semi")
+
+    # -- stage 3: decontamination. Benchmark and candidate shingle
+    #    streams are built from the cached token frame, filtered by
+    #    source BEFORE shingling (no corpus-sized join), hash-keyed.
+    bench = (
+        shingle_stream(
+            toks.filter(F.col("source").isin(*_BENCH_SRC)),
+            "text",
+            "doc_id",
+            5,
+        )
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+    contaminated = (
+        shingle_stream(
+            toks.filter(~F.col("source").isin(*_BENCH_SRC)),
+            "text",
+            "doc_id",
+            5,
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .join(bench, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    # -- stage 4: deterministic per-language mixture quota
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        clean.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
