@@ -199,3 +199,94 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "docs_pack_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_offset
+      FROM sized
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(start_offset // 2048 AS BIGINT) AS chunk_id,
+           (start_offset // 2048) <>
+             ((start_offset + n_tokens - 1) // 2048) AS spans_boundary
+    FROM placed
+    ORDER BY doc_id
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-split sequence packing: docs laid out in
+    deterministic hash order, split into 2048-token training windows —
+    each doc gets its global token offset, window id, and a
+    spans-boundary flag. This is the layout step between curation and
+    tokenization in every pretraining pipeline.
+
+    The global running offset is computed as a DISTRIBUTED PREFIX SUM,
+    not a single-partition window: docs bucket by their hash-order
+    prefix (256 buckets), each bucket computes a local cumulative sum
+    in parallel, bucket totals (a 256-row frame) broadcast back as
+    bucket base offsets. The oracle states the same thing as the naive
+    global window — at 100 TB the naive form serializes on one task;
+    this form's only global object is the 256-row offset table.
+    Two-phase prefix sum per Blelloch 1990 ("Prefix sums and their
+    applications")."""
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.size(ops.word_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    ).withColumn("bucket", F.substring("ord", 1, 2))
+
+    # phase 1: parallel per-bucket cumulative sums (hash-prefix
+    # buckets preserve the global md5 order across bucket boundaries)
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = sized.withColumn(
+        "local_off", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+
+    # phase 2: bucket base offsets — a 256-row aggregate, broadcast
+    w_bucket = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        sized.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .withColumn(
+            "base", F.coalesce(F.sum("bucket_total").over(w_bucket), F.lit(0))
+        )
+        .select("bucket", "base")
+    )
+
+    budget = F.lit(2048).cast("bigint")
+    placed = local.join(F.broadcast(bases), "bucket").withColumn(
+        "start_offset", (F.col("base") + F.col("local_off")).cast("bigint")
+    )
+    chunk = F.floor(F.col("start_offset") / budget)
+    last_chunk = F.floor(
+        (F.col("start_offset") + F.col("n_tokens") - 1) / budget
+    )
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        chunk.cast("bigint").alias("chunk_id"),
+        (chunk != last_chunk).alias("spans_boundary"),
+    ).orderBy("doc_id")
