@@ -97,7 +97,11 @@ def shingles(col: Column, k: int = 3) -> Column:
 
 
 def shingle_stream(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Word k-gram shingles as a flat (id, shingle) stream — built
     entirely from codegen builtins (slice + arrays_zip + explode +
@@ -114,10 +118,16 @@ def shingle_stream(
     than k yield their whole text as the single shingle); the stream
     carries duplicate shingles — harmless under min/collect_set
     aggregation, call ``.distinct()`` when multiplicity matters.
+
+    Pass ``tokens_col`` to reuse an already-materialized token-array
+    column (e.g. a cached frame) instead of re-tokenizing ``text_col``.
     """
-    toks = df.select(
-        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
-    )
+    if tokens_col is not None:
+        toks = df.select(F.col(id_col), F.col(tokens_col).alias("_toks"))
+    else:
+        toks = df.select(
+            F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
+        )
     n = F.size("_toks")
     m = F.greatest(n - F.lit(k - 1), F.lit(0))
     sliced = toks.filter(n >= k).select(

@@ -91,6 +91,7 @@ _BENCH_SRC = ("src0", "src1", "src2")
     clean AS (
       SELECT * FROM deduped
       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND source NOT IN ('src0', 'src1', 'src2')
     )
     SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens
     FROM (
@@ -114,8 +115,9 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stage-order subtleties the oracle pins: quality runs on SCRUBBED
     text (a redacted email shortens the doc), dedup groups only
-    quality survivors, and contamination is detected on the full
-    corpus, not survivors."""
+    quality survivors, contamination is detected on the full corpus
+    (not survivors), and the benchmark sources themselves are excluded
+    from the final mixture."""
     d = _t(spark, sf_dir, "documents")
     scrub = F.regexp_replace(
         F.regexp_replace(F.col("text"), _EMAIL, "<EMAIL>"),
@@ -166,6 +168,7 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             "doc_id",
             5,
+            tokens_col="toks",
         )
         .select(F.xxhash64("shingle").alias("h"))
         .distinct()
@@ -176,13 +179,19 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             "doc_id",
             5,
+            tokens_col="toks",
         )
         .select("doc_id", F.xxhash64("shingle").alias("h"))
         .join(bench, "h", "left_semi")
         .select("doc_id")
         .distinct()
     )
-    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    # the benchmark documents themselves never enter the training mix
+    # (they ARE the eval corpus — review finding: without this, a
+    # src0-2 doc could pass quality+dedup and reach the quota stage)
+    clean = deduped.join(contaminated, "doc_id", "left_anti").filter(
+        ~F.col("source").isin(*_BENCH_SRC)
+    )
 
     # -- stage 4: deterministic per-language mixture quota
     w = Window.partitionBy("lang").orderBy(
@@ -223,7 +232,8 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_tokens, start_offset,
            CAST(start_offset // 2048 AS BIGINT) AS chunk_id,
            (start_offset // 2048) <>
-             ((start_offset + n_tokens - 1) // 2048) AS spans_boundary
+             ((start_offset + GREATEST(n_tokens, 1) - 1) // 2048)
+             AS spans_boundary
     FROM placed
     ORDER BY doc_id
     """,
@@ -280,8 +290,12 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_offset", (F.col("base") + F.col("local_off")).cast("bigint")
     )
     chunk = F.floor(F.col("start_offset") / budget)
+    # greatest(n,1) keeps the numerator non-negative — a zero-token doc
+    # at offset 0 would otherwise hit floor(-1/2048) = -1 in Spark vs
+    # DuckDB //'s truncate-to-0, and an empty doc spans nothing anyway
     last_chunk = F.floor(
-        (F.col("start_offset") + F.col("n_tokens") - 1) / budget
+        (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+        / budget
     )
     return placed.select(
         "doc_id",

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,17 +35,32 @@ _SERVE_ROOT = os.path.join(
 )
 
 
-def _source_fingerprint(sf_dir: str) -> str:
-    """Identity of the documents source: path + size + mtime. A changed
-    or different source gets a different index directory, so a stale
-    index is never served."""
-    src = os.path.join(sf_dir, "documents.parquet")
+def _source_fingerprint(sf_dir: str) -> tuple[str, str]:
+    """(source-path tag, content fingerprint) of the documents source.
+
+    parquet paths are DIRECTORIES — a directory's own stat never
+    reflects content — so the fingerprint hashes every file's
+    (relative name, size, mtime) under it. The tag identifies the
+    source path independent of content, so superseded index builds for
+    the same source can be pruned.
+    """
+    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    parts: list[str] = [src]
     try:
-        st = os.stat(src)
-        ident = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+        if os.path.isdir(src):
+            for root, _dirs, files in sorted(os.walk(src)):
+                for name in sorted(files):
+                    st = os.stat(os.path.join(root, name))
+                    rel = os.path.relpath(os.path.join(root, name), src)
+                    parts.append(f"{rel}|{st.st_size}|{st.st_mtime_ns}")
+        else:
+            st = os.stat(src)
+            parts.append(f"{st.st_size}|{st.st_mtime_ns}")
     except OSError:
-        ident = os.path.abspath(src)
-    return hashlib.md5(ident.encode()).hexdigest()[:16]
+        pass
+    fp = hashlib.md5("\n".join(parts).encode()).hexdigest()[:16]
+    return tag, fp
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
@@ -52,16 +68,37 @@ def _index_for(spark: SparkSession, sf_dir: str):
     every later call (any session, any process) reopens the bucketed
     tables instead of re-analyzing the corpus — the analyze-at-ingest
     trade ES makes (SCALE.md 'Full-text search'). A query touches only
-    term-pruned postings + two vocabulary-sized side tables."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    term-pruned postings + two vocabulary-sized side tables.
+
+    Concurrency/staleness: builds go to a process-private tmp dir and
+    are atomically renamed into place (a losing racer discards its
+    build and serves the winner's); the cache key includes the content
+    fingerprint so a rewritten corpus is re-indexed mid-session; index
+    dirs for superseded fingerprints of the same source are pruned."""
+    tag, fp = _source_fingerprint(sf_dir)
+    key = (spark.sparkContext.applicationId, tag, fp)
     if key not in _INDEX_CACHE:
-        path = os.path.join(_SERVE_ROOT, _source_fingerprint(sf_dir))
-        done = os.path.join(path, "_DONE")
-        if not os.path.exists(done):
+        path = os.path.join(_SERVE_ROOT, f"{tag}-{fp}")
+        if not os.path.exists(os.path.join(path, "_DONE")):
             d = _t(spark, sf_dir, "documents")
-            materialize_index(spark, d, "doc_id", ["text"], path, stem=False)
-            with open(done, "w") as fh:
+            tmp = f"{path}.build-{os.getpid()}"
+            materialize_index(spark, d, "doc_id", ["text"], tmp, stem=False)
+            with open(os.path.join(tmp, "_DONE"), "w") as fh:
                 fh.write("ok\n")
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            # prune superseded builds of this same source
+            if os.path.isdir(_SERVE_ROOT):
+                for entry in os.listdir(_SERVE_ROOT):
+                    full = os.path.join(_SERVE_ROOT, entry)
+                    if (
+                        entry.startswith(f"{tag}-")
+                        and entry != f"{tag}-{fp}"
+                        and not entry.endswith(f".build-{os.getpid()}")
+                    ):
+                        shutil.rmtree(full, ignore_errors=True)
         _INDEX_CACHE[key] = load_index(spark, path)
     return _INDEX_CACHE[key]
 

@@ -223,7 +223,7 @@ def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(n_uniq AS DOUBLE) / n_tokens, 4)          AS uniq_ratio,
            ROUND(CAST(top_cnt AS DOUBLE) / n_tokens, 4)         AS top_token_frac,
            ROUND(CAST(top_bigram_cnt AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac
-    FROM uni JOIN big USING (doc_id)
+    FROM uni LEFT JOIN big USING (doc_id)
     ORDER BY doc_id
     """,
 )
@@ -266,8 +266,10 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("cnt").alias("top_bigram_cnt"), F.sum("cnt").alias("n_bigrams"))
     )
+    # LEFT join: a 1-token doc has well-defined token signals and a
+    # NULL bigram fraction — an inner join would silently drop it
     return (
-        uni.join(big, "doc_id")
+        uni.join(big, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

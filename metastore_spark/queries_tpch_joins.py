@@ -305,13 +305,14 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+    SELECT s_suppkey, s_name, total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     ORDER BY s_suppkey
@@ -321,7 +322,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) achieving the maximum half-year revenue.
     The revenue view is computed once and reused for both the argmax
     scalar and the final join (cached to avoid recomputation); the
-    1-row max broadcasts as a cross join."""
+    1-row max broadcasts as a cross join. The argmax equality compares
+    ROUNDED sums per the repo's oracle convention — equality on raw
+    double sums could select different rows per engine when two
+    suppliers sit within accumulation error of each other."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
@@ -329,9 +333,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_revenue"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
         )
         .cache()
     )
@@ -341,9 +345,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.crossJoin(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("best_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select(
-            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
-        )
+        .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
 

@@ -103,6 +103,13 @@ def build_index(
     avgdl = {r["field"]: float(r["avgdl"]) for r in avgdl_rows}
     num_docs = df.count()
 
+    # postings/doclen are now materialized in the cache; release the
+    # tokenized corpus (the largest frame of the build — holding it
+    # for the session's lifetime pressures executor storage for
+    # nothing, every consumer reads the three index tables)
+    postings.count()
+    tokenized.unpersist()
+
     return SearchIndex(
         postings=postings,
         docfreq=docfreq,
