@@ -85,3 +85,54 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed = sim.ivf_assign(emb, centroids)
     qvec = _query_vec(spark, sf_dir, 0)
     return sim.ivf_topk(indexed, centroids, qvec, k=10, nprobe=3)
+
+
+def _srp_oracle(n_planes: int = 8, dim: int = 64, threshold: float = 0.3) -> str:
+    """DuckDB mirror of the SRP-LSH blocked join: the hyperplanes are
+    embedded as full-precision literals, so the oracle reproduces the
+    bucketing EXACTLY — including its recall misses. Both engines
+    compute each plane dot as the same sequential left fold over
+    identical doubles, so the sign bits (and hence buckets) agree
+    bit-for-bit."""
+    planes = sim._hyperplanes(dim, n_planes)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 4) AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= {threshold}
+    """
+
+
+@query("emb_near_pairs_srp", oracle=_srp_oracle())
+def emb_near_pairs_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH-blocked cosine near-pairs — the SCALE path of
+    emb_near_pairs: candidates only materialize inside a
+    random-hyperplane bucket (equi-join on the 8-bit sign key), never
+    O(n²). The oracle mirrors the bucketing with literal hyperplanes,
+    so this is a value-hash check of the PRODUCTION approximate
+    operator, recall misses and all (Charikar 2002 SRP; deterministic
+    LCG hyperplanes, seed 7)."""
+    return sim.cosine_near_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        dim=64,
+        n_planes=8,
+    )

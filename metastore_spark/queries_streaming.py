@@ -49,3 +49,42 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("total_value", 2).alias("total_value"),
     )
+
+
+@query(
+    "events_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(value), 2)      AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once projection of an at-least-once stream: the event
+    stream unioned with itself (every event delivered twice — the
+    redelivery pattern of any at-least-once source) → stateful
+    dropDuplicates on event_id → per-type rollup. The result must
+    equal the batch aggregate over the ORIGINAL table: duplicates
+    fully absorbed by dedup state. In production the dedup would be
+    dropDuplicatesWithinWatermark so state stays bounded by the
+    watermark horizon (SCALE.md 'Streaming'); availableNow over a
+    finite source makes the unbounded form safe here.
+    """
+    name = f"events_stream_dedup_{next(_counter)}"
+    once = ev.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    twice = once.unionByName(
+        ev.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    )
+    deduped = twice.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    ev.run_to_memory_sink(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )
