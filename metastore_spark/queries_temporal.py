@@ -125,3 +125,85 @@ def events_range_join_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("promo_id")
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_view
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t_signup
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t_view
+      GROUP BY e.user_id
+    )
+    SELECT step, n_users FROM (
+      SELECT 1 AS ord, 'signup' AS step,
+             CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'view_after_signup', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase_after_view', CAST(COUNT(*) AS BIGINT) FROM s3
+    ) ORDER BY ord
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chronological conversion funnel signup → view → purchase: each
+    step counts users whose step event strictly FOLLOWS their previous
+    step's first occurrence (not mere event presence — ordering is the
+    point of a funnel).
+
+    Shape: one filtered min-aggregate per step + a broadcast join of
+    the (shrinking) qualified-user frame — never a sort of the event
+    stream; each step's exchange carries one row per surviving user.
+    All timestamps compare at MICROsecond granularity (`ts div 1000`)
+    on both engines: events.ts is nanos in Spark but DuckDB truncates
+    parquet nanos to micros, so nanosecond-resolution comparisons
+    could order two same-micro events differently."""
+    e = _t(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_signup"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(F.broadcast(s1), "user_id")
+        .filter(us > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_view"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(us > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_purchase"))
+    )
+    counts = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("ord"), F.lit("signup").alias("step"), "n_users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(2).alias("ord"),
+            F.lit("view_after_signup").alias("step"),
+            "n_users",
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(3).alias("ord"),
+            F.lit("purchase_after_view").alias("step"),
+            "n_users",
+        ),
+    ]
+    out = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    return out.orderBy("ord").select("step", "n_users")

@@ -380,3 +380,47 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "docs_token_budget",
+    oracle="""
+    WITH sized AS (
+      SELECT lang, source,
+             CAST(len(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT)           AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)      AS total_tokens,
+           ROUND(quantile_cont(n_tokens, 0.5), 4)  AS p50_tokens,
+           ROUND(quantile_cont(n_tokens, 0.95), 4) AS p95_tokens
+    FROM sized
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per (lang, source) stratum: doc count,
+    total token budget, p50/p95 doc lengths — the numbers every
+    training-mixture decision starts from. Exact interpolated
+    percentiles (== DuckDB quantile_cont); at 100 TB swap for
+    percentile_approx. One scan, one partial-agg shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang",
+        "source",
+        F.size(ops.word_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        sized.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.95)"), 4).alias("p95_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
