@@ -162,30 +162,36 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     step's first occurrence (not mere event presence — ordering is the
     point of a funnel).
 
-    Shape: one filtered min-aggregate per step + a broadcast join of
-    the (shrinking) qualified-user frame — never a sort of the event
+    Shape: one filtered min-aggregate per step + an equi-join of the
+    (shrinking) qualified-user frame — never a sort of the event
     stream; each step's exchange carries one row per surviving user.
-    All timestamps compare at MICROsecond granularity (`ts div 1000`)
-    on both engines: events.ts is nanos in Spark but DuckDB truncates
-    parquet nanos to micros, so nanosecond-resolution comparisons
-    could order two same-micro events differently."""
+    No broadcast hint: per-user frames are corpus-cardinality, so AQE
+    decides (broadcast when small, shuffle join at billion-user
+    scale). s1/s2 are cached — each feeds both its own count branch
+    and the next step's join. All timestamps compare at MICROsecond
+    granularity (`ts div 1000`) on both engines: events.ts is nanos
+    in Spark but DuckDB truncates parquet nanos to micros, so
+    nanosecond-resolution comparisons could order two same-micro
+    events differently."""
     e = _t(spark, sf_dir, "events")
     us = F.expr("ts div 1000")
     s1 = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min(us).alias("t_signup"))
+        .cache()
     )
     s2 = (
         e.filter(F.col("event_type") == "view")
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")
         .filter(us > F.col("t_signup"))
         .groupBy("user_id")
         .agg(F.min(us).alias("t_view"))
+        .cache()
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .filter(us > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min(us).alias("t_purchase"))

@@ -419,8 +419,14 @@ def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
-            F.round(F.expr("percentile(n_tokens, 0.95)"), 4).alias("p95_tokens"),
+            # one percentile buffer for both quantiles — two separate
+            # percentile() calls would each sort the group's values
+            F.round(
+                F.expr("percentile(n_tokens, array(0.5, 0.95))")[0], 4
+            ).alias("p50_tokens"),
+            F.round(
+                F.expr("percentile(n_tokens, array(0.5, 0.95))")[1], 4
+            ).alias("p95_tokens"),
         )
         .orderBy("lang", "source")
     )
