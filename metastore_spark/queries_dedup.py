@@ -134,10 +134,10 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_jaccard_verified",
-    oracle="""
-    WITH toks AS (
+# Exact 3-gram-shingle-Jaccard pair CTEs, shared by the verified-pairs
+# oracle and the clustering oracle (one definition, no drift).
+_SHINGLE_PAIR_CTES = """
+    toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                          t -> t <> '') AS toks
@@ -151,13 +151,23 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
              END) AS sset
       FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sset, b.sset))) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.8
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sset, b.sset))), 4) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.8
+"""
+
+
+@query(
+    "dedup_jaccard_verified",
+    oracle=f"""
+    WITH {_SHINGLE_PAIR_CTES}
+    SELECT id_a, id_b, ROUND(jac, 4) AS jaccard FROM pairs
     """,
 )
 def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,3 +224,46 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_jac") >= 0.8)
         .select("id_a", "id_b", F.round("_jac", 4).alias("jaccard"))
     )
+
+
+@query(
+    "dedup_clusters_verified",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(u, v) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY u ORDER BY doc_id
+    """,
+)
+def dedup_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the VERIFIED pair graph: iterative
+    min-label propagation (one join + one groupBy per round,
+    localCheckpoint between rounds) — and unlike the minhash-estimate
+    clustering, this one has a value-hash oracle: DuckDB computes the
+    same components as a recursive transitive closure. A distributed
+    graph algorithm pinned by a SQL fixpoint.
+
+    Only docs that appear in at least one verified pair are labeled
+    (singletons carry no dedup information)."""
+    pairs = dedup_jaccard_verified(spark, sf_dir).cache()
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    from metastore_spark.dedup.cluster import connected_components
+
+    cc = connected_components(nodes, pairs)
+    return cc.select(
+        "doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    ).orderBy("doc_id")
