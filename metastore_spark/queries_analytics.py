@@ -179,3 +179,51 @@ def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r", 2).alias("revenue"),
         F.round(F.col("r") / F.sum("r").over(w), 6).alias("share"),
     )
+
+
+@query(
+    "customer_spend_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT c_custkey, SUM(o_totalprice) AS total_spend
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT)      AS n_customers,
+           ROUND(SUM(total_spend), 2)    AS decile_spend,
+           ROUND(AVG(total_spend), 4)    AS avg_spend
+    FROM (
+      SELECT c_custkey, total_spend,
+             NTILE(10) OVER (ORDER BY total_spend, c_custkey) AS decile
+      FROM spend
+    )
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value deciles: NTILE(10) over total spend
+    (custkey tiebreaker makes bucket assignment deterministic across
+    engines), then per-decile rollup. The global NTILE runs over the
+    already-aggregated per-customer frame — corpus-sized events never
+    see the single-partition window; at larger customer counts swap
+    for approx percentile cutpoints + a bucket join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sum("o_totalprice").alias("total_spend"))
+    )
+    w = Window.orderBy("total_spend", "c_custkey")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("total_spend"), 2).alias("decile_spend"),
+            F.round(F.avg("total_spend"), 4).alias("avg_spend"),
+        )
+        .orderBy("decile")
+    )

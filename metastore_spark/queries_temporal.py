@@ -213,3 +213,57 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = counts[0].unionByName(counts[1]).unionByName(counts[2])
     return out.orderBy("ord").select("step", "n_users")
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id,
+             date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+      FROM events
+    )
+    SELECT STRFTIME(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_week, act_week) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM signup s JOIN activity a ON s.user_id = a.user_id
+    WHERE act_week >= cohort_week
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention grid: users bucketed by first-signup
+    week, counted distinct in each subsequent activity week. The
+    classic product-analytics matrix — a first-touch aggregate joined
+    against deduplicated (user, week) activity; exchanges carry one
+    row per user resp. per (user, week), never the event stream.
+    Weeks truncate from MICROsecond timestamps on both engines
+    (events.ts is nanos in Spark; DuckDB reads micros)."""
+    e = _t(spark, sf_dir, "events")
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min(ts)).alias("cohort_week"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", ts).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(signup, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
