@@ -51,6 +51,8 @@ HEADLINE = [
     "docs_curation_pipeline",
     # temporal / streaming
     "events_asof_signup",
+    "events_funnel",
+    "events_retention_cohorts",
     "events_stream_hourly",
 ]
 
