@@ -267,3 +267,47 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_rolling_7d_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS day_num,
+             STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             SUM(value) AS revenue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT day,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(SUM(revenue) OVER (
+             ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 2) AS rolling_7d
+    FROM daily
+    ORDER BY day
+    """,
+)
+def events_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue via a RANGE window frame keyed on the
+    epoch-day number — RANGE (value-based) frames handle calendar gaps
+    correctly where a ROWS frame would silently span them. The window
+    runs over the daily aggregate (one row per day), never the event
+    stream."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    day_ts = F.date_trunc("day", F.timestamp_micros(F.expr("ts div 1000")))
+    daily = e.groupBy(
+        F.datediff(day_ts.cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_num"),
+        F.date_format(day_ts, "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum("value").alias("revenue"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.sum("revenue").over(w), 2).alias("rolling_7d"),
+    ).orderBy("day")

@@ -76,3 +76,42 @@ def test_kmeans_improves_ivf_recall(spark):
         for r in sim.ivf_topk(indexed, centroids, q, k=5, nprobe=1).collect()
     ]
     assert set(exact) == set(approx)  # nprobe=1 suffices with good centroids
+
+
+def test_index_for_detects_rewritten_corpus(spark, tmp_path):
+    """The serving cache must re-index when the corpus content
+    changes (fingerprint covers the parquet directory's files, and
+    the in-session cache is keyed by it)."""
+    import os
+    from pyspark.sql import functions as F
+    from metastore_spark import queries_search as qs
+
+    sf_dir = str(tmp_path / "corpus")
+    os.makedirs(sf_dir)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    spark.createDataFrame(
+        [(1, "spark join stream", "en", "src0", 17)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(docs_path)
+
+    idx1 = qs._index_for(spark, sf_dir)
+    assert idx1.num_docs == 1
+
+    spark.createDataFrame(
+        [
+            (1, "spark join stream", "en", "src0", 17),
+            (2, "hash shuffle partition", "en", "src1", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(docs_path)
+
+    idx2 = qs._index_for(spark, sf_dir)
+    assert idx2.num_docs == 2  # stale index must NOT be served
+    # superseded build for the same source was pruned: only one
+    # serving dir remains for this source tag
+    tag, fp = qs._source_fingerprint(sf_dir)
+    siblings = [
+        e for e in os.listdir(qs._SERVE_ROOT)
+        if e.startswith(f"{tag}-") and not e.endswith("_DONE")
+    ]
+    assert siblings == [f"{tag}-{fp}"]
