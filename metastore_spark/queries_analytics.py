@@ -227,3 +227,41 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT)         AS n_orders,
+           ROUND(SUM(o_totalprice), 2)      AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_priority, status, priority
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two one-dimension slices + grand
+    total) with GROUPING() indicators — the third member of the
+    cube/rollup family, planned as ONE Expand + aggregate pass (no
+    per-set rescans). COALESCE folds the set-local NULLs so the
+    indicator columns, not NULL ambiguity, mark the aggregation
+    level."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_gs")
+    return o.sparkSession.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               COUNT(*)                         AS n_orders,
+               ROUND(SUM(o_totalprice), 2)      AS revenue
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, status, priority
+        """
+    )
