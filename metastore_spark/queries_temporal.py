@@ -311,3 +311,54 @@ def events_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 2).alias("revenue"),
         F.round(F.sum("revenue").over(w), 2).alias("rolling_7d"),
     ).orderBy("day")
+
+
+@query(
+    "events_keyset_page",
+    oracle="""
+    WITH cursor AS (
+      -- the keyset cursor: last row of page 2 (rows 100-149 of the
+      -- ts DESC, event_id ASC order) — what a client would echo back
+      SELECT epoch_us(ts) AS c_ts, event_id AS c_id
+      FROM events ORDER BY ts DESC, event_id LIMIT 1 OFFSET 149
+    )
+    SELECT event_id, epoch_us(ts) AS ts_us, event_type,
+           ROUND(value, 2) AS value
+    FROM events, cursor
+    WHERE epoch_us(ts) < c_ts
+       OR (epoch_us(ts) = c_ts AND event_id > c_id)
+    ORDER BY ts_us DESC, event_id
+    LIMIT 50
+    """,
+)
+def events_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the deep-paging fix SCALE.md
+    prescribes: instead of OFFSET n (whose per-task top-(n+limit)
+    buffers grow with depth), the client echoes the last row's sort
+    key and the next page is a pushdown-able FILTER + top-50. The
+    cursor tuple predicate ((ts, id) strictly after the cursor in
+    sort order) keeps pages exact across duplicate timestamps.
+    Identical to page 3 of the OFFSET query — which is what the
+    oracle computes the cursor from."""
+    e = _t(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    cursor = (
+        e.select(us.alias("c_ts"), F.col("event_id").alias("c_id"))
+        .orderBy(F.desc("c_ts"), F.asc("c_id"))
+        .offset(149)
+        .limit(1)
+    )
+    after_cursor = (F.col("ts_us") < F.col("c_ts")) | (
+        (F.col("ts_us") == F.col("c_ts")) & (F.col("event_id") > F.col("c_id"))
+    )
+    return (
+        e.select(
+            "event_id", us.alias("ts_us"), "event_type",
+            F.round("value", 2).alias("value"),
+        )
+        .crossJoin(F.broadcast(cursor))
+        .filter(after_cursor)
+        .orderBy(F.desc("ts_us"), F.asc("event_id"))
+        .limit(50)
+        .drop("c_ts", "c_id")
+    )
