@@ -49,6 +49,16 @@ def _mix_b(i: int) -> int:
     return _to_i64(_splitmix(2 * i + 1))
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit deterministic string hash: the integer value of the first
+    15 hex chars of md5. Chosen because BOTH engines compute it
+    bit-identically (Spark ``conv(substring(md5(..)))``; DuckDB folds
+    the hex digits), which is what lets signature operators built on it
+    (simhash, minhash) carry full value-hash oracles. xxhash64 stays
+    the default for non-oracled production paths (faster, 64 bits)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """fingerprint → min(id): the survivor per exact-duplicate group."""
     return (
@@ -155,8 +165,13 @@ def minhash_signatures(
     id_col: str,
     num_perm: int = 128,
     k: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """MinHash signatures as a DataFrame: (id, sig array<bigint>).
+
+    ``hash_fn`` maps the shingle string column to a bigint (default
+    xxhash64; pass ``portable_hash60`` when a DuckDB oracle must mirror
+    the signatures bit-for-bit).
 
     Each shingle is string-hashed ONCE (xxhash64); the i-th family
     member is an affine remix ``h*A_i + B_i`` over the wrapping int64
@@ -169,8 +184,9 @@ def minhash_signatures(
     regardless of text size — the correct shape at 100 TB. No Python
     UDF anywhere.
     """
+    hash_fn = hash_fn or F.xxhash64
     sh = shingle_stream(df, text_col, id_col, k).select(
-        F.col(id_col), F.xxhash64(F.col("shingle")).alias("h")
+        F.col(id_col), hash_fn(F.col("shingle")).alias("h")
     )
     aggs = [
         F.min(
@@ -259,6 +275,7 @@ def minhash_dedup_pairs(
     bands: int = 32,
     threshold: float = 0.8,
     k: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup pairs above ``threshold``.
 
@@ -267,7 +284,7 @@ def minhash_dedup_pairs(
     runs once. In a production pipeline signatures are materialized to
     a table keyed by id — this is the in-session equivalent.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, k).persist()
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, k, hash_fn).persist()
     cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, num_perm)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -290,8 +307,12 @@ def simhash_signatures(
     text_col: str,
     id_col: str,
     bits: int = 63,
+    hash_fn=None,
 ) -> DataFrame:
     """SimHash signatures as a DataFrame: (id, simhash bigint).
+
+    ``hash_fn`` maps the token string column to a bigint (default
+    xxhash64; ``portable_hash60`` with bits=60 for oracle mirroring).
 
     Charikar 2002 ("Similarity estimation techniques from rounding
     algorithms"). Bit i of the signature is the sign of the sum over
@@ -301,9 +322,10 @@ def simhash_signatures(
     partition to one row per doc before the shuffle; each aggregate is
     a two-instruction codegen expression, never a nested array walk.
     """
+    hash_fn = hash_fn or F.xxhash64
     tok = df.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
-    ).select(F.col(id_col), F.xxhash64(F.col("tok")).alias("h"))
+    ).select(F.col(id_col), hash_fn(F.col("tok")).alias("h"))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
@@ -326,6 +348,8 @@ def simhash_near_pairs(
     id_col: str,
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    bits: int = 63,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
 
@@ -334,8 +358,8 @@ def simhash_near_pairs(
     the prefix — the standard multi-probe/rotation trade; rotations can
     be added as extra bucket keys).
     """
-    sigs = simhash_signatures(df, text_col, id_col).withColumn(
-        "bucket", F.shiftright(F.col("simhash"), 63 - prefix_bits)
+    sigs = simhash_signatures(df, text_col, id_col, bits, hash_fn).withColumn(
+        "bucket", F.shiftright(F.col("simhash"), bits - prefix_bits)
     )
     a = sigs.alias("a")
     b = sigs.alias("b")

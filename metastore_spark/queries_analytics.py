@@ -203,12 +203,17 @@ def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer-lifetime-value deciles: NTILE(10) over total spend
-    (custkey tiebreaker makes bucket assignment deterministic across
-    engines), then per-decile rollup. The global NTILE runs over the
-    already-aggregated per-customer frame — corpus-sized events never
-    see the single-partition window; at larger customer counts swap
-    for approx percentile cutpoints + a bucket join."""
+    """Customer-lifetime-value deciles with NO global window: exact
+    global rank via range-repartition + per-partition row_number +
+    cumulative partition offsets (operators/ranking.py), then the
+    exact NTILE bucket as a pure function of (rank, n). Bit-identical
+    to the oracle's NTILE(10) OVER (ORDER BY total_spend, c_custkey)
+    — the custkey tiebreaker makes assignment deterministic — but
+    every stage is parallel: the plan has no single-partition
+    WindowExec (asserted in tests/test_plans.py), so the shape
+    survives a 100× customer count."""
+    from metastore_spark.operators.ranking import global_rank, ntile_from_rank
+
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     spend = (
@@ -216,9 +221,10 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.sum("o_totalprice").alias("total_spend"))
     )
-    w = Window.orderBy("total_spend", "c_custkey")
+    ranked = global_rank(spend, ["total_spend", "c_custkey"], "rank")
+    n = ranked.count()  # persisted by global_rank — count reuses it
     return (
-        spend.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", ntile_from_rank(F.col("rank"), n, 10))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

@@ -42,40 +42,217 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
-@query("dedup_minhash_pairs", oracle=None)
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (jaccard_est ≥ 0.8). Non-SQL: the
-    banding/bucket join; correctness pinned by tests/test_dedup.py."""
-    return dd.minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id",
-        num_perm=64, bands=16, threshold=0.8,
+# --- portable-hash oracle machinery -----------------------------------------
+#
+# The approximate signature operators (minhash, simhash) are oracled by
+# mirroring the ENTIRE signature computation in DuckDB. The base string
+# hash is `portable_hash60` (integer value of md5's first 15 hex chars)
+# — bit-identical in both engines; the affine remix / bit-sum layers on
+# top are exact integer arithmetic, so signatures (and therefore pairs)
+# match value-for-value, recall misses and all.
+
+# DuckDB mirror of dedup.ops.portable_hash60 (fold 15 hex digits).
+def _ph60(col: str) -> str:
+    return (
+        "list_sum(list_transform(range(1,16), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({col}), i, 1)) - 1)::BIGINT"
+        " * (1::BIGINT << (4*(15-i)))))"
     )
 
 
-@query("dedup_simhash_pairs", oracle=None)
+# DuckDB mirror of the word k=3 shingle stream (duplicates kept — they
+# are harmless under MIN aggregation, exactly like dedup.ops.shingle_stream).
+_SHINGLE_STREAM_CTES = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) < 3
+               THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 1),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             END) AS shingle
+      FROM toks
+    )
+"""
+
+
+def _remix_sql(i: int) -> str:
+    """DuckDB mirror of the i-th affine minhash remix ``h*A_i + B_i``
+    over the wrapping int64 ring: exact HUGEINT arithmetic mod 2^64,
+    then mapped back to signed — bit-identical to Spark's non-ANSI
+    bigint overflow semantics (h ≥ 0 here, so no negative-operand
+    case arises)."""
+    a_u = dd._splitmix(2 * i) | 1
+    b_u = dd._splitmix(2 * i + 1)
+    m = (
+        f"((h::HUGEINT * {a_u}::HUGEINT + {b_u}::HUGEINT)"
+        " % 18446744073709551616::HUGEINT)"
+    )
+    return (
+        f"CAST(CASE WHEN {m} >= 9223372036854775808::HUGEINT"
+        f" THEN {m} - 18446744073709551616::HUGEINT ELSE {m} END AS BIGINT)"
+    )
+
+
+def _minhash_sig_ctes(num_perm: int = 64) -> str:
+    """CTEs ending in sig(doc_id, mh0..mh{n-1}) — the full portable
+    minhash signature table in DuckDB."""
+    mins = ",\n             ".join(
+        f"MIN({_remix_sql(i)}) AS mh{i}" for i in range(num_perm)
+    )
+    return f"""{_SHINGLE_STREAM_CTES},
+    hh AS (SELECT doc_id, {_ph60('shingle')} AS h FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hh GROUP BY doc_id
+    )"""
+
+
+def _minhash_pairs_sql(num_perm: int = 64) -> str:
+    """Pair CTE over the signature table: agreement-fraction estimate.
+
+    No banding clause on purpose: with 64 perms in 16 bands of 4, a
+    pair at est ≥ 0.8 has ≤ 12 disagreeing positions, which can spoil
+    at most 12 of the 16 bands — so ≥ 4 bands fully agree and LSH
+    candidacy is IMPLIED for every pair above threshold. The Spark
+    side's banding join prunes candidates below threshold (plus a
+    measure-zero xxhash64 band-collision set that the est filter
+    removes); above threshold the two sets are provably identical.
+    """
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(({agree}) / {num_perm}.0, 4) AS jaccard_est
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    )"""
+
+
+_MINHASH_PAIRS_ORACLE = f"""
+    WITH {_minhash_sig_ctes(64)},
+    {_minhash_pairs_sql(64)}
+    SELECT id_a, id_b, jaccard_est FROM pairs WHERE jaccard_est >= 0.8
+    """
+
+
+@query("dedup_minhash_pairs", oracle=_MINHASH_PAIRS_ORACLE)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (jaccard_est ≥ 0.8), value-hash
+    oracled END-TO-END: DuckDB recomputes the identical 64-permutation
+    signatures from the portable base hash and compares every pair's
+    agreement fraction. The banding join needs no SQL mirror — at
+    est ≥ 0.8 at least 4 of the 16 bands provably agree in full (≤ 12
+    disagreements across 16 bands), so every above-threshold pair is a
+    candidate by construction; see _minhash_pairs_sql."""
+    return dd.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        num_perm=64, bands=16, threshold=0.8, hash_fn=dd.portable_hash60,
+    )
+
+
+def _simhash_oracle(
+    bits: int = 60, prefix_bits: int = 16, max_hamming: int = 3
+) -> str:
+    """DuckDB mirror of the full simhash pipeline: portable token hash
+    → per-bit ±1 sums → sign bits → prefix bucket → hamming join.
+    Every stage is exact integer arithmetic, so the oracle reproduces
+    the prefix-bucket recall misses too."""
+    bsums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    hh AS (SELECT doc_id, {_ph60('tok')} AS h FROM tok),
+    g AS (
+      SELECT doc_id,
+             {bsums}
+      FROM hh GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {sig} AS simhash FROM g),
+    bk AS (SELECT doc_id, simhash,
+                  simhash >> {bits - prefix_bits} AS bucket FROM sig)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3 of 63 bits), prefix-bucketed.
-    Correctness pinned by tests/test_dedup.py."""
-    return dd.simhash_near_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    """SimHash near-dup pairs (hamming ≤ 3 of 60 bits), prefix-bucketed
+    — value-hash oracled end-to-end: DuckDB recomputes the identical
+    60-bit signatures (portable base hash, exact ±1 bit-sums) and the
+    same prefix-bucket join, recall misses included."""
+    return dd.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=60, hash_fn=dd.portable_hash60,
+    )
 
 
-@query("dedup_minhash_clusters", oracle=None)
+_MINHASH_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_minhash_sig_ctes(64)},
+    {_minhash_pairs_sql(64)},
+    thr AS (SELECT id_a, id_b FROM pairs WHERE jaccard_est >= 0.8),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM thr
+      UNION
+      SELECT id_b, id_a FROM thr
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(u, v) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY u ORDER BY doc_id
+    """
+
+
+@query("dedup_minhash_clusters", oracle=_MINHASH_CLUSTERS_ORACLE)
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup groups: MinHash+LSH pairs → connected components
-    (iterative min-label propagation — transitive closure the pair
-    list can't express; non-SQL). Returns non-singleton members."""
+    (iterative min-label propagation). Every doc in ≥ 1 pair gets its
+    component's min doc_id as cluster label. Oracled: DuckDB recomputes
+    the identical portable-hash pairs, then closes the graph with a
+    RECURSIVE transitive closure — a distributed iterative algorithm
+    pinned by a SQL fixpoint."""
     from metastore_spark.dedup.cluster import connected_components
 
     d = _t(spark, sf_dir, "documents")
     pairs = dd.minhash_dedup_pairs(
-        d, "text", "doc_id", num_perm=64, bands=16, threshold=0.8
+        d, "text", "doc_id", num_perm=64, bands=16, threshold=0.8,
+        hash_fn=dd.portable_hash60,
     ).persist()
-    cc = connected_components(d.select("doc_id"), pairs)
-    return cc.filter(F.col("doc_id") != F.col("cluster_id")).unionByName(
-        cc.join(
-            pairs.select(F.col("id_a").alias("doc_id")).distinct(), "doc_id"
-        ).filter(F.col("doc_id") == F.col("cluster_id"))
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
+    cc = connected_components(nodes, pairs)
+    return cc.select(
+        "doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    ).orderBy("doc_id")
 
 
 @query(
