@@ -97,3 +97,13 @@ def test_q13_outer_join_preserves_filter_placement(spark):
     # filter of an outer join prunes the inner side pre-join)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("o_orderpriority" in l for l in pushed)
+
+
+def test_deciles_no_global_window(spark):
+    # customer_spend_deciles must never degrade to the single-partition
+    # NTILE window: ranking is range-exchange + per-partition windows
+    plan = _plan(spark, "customer_spend_deciles")
+    import re
+    # every Window node must carry a partition spec (no global window)
+    assert not re.search(r"Window .*\[\], \[", plan), "global WindowExec found"
+    assert "rangepartitioning" in plan.lower()
