@@ -73,15 +73,61 @@ def emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk", oracle=None)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF two-stage ANN: k-means centroids (Lloyd's, farthest-point
-    init, DataFrame-native) + nprobe partition search. Non-SQL
-    (iterative); recall vs. the exact baseline is pinned by
-    tests/test_serve_index.py and tests/test_similarity.py.
+def _cos(a: str, b: str) -> str:
+    """DuckDB cosine between two DOUBLE[] expressions — the identical
+    op order Spark's cosine_sim_lit uses (sequential dot folds, sqrt
+    norms, one divide), so the doubles agree bit-for-bit."""
+    return (
+        f"(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+_IVF_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    asg AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos('e.embedding::DOUBLE[]', 'c.cv')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cid FROM cent, q
+      ORDER BY {_cos('cv', 'qv')} DESC, cid
+      LIMIT 3
+    )
+    SELECT e.vec_id,
+           ROUND({_cos('e.embedding::DOUBLE[]', 'qv')}, 4) AS cos_sim
+    FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id, q
+    WHERE asg.centroid_id IN (SELECT cid FROM probe)
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
     """
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF two-stage ANN, value-hash oracled END-TO-END: deterministic
+    sampled coarse quantizer (the 8 lowest-id vectors — a pure-SQL
+    rule), literal-folded argmin assignment (earliest centroid wins
+    ties on both sides), top-3-probe pruning, exact search inside the
+    probed lists — the oracle reproduces every stage including the
+    recall misses of unprobed lists. The k-means quantizer
+    (kmeans_centroids) remains the balanced-lists index build, pinned
+    by tests/test_serve_index.py and tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = sim.kmeans_centroids(emb, k=8, max_iter=3)
+    centroids = sim.sampled_centroids(emb, k=8)
     indexed = sim.ivf_assign(emb, centroids)
     qvec = _query_vec(spark, sf_dir, 0)
     return sim.ivf_topk(indexed, centroids, qvec, k=10, nprobe=3)

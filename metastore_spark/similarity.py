@@ -274,6 +274,33 @@ def ivf_assign(
     return df.select(F.col(id_col), F.col(vec_col), best_id.alias("centroid_id"))
 
 
+def sampled_centroids(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """IVF coarse quantizer from a deterministic data sample: the k
+    lowest-id vectors become the centroids (ids are hash-assigned
+    upstream, so this is a uniform sample in content terms).
+
+    Two uses: a zero-training IVF-flat quantizer, and — because the
+    rule "embedding WHERE vec_id < k" is pure SQL — the variant a
+    DuckDB oracle can reproduce exactly, pinning the whole
+    assign/probe/search pipeline (see queries_similarity.ann_ivf_topk).
+    ``kmeans_centroids`` remains the quality path for balanced lists.
+    """
+    rows = (
+        df.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sampled_centroids: input has no vectors")
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int = 8,
