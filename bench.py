@@ -84,7 +84,7 @@ def main() -> int:
         if name not in REGISTRY:
             continue
         best = None
-        for _ in range(2):  # best-of-2: one-off GC/compile noise out
+        for _ in range(3):  # best-of-3: this box's noise is ±2×
             t0 = time.time()
             df = REGISTRY[name].fn(spark, sf_dir)
             # noop sink evaluates EVERY column of every row — count()
@@ -98,17 +98,25 @@ def main() -> int:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    # Append to the per-query history log so round-over-round regression
+    # detection is mechanical (compare same query across lines; the
+    # driver's BENCH_r{N}.json only keeps the latest run).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_HISTORY.jsonl"), "a"
+        ) as fh:
+            fh.write(json.dumps({"ts": int(time.time()), **result}) + "\n")
+    except OSError:
+        pass  # history is best-effort; the stdout contract is the product
     return 0
 
 

@@ -51,6 +51,39 @@ class KindConfig:
     boost_owner_field: str | None = None
 
 
+def _validate_filter_fields(df: DataFrame, filters: dict) -> None:
+    """Unknown filter field → ParamError (reference: filtering on a
+    nonexistent field is a contained error, not an empty success).
+
+    Resolves dotted paths against the schema directly — one walk over
+    a StructType, instead of the previous trick of forcing a second
+    Catalyst analysis pass per request just to surface the
+    AnalysisException. Mirrors Spark resolution: case-insensitive
+    struct members, arrays traversed to their element, map access
+    valid for any key.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for field, values in filters.items():
+        if not values:
+            continue  # no predicate is built for it — nothing to resolve
+        dt = df.schema
+        for part in field.split("."):
+            while isinstance(dt, ArrayType):
+                dt = dt.elementType
+            if isinstance(dt, MapType):
+                dt = dt.valueType  # any key is addressable
+                continue
+            if not isinstance(dt, StructType):
+                raise ParamError(f"unknown field: {field!r}")
+            match = next(
+                (f for f in dt.fields if f.name.lower() == part.lower()), None
+            )
+            if match is None:
+                raise ParamError(f"unknown field: {field!r}")
+            dt = match.dataType
+
+
 class SearchEngine:
     """Query facade over a registry of kinds.
 
@@ -111,8 +144,8 @@ class SearchEngine:
 
         pred = filters_predicate(spec.filters, mode=cfg.filter_mode)
         if pred is not None:
+            _validate_filter_fields(df, spec.filters)
             df = df.filter(pred)
-            df.select(F.lit(1)).schema  # force analysis → unknown field errors here
 
         sort_cols: list[Column] = []
         if spec.q and cfg.q_fields:

@@ -26,7 +26,13 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in _Q.split())
 # Session-level handle cache: avoids re-opening the on-disk index per
 # call. Keyed by Spark applicationId (stable and unique per session —
 # id(spark) could be recycled by the allocator after a session dies).
-_INDEX_CACHE: dict[tuple[str, str], object] = {}
+# LRU-bounded: a long-lived session cycling through many corpora must
+# not grow handles without limit (the on-disk prune already bounds
+# storage; this bounds the in-memory side).
+from collections import OrderedDict
+
+_INDEX_CACHE: OrderedDict[tuple[str, str, str], object] = OrderedDict()
+_INDEX_CACHE_MAX = 8
 
 _SERVE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -100,6 +106,9 @@ def _index_for(spark: SparkSession, sf_dir: str):
                     ):
                         shutil.rmtree(full, ignore_errors=True)
         _INDEX_CACHE[key] = load_index(spark, path)
+        while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
+            _INDEX_CACHE.popitem(last=False)  # evict least-recently-used
+    _INDEX_CACHE.move_to_end(key)
     return _INDEX_CACHE[key]
 
 
