@@ -41,8 +41,10 @@ _SERVE_ROOT = os.path.join(
 )
 
 
-def _source_fingerprint(sf_dir: str) -> tuple[str, str]:
+def _source_fingerprint(sf_dir: str, stem: bool = False) -> tuple[str, str]:
     """(source-path tag, content fingerprint) of the documents source.
+    The tag also encodes the analysis tier, so the stem-free and
+    stemmed indexes of one source coexist and prune independently.
 
     parquet paths are DIRECTORIES — a directory's own stat never
     reflects content — so the fingerprint hashes every file's
@@ -51,7 +53,7 @@ def _source_fingerprint(sf_dir: str) -> tuple[str, str]:
     the same source can be pruned.
     """
     src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
-    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{src}|stem={stem}".encode()).hexdigest()[:8]
     parts: list[str] = [src]
     try:
         if os.path.isdir(src):
@@ -69,7 +71,7 @@ def _source_fingerprint(sf_dir: str) -> tuple[str, str]:
     return tag, fp
 
 
-def _index_for(spark: SparkSession, sf_dir: str):
+def _index_for(spark: SparkSession, sf_dir: str, stem: bool = False):
     """Serving-path index: materialized once on disk per corpus, then
     every later call (any session, any process) reopens the bucketed
     tables instead of re-analyzing the corpus — the analyze-at-ingest
@@ -81,14 +83,14 @@ def _index_for(spark: SparkSession, sf_dir: str):
     build and serves the winner's); the cache key includes the content
     fingerprint so a rewritten corpus is re-indexed mid-session; index
     dirs for superseded fingerprints of the same source are pruned."""
-    tag, fp = _source_fingerprint(sf_dir)
+    tag, fp = _source_fingerprint(sf_dir, stem)
     key = (spark.sparkContext.applicationId, tag, fp)
     if key not in _INDEX_CACHE:
         path = os.path.join(_SERVE_ROOT, f"{tag}-{fp}")
         if not os.path.exists(os.path.join(path, "_DONE")):
             d = _t(spark, sf_dir, "documents")
             tmp = f"{path}.build-{os.getpid()}"
-            materialize_index(spark, d, "doc_id", ["text"], tmp, stem=False)
+            materialize_index(spark, d, "doc_id", ["text"], tmp, stem=stem)
             with open(os.path.join(tmp, "_DONE"), "w") as fh:
                 fh.write("ok\n")
             try:
@@ -159,6 +161,90 @@ def search_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     idx = _index_for(spark, sf_dir)
     scores = bm25_scores(idx, _Q, {"text": 1.0}, stem=False)
+    return (
+        scores.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# --- stemmed tier -----------------------------------------------------------
+
+# Query whose raw tokens appear NOWHERE in the corpus — every match
+# goes through Porter ("queries"→queri≡"query", "tables"→tabl≡"table",
+# "customers"→custom≡"customer"), so this pins the stemmed pipeline,
+# not a lucky literal overlap.
+_QS = "queries tables customers"
+
+
+def _stemmed_oracle() -> str:
+    from metastore_spark.search.analysis import analyze
+    from metastore_spark.search.sql_stem import porter_ctes
+
+    terms = sorted(set(analyze(_QS, stem=True)))
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH rawtok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '[^0-9a-zA-Z'']+')) AS rt
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id,
+               trim(CASE WHEN lower(rt) LIKE '%''s'
+                    THEN left(lower(rt), len(rt) - 2)
+                    ELSE lower(rt) END, '''') AS t
+        FROM rawtok WHERE rt <> ''
+      ) WHERE t <> '' AND t NOT IN ({_STOPS_SQL})
+    ),
+    vocab AS (SELECT DISTINCT t AS w FROM tok),
+    {porter_ctes('vocab')},
+    stok AS (SELECT tk.doc_id, s.stem FROM tok tk JOIN stems s ON tk.t = s.tok),
+    dlc AS (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY doc_id),
+    dl AS (
+      SELECT d.doc_id, COALESCE(dlc.c, 0) AS dl
+      FROM documents d LEFT JOIN dlc ON d.doc_id = dlc.doc_id
+    ),
+    stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS nd FROM dl),
+    post AS (
+      SELECT doc_id, stem AS term, COUNT(*) AS tf
+      FROM stok WHERE stem IN ({terms_sql})
+      GROUP BY doc_id, stem
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+    scored AS (
+      SELECT p.doc_id,
+             SUM( ln(1 + (nd - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ) AS s
+      FROM post p
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, ROUND(s, 4) AS score
+    FROM scored
+    ORDER BY ROUND(s, 4) DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query("search_bm25_stemmed", oracle=_stemmed_oracle())
+def search_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION analysis tier end-to-end: possessive strip +
+    stop words + Porter stem (Arrow-batched analyze_udf at index
+    build), BM25 top-20 from the persisted serving index. The oracle
+    re-derives every stem independently — a full Porter implementation
+    in DuckDB SQL (search/sql_stem.py, agreement with the Python
+    stemmer pinned by tests/test_sql_stem.py) — then mirrors postings,
+    corpus-global docfreq and the scoring formula, so the stemmed
+    ranking is value-hash checked, not assumed from the stem-free
+    tier. Reference scenario: stemming pinned by
+    reference/tests/test_controllers.py:527-552 ("countries" ↔
+    "country")."""
+    idx = _index_for(spark, sf_dir, stem=True)
+    scores = bm25_scores(idx, _QS, {"text": 1.0}, stem=True)
     return (
         scores.select("doc_id", F.round("score", 4).alias("score"))
         .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
