@@ -49,6 +49,9 @@ class KindConfig:
     bytes_field: str | None = None
     # ownerid field for the core boost (datasets only)
     boost_owner_field: str | None = None
+    # the findability value that marks a row public (reference
+    # hardcodes 'published'; kinds bound to foreign schemas remap it)
+    published_value: str = "published"
 
 
 def _validate_filter_fields(df: DataFrame, filters: dict) -> None:
@@ -138,7 +141,10 @@ class SearchEngine:
         if cfg.findability_field:
             df = df.filter(
                 visibility_predicate(
-                    cfg.findability_field, cfg.owner_field, userid
+                    cfg.findability_field,
+                    cfg.owner_field,
+                    userid,
+                    published_value=cfg.published_value,
                 )
             )
 
@@ -185,7 +191,9 @@ class SearchEngine:
         # but NOT boosted.
         cond = F.col(cfg.boost_owner_field) == "core"
         if cfg.findability_field:
-            cond = cond & (F.col(cfg.findability_field) == "published")
+            cond = cond & (
+                F.col(cfg.findability_field) == cfg.published_value
+            )
         bonus = F.when(cond, F.lit(CORE_BOOST)).otherwise(F.lit(0.0))
         return df.withColumn("score", base + bonus)
 

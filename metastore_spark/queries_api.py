@@ -1,0 +1,225 @@
+"""Registry queries that exercise the FULL API layer — params →
+SearchEngine.search → envelope — rather than binding operators
+directly. These catch envelope/wiring regressions (pagination applied
+after summary, score popped from results, visibility composed with
+filters) that per-operator queries can't.
+
+The envelope is driver-side JSON by contract (the reference returns it
+over HTTP); re-uploading it as a one-page DataFrame is the API-boundary
+materialization the engine already owns (operators/envelope.py), not a
+data-plane collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metastore_spark.api import KindConfig, SearchEngine
+from metastore_spark.queries import query, _t
+
+_PAGE_SCHEMA_EVENTS = (
+    "event_id bigint, user_id bigint, event_type string, ts_us bigint, "
+    "value double, total bigint, total_bytes double"
+)
+
+
+@query(
+    "api_events_envelope",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, EPOCH_US(ts) AS ts_us,
+             ROUND(value, 2) AS value
+      FROM events
+    ),
+    filt AS (
+      SELECT * FROM base
+      WHERE (event_type = 'view' OR user_id = 7)      -- visibility (RLS)
+        AND event_type IN ('view', 'purchase')        -- term filter, OR-within
+        AND user_id IN (3, 7)                         -- AND-across fields
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             ROUND(SUM(value), 2)     AS total_bytes
+      FROM filt
+    ),
+    page AS (
+      SELECT event_id, user_id, event_type, ts_us, value
+      FROM filt ORDER BY ts_us DESC, event_id LIMIT 25 OFFSET 10
+    )
+    SELECT page.*, s.total, s.total_bytes FROM page, s
+    """,
+)
+def api_events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O10 through the controller contract in ONE call:
+    params→QuerySpec (JSON-typed values, size clamp, from/sort),
+    visibility ∧ term filters, timestamp sort desc + id tiebreak,
+    offset/limit page, and the corpus-wide summary (total +
+    totalBytes) — exactly the envelope the reference returns per
+    request (metastore/controllers.py:6-17). The page rows carry the
+    summary as constant columns so one value-hash pins results AND
+    summary together."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.round("value", 2).alias("value"),
+    )
+    engine = SearchEngine(
+        spark,
+        kinds={
+            "events": KindConfig(
+                table="events",
+                id_field="event_id",
+                findability_field="event_type",
+                owner_field="user_id",
+                timestamp_field="ts_us",
+                filter_mode="term",
+                bytes_field="value",
+                published_value="view",
+            )
+        },
+        dfs={"events": e},
+    )
+    env = engine.search(
+        "events",
+        userid=7,
+        params={
+            "size": "25",
+            "from": "10",
+            "sort": '"desc"',
+            "event_type": ['"view"', '"purchase"'],
+            "user_id": ["3", "7"],
+        },
+    )
+    assert "error" not in env, env.get("error")
+    rows = [
+        (
+            r["event_id"], r["user_id"], r["event_type"], r["ts_us"],
+            r["value"], env["summary"]["total"], env["summary"]["totalBytes"],
+        )
+        for r in env["results"]
+    ]
+    out = spark.createDataFrame(rows, _PAGE_SCHEMA_EVENTS)
+    return out.withColumn("total_bytes", F.round("total_bytes", 2))
+
+
+_PAGE_SCHEMA_DS = (
+    "id bigint, title string, findability string, owner string, "
+    "bytes double, total bigint, total_bytes double"
+)
+
+
+@query(
+    "api_dataset_envelope",
+    oracle="""
+    WITH ds AS (
+      SELECT doc_id AS id,
+             lang || '-' || CAST(doc_id AS VARCHAR) AS title,
+             CASE WHEN doc_id % 3 = 0 THEN 'published'
+                  WHEN doc_id % 3 = 1 THEN 'unpublished'
+                  ELSE 'private' END AS findability,
+             CASE WHEN doc_id % 7 = 0 THEN 'core' ELSE source END AS ownerid,
+             source AS owner,
+             CAST(n_chars AS DOUBLE) AS bytes
+      FROM documents
+    ),
+    filt AS (
+      SELECT * FROM ds
+      WHERE (findability = 'published' OR ownerid = 'src3')  -- RLS
+        AND lower(owner) IN ('src3', 'src5')                 -- analyzed match
+    ),
+    sc AS (
+      SELECT *, CASE WHEN ownerid = 'core' AND findability = 'published'
+                     THEN 4.5 ELSE 0.0 END AS score
+      FROM filt
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             ROUND(SUM(bytes), 2)     AS total_bytes
+      FROM filt
+    ),
+    page AS (
+      SELECT id, title, findability, owner, bytes
+      FROM sc ORDER BY score DESC, id LIMIT 20 OFFSET 5
+    )
+    SELECT page.*, s.total, s.total_bytes FROM page, s
+    """,
+)
+def api_dataset_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset kind on TRUE NESTED DATA, end-to-end through the
+    API: documents are wrapped into the reference's datahub shape
+    (nested datahub.findability / ownerid / owner / stats.bytes,
+    reference/tests/test_controllers.py:13-61), then one search runs
+    visibility on a struct path, an analyzed match filter on
+    datahub.owner, the core-owner boost ordering (4.5 requires
+    published AND core), offset/size paging, and summary.totalBytes
+    summed THROUGH datahub.stats.bytes — O2/O4/O5/O6/O8/O9/O10 on
+    nested structs in one value-hashed envelope. The oracle mirrors
+    the derivation flat (the analyzed match on a single-token field
+    reduces to lowercase equality)."""
+    d = _t(spark, sf_dir, "documents")
+    mod3 = F.col("doc_id") % 3
+    ds = d.select(
+        F.col("doc_id").alias("id"),
+        F.concat_ws("-", "lang", "doc_id").alias("title"),
+        F.struct(
+            F.when(mod3 == 0, "published")
+            .when(mod3 == 1, "unpublished")
+            .otherwise("private")
+            .alias("findability"),
+            F.when(F.col("doc_id") % 7 == 0, "core")
+            .otherwise(F.col("source"))
+            .alias("ownerid"),
+            F.col("source").alias("owner"),
+            F.struct(F.col("n_chars").cast("double").alias("bytes")).alias(
+                "stats"
+            ),
+        ).alias("datahub"),
+        F.struct(F.col("text").alias("readme")).alias("datapackage"),
+    )
+    engine = SearchEngine(
+        spark,
+        kinds={
+            "dataset": KindConfig(
+                table="datahub",
+                id_field="id",
+                findability_field="datahub.findability",
+                owner_field="datahub.ownerid",
+                # reference boosts (metastore/models.py:20-25); no q in
+                # this request, so they only enable the static
+                # core-boost ordering branch — no index is built
+                q_fields={
+                    "title": 5.0,
+                    "datahub.owner": 2.0,
+                    "datahub.ownerid": 1.0,
+                    "datapackage.readme": 2.0,
+                },
+                filter_mode="match",
+                bytes_field="datahub.stats.bytes",
+                boost_owner_field="datahub.ownerid",
+            )
+        },
+        dfs={"dataset": ds},
+    )
+    env = engine.search(
+        "dataset",
+        userid="src3",
+        params={
+            "size": "20",
+            "from": "5",
+            "datahub.owner": ['"src3"', '"src5"'],
+        },
+    )
+    assert "error" not in env, env.get("error")
+    rows = [
+        (
+            r["id"], r["title"], r["datahub"]["findability"],
+            r["datahub"]["owner"], r["datahub"]["stats"]["bytes"],
+            env["summary"]["total"], env["summary"]["totalBytes"],
+        )
+        for r in env["results"]
+    ]
+    out = spark.createDataFrame(rows, _PAGE_SCHEMA_DS)
+    return out.withColumn("total_bytes", F.round("total_bytes", 2))
