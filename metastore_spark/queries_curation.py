@@ -304,3 +304,57 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.cast("bigint").alias("chunk_id"),
         (chunk != last_chunk).alias("spans_boundary"),
     ).orderBy("doc_id")
+
+
+@query(
+    "docs_chunk_split",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 32, 1), 96))
+               AS start
+      FROM toks WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 96 AS INT)                       AS chunk_idx,
+           CAST(start AS INT)                                   AS start,
+           CAST(least(start + 127, len(toks)) - start + 1 AS INT) AS n_tokens,
+           array_to_string(toks[start : least(start + 127, len(toks))], ' ')
+             AS chunk_text
+    FROM st
+    """,
+)
+def docs_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: every doc split into 128-token windows
+    with stride 96 (32-token overlap) — the standard context-window
+    prep before tokenization. Pure codegen (sequence → explode →
+    slice), map-only: chunks never shuffle, the operator fuses into
+    the scan; a doc shorter than one window yields itself. chunk_idx
+    is derived arithmetically from the start offset so both engines
+    agree without ordinality."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ops.word_tokens(F.col("text")).alias("_toks"))
+    n = F.size("_toks")
+    window, stride = 128, 96
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - F.lit(window - stride), F.lit(1)),
+        F.lit(stride),
+    )
+    ex = toks.filter(n > 0).select(
+        "doc_id", "_toks", F.explode(starts).alias("start")
+    )
+    chunk = F.slice("_toks", F.col("start"), window)
+    return ex.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start"),
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

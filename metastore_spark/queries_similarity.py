@@ -167,6 +167,71 @@ def _srp_oracle(n_planes: int = 8, dim: int = 64, threshold: float = 0.3) -> str
     """
 
 
+_SEMDEDUP_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    asg AS (
+      SELECT vec_id, embedding, cid AS centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos('e.embedding::DOUBLE[]', 'c.cv')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    )
+    SELECT b.vec_id,
+           b.centroid_id,
+           ROUND(MAX({_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')}),
+                 4) AS max_sim_to_keeper
+    FROM asg a JOIN asg b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE {_cos('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')} >= 0.3
+    GROUP BY b.vec_id, b.centroid_id
+    """
+
+
+@query("emb_semdedup", oracle=_SEMDEDUP_ORACLE)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over embeddings (SemDeDup, Abbas et al. 2023 —
+    public method): cluster with the coarse quantizer, then inside
+    each cluster prune every vector that has a lower-id neighbor above
+    the cosine threshold (lowest id is the kept exemplar). Returns the
+    PRUNED vectors with their cluster and their strongest similarity
+    to a surviving lower id.
+
+    Scale shape: the pair join is an equi-join on centroid_id — the
+    exact-all-pairs cost is confined to a cluster, never the corpus
+    (the same blocking argument as LSH bands). Norms are computed once
+    per vector before the join. Value-hash oracled end-to-end: the
+    deterministic sampled quantizer makes assignment, pairing, and the
+    pruning decision pure SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.sampled_centroids(emb, k=8)
+    asg = sim.ivf_assign(emb, cents)
+    a = asg.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("centroid_id"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("centroid_id"),
+    )
+    cos = sim.cosine_cols(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= 0.3)
+        .groupBy(F.col("id_b").alias("vec_id"), F.col("centroid_id"))
+        .agg(F.round(F.max("_cos"), 4).alias("max_sim_to_keeper"))
+    )
+
+
 @query("emb_near_pairs_srp", oracle=_srp_oracle())
 def emb_near_pairs_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH-blocked cosine near-pairs — the SCALE path of

@@ -430,3 +430,51 @@ def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "docs_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM freq)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                    AS n_tokens,
+           ROUND(AVG(ln(cnt / total)), 4)              AS avg_logprob
+    FROM tok JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency score: per-doc mean token log-probability
+    under the corpus's own unigram distribution — the classic cheap
+    proxy for perplexity-based quality filtering (docs far below the
+    corpus mean are boilerplate/noise candidates; the real pipeline
+    swaps in a trained LM, the plumbing is identical).
+
+    Scale shape: vocabulary (token, count) is a partial-agg groupBy —
+    vocabulary-sized, broadcast back onto the token stream; the corpus
+    total is a 1-row broadcast scalar. Two scans of the token stream,
+    no corpus-sized shuffle beyond the per-doc aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(ops.word_tokens(F.col("text"))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    return (
+        tok.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.col("total"))), 4
+            ).alias("avg_logprob"),
+        )
+    )

@@ -93,6 +93,14 @@ def _dot_cols(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_cols(a: Column, b: Column) -> Column:
+    """Cosine between two vector COLUMNS (sequential fold dot and
+    norms — the same op order as DuckDB's list_dot_product, so oracle
+    bit-equality holds). For pair joins: compute norms once per side
+    before the join when the pair count is large."""
+    return _dot_cols(a, b) / (_norm(a) * _norm(b))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (LCG; fixed seed)."""
     state = seed | 1
