@@ -35,7 +35,10 @@ HEADLINE = [
     "events_visibility",
     "events_sort_page",
     "search_bm25_docs",
+    "search_bm25_stemmed",
     "docs_match_token",
+    "api_events_envelope",
+    "api_dataset_envelope",
     # LLM-pipeline operators
     "docs_token_stats",
     "docs_bpe_tokens",
@@ -49,6 +52,8 @@ HEADLINE = [
     "emb_near_pairs",
     "multimodal_binary_dedup",
     "docs_curation_pipeline",
+    "docs_chunk_split",
+    "docs_unigram_logprob",
     # temporal / streaming
     "events_asof_signup",
     "events_funnel",

@@ -167,6 +167,72 @@ def _srp_oracle(n_planes: int = 8, dim: int = 64, threshold: float = 0.3) -> str
     """
 
 
+_BATCH_TOPK_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    sims AS (
+      SELECT q.qid, e.vec_id,
+             {_cos('e.embedding::DOUBLE[]', 'qv')} AS raw
+      FROM embeddings e CROSS JOIN q
+    ),
+    r AS (
+      SELECT qid, vec_id, ROUND(raw, 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY raw DESC, vec_id
+             ) AS rn
+      FROM sims
+    )
+    SELECT qid, vec_id, cos_sim FROM r WHERE rn <= 10
+    """
+
+
+@query("ann_batch_topk", oracle=_BATCH_TOPK_ORACLE)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-10 neighbors for a BATCH of query vectors in
+    one pass — the retrieval shape of RAG/eval pipelines (thousands of
+    queries amortize one corpus scan; per-query scans would rescan the
+    corpus per query). The 5 query vectors fold into the plan as
+    literals (unrolled codegen dots, one small expression per query),
+    each corpus row emits (qid, sim) pairs via inline, and the top-k
+    is a per-qid window — partitioned by query, so the ranking
+    parallelizes across the batch. Value-hash oracled: ranking happens
+    on the unrounded double (identical arithmetic both engines),
+    rounding is presentation-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 5)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    import math
+
+    entries = []
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        qnorm = math.sqrt(sum(x * x for x in qv))
+        raw = sim._dot_lit_unrolled(F.col("embedding"), qv) / (
+            sim._norm(F.col("embedding")) * F.lit(qnorm)
+        )
+        entries.append(
+            F.struct(
+                F.lit(int(r["vec_id"])).cast("bigint").alias("qid"),
+                raw.alias("raw"),
+            )
+        )
+    from pyspark.sql import Window
+
+    exploded = emb.select("vec_id", F.inline(F.array(*entries)))
+    w = Window.partitionBy("qid").orderBy(F.desc("raw"), F.asc("vec_id"))
+    return (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id", F.round("raw", 4).alias("cos_sim"))
+    )
+
+
 _SEMDEDUP_ORACLE = f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv

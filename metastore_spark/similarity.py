@@ -260,6 +260,60 @@ def cosine_near_pairs_blocked(
     return pairs.groupBy("ba", "bb").applyInPandas(gemm, out_schema)
 
 
+def semdedup_prune(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """SemDeDup pruning (Abbas et al. 2023) at GEMM speed: assign to
+    coarse centroids, then ONE vectorized numpy similarity matrix per
+    cluster (applyInPandas) finds, for every vector, its strongest
+    lower-id neighbor — vectors with such a neighbor ≥ threshold are
+    pruned (lowest id is the kept exemplar). Output: one row per
+    pruned vector (id, centroid_id, max_sim_to_keeper).
+
+    This is the 100 TB path behind the oracle-exact registry query
+    ``emb_semdedup`` (which uses per-pair fold expressions so DuckDB
+    can mirror the arithmetic bit-for-bit; pytest pins this kernel
+    against it). Cluster count should scale with the corpus (the
+    paper's regime keeps mean cluster size roughly constant), so each
+    task's sims matrix stays ~(n/k)² — for clusters beyond memory,
+    reuse the block-pair decomposition of cosine_near_pairs_blocked
+    inside the cluster.
+    """
+    asg = ivf_assign(df, centroids, id_col, vec_col)
+    out_schema = f"{id_col} bigint, centroid_id int, max_sim_to_keeper double"
+
+    def prune(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col].iloc[order]])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        n = len(ids)
+        mask = np.tri(n, k=-1, dtype=bool).T  # [i, j] with i < j (id asc)
+        best = np.where(mask, sims, -np.inf).max(axis=0)
+        keep = best >= threshold
+        return pd.DataFrame(
+            {
+                id_col: ids[keep],
+                "centroid_id": pdf["centroid_id"].iloc[0],
+                "max_sim_to_keeper": np.round(best[keep], round_dp),
+            }
+        )
+
+    return asg.groupBy("centroid_id").applyInPandas(
+        lambda _key, pdf: prune(pdf), out_schema
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],

@@ -55,3 +55,28 @@ def test_lsh_blocking_subset_of_exact(emb):
     b = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
     assert b <= a  # LSH may miss pairs but never invents them
     assert len(b) > 0  # high-sim pairs agree on few hyperplanes
+
+
+def test_semdedup_gemm_matches_exact_query(spark):
+    # the GEMM kernel (scale path) must agree with the oracle-exact
+    # fold-expression registry query on ids and (to float tolerance)
+    # on similarities
+    import metastore_spark.queries_similarity as qsim
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["vec_id"], r["centroid_id"]): r["max_sim_to_keeper"]
+        for r in qsim.emb_semdedup(spark, sf).collect()
+    }
+    from metastore_spark.catalog import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = sim.sampled_centroids(emb, k=8)
+    fast = {
+        (r["vec_id"], r["centroid_id"]): r["max_sim_to_keeper"]
+        for r in sim.semdedup_prune(emb, cents, threshold=0.3).collect()
+    }
+    assert set(exact) == set(fast)
+    assert len(exact) > 0
+    for k in exact:
+        assert abs(exact[k] - fast[k]) < 1e-3, k
