@@ -97,13 +97,21 @@ def _index_for(spark: SparkSession, sf_dir: str, stem: bool = False):
                 os.rename(tmp, path)
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-            # prune superseded builds of this same source
+            # prune superseded builds of this same source — including
+            # dirs under the legacy (pre-tier) tag format, which no
+            # current tag can ever address again
+            src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+            legacy_tag = hashlib.md5(src.encode()).hexdigest()[:8]
             if os.path.isdir(_SERVE_ROOT):
                 for entry in os.listdir(_SERVE_ROOT):
                     full = os.path.join(_SERVE_ROOT, entry)
-                    if (
+                    stale_current = (
                         entry.startswith(f"{tag}-")
                         and entry != f"{tag}-{fp}"
+                    )
+                    stale_legacy = entry.startswith(f"{legacy_tag}-")
+                    if (
+                        (stale_current or stale_legacy)
                         and not entry.endswith(f".build-{os.getpid()}")
                     ):
                         shutil.rmtree(full, ignore_errors=True)

@@ -209,12 +209,18 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import math
 
+    # one norm fold per ROW (not per query entry — interpreted HOF
+    # folds get no common-subexpression elimination, so an inline
+    # _norm in each entry would cost batch_size folds per row)
+    normed = emb.select(
+        "vec_id", "embedding", sim._norm(F.col("embedding")).alias("_nrm")
+    )
     entries = []
     for r in qrows:
         qv = [float(x) for x in r["embedding"]]
         qnorm = math.sqrt(sum(x * x for x in qv))
         raw = sim._dot_lit_unrolled(F.col("embedding"), qv) / (
-            sim._norm(F.col("embedding")) * F.lit(qnorm)
+            F.col("_nrm") * F.lit(qnorm)
         )
         entries.append(
             F.struct(
@@ -224,7 +230,7 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     from pyspark.sql import Window
 
-    exploded = emb.select("vec_id", F.inline(F.array(*entries)))
+    exploded = normed.select("vec_id", F.inline(F.array(*entries)))
     w = Window.partitionBy("qid").orderBy(F.desc("raw"), F.asc("vec_id"))
     return (
         exploded.withColumn("rn", F.row_number().over(w))
@@ -276,18 +282,27 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning decision pure SQL."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.sampled_centroids(emb, k=8)
-    asg = sim.ivf_assign(emb, cents)
+    # norms fold ONCE per vector pre-join (O(m) folds, not O(m²));
+    # the per-pair work is then just the dot — same sequential
+    # arithmetic, so oracle bit-equality is unchanged
+    asg = sim.ivf_assign(emb, cents).withColumn(
+        "_nrm", sim._norm(F.col("embedding"))
+    )
     a = asg.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("_nrm").alias("nrm_a"),
         F.col("centroid_id"),
     )
     b = asg.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("_nrm").alias("nrm_b"),
         F.col("centroid_id"),
     )
-    cos = sim.cosine_cols(F.col("emb_a"), F.col("emb_b"))
+    cos = sim._dot_cols(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
     return (
         a.join(b, ["centroid_id"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -353,13 +353,15 @@ def sampled_centroids(
     ``kmeans_centroids`` remains the quality path for balanced lists.
     """
     rows = (
-        df.filter(F.col(id_col) < k)
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
+        df.orderBy(id_col).limit(k).select(vec_col).collect()
     )
     if not rows:
         raise ValueError("sampled_centroids: input has no vectors")
+    # NOTE: positional centroid labels (ivf_assign) equal the source
+    # vec_ids only when ids are dense from 0 — the oracle queries rely
+    # on that property of the driver corpus and select `WHERE vec_id <
+    # k`; on sparse ids this function still returns the k lowest-id
+    # vectors (orderBy + limit, not a filter).
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 

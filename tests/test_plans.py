@@ -101,9 +101,28 @@ def test_q13_outer_join_preserves_filter_placement(spark):
 
 def test_deciles_no_global_window(spark):
     # customer_spend_deciles must never degrade to the single-partition
-    # NTILE window: ranking is range-exchange + per-partition windows
+    # NTILE window. A global window plans `Exchange SinglePartition`;
+    # the distributed ranking plans only range/hash exchanges. The
+    # marker is validated against a deliberately-global control plan in
+    # the same session, so a format change in explain() output cannot
+    # silently turn this test vacuous.
+    import io
+    import contextlib
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ctl = (
+        spark.range(100)
+        .withColumn("decile", F.ntile(10).over(W.orderBy("id")))
+        .groupBy("decile")
+        .count()
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ctl.explain("formatted")
+    assert "SinglePartition" in buf.getvalue()  # marker sanity check
+
     plan = _plan(spark, "customer_spend_deciles")
-    import re
-    # every Window node must carry a partition spec (no global window)
-    assert not re.search(r"Window .*\[\], \[", plan), "global WindowExec found"
+    assert "SinglePartition" not in plan, "global WindowExec found"
     assert "rangepartitioning" in plan.lower()

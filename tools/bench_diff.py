@@ -30,12 +30,14 @@ def main() -> int:
     print(f"{'query':38s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
     for name in sorted(set(qa) | set(qb)):
         va, vb = qa.get(name), qb.get(name)
-        if va is None or vb is None:
-            print(f"{name:38s} {va or '-':>8} {vb or '-':>8}   (new)" if va is None
-                  else f"{name:38s} {va:8.3f} {'-':>8}   (gone)")
+        if va is None:
+            print(f"{name:38s} {'-':>8} {vb:8.3f}   (new)")
             continue
-        ratio = vb / va if va else float("inf")
-        flag = "  <-- regressed" if ratio > 2.0 else ""
+        if vb is None:
+            print(f"{name:38s} {va:8.3f} {'-':>8}   (gone)")
+            continue
+        ratio = vb / va if va > 0 else float("inf")
+        flag = "  <-- regressed" if ratio > 2.0 and vb > 0.2 else ""
         print(f"{name:38s} {va:8.3f} {vb:8.3f} {ratio:6.2f}x{flag}")
     print(f"{'TOTAL':38s} {a.get('value', 0):8.3f} {b.get('value', 0):8.3f}")
     return 0
