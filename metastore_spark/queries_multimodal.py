@@ -76,3 +76,71 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 4).alias("mean_intensity"),
         "content_sha256",
     )
+
+
+@query(
+    "multimodal_frame_schedule",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             (n_chars % 300) + 10       AS duration_s,
+             CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END AS fps
+      FROM documents
+    ),
+    sized AS (
+      SELECT asset_id, duration_s, fps,
+             duration_s * fps AS n_frames,
+             least(16, duration_s) AS n_samples
+      FROM assets
+    )
+    SELECT asset_id, fps,
+           CAST(slot AS INT)                                   AS slot,
+           CAST((slot * n_frames) // n_samples AS BIGINT)      AS frame_idx,
+           CAST(((slot * n_frames) // n_samples) * 1000 // fps AS BIGINT)
+             AS ts_ms
+    FROM sized, unnest(generate_series(0, n_samples - 1)) AS t(slot)
+    """,
+)
+def multimodal_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling schedule: per asset, uniformly spread
+    sample slots (1/sec capped at 16) mapped to concrete frame indexes
+    and millisecond timestamps — the planning half of frame extraction
+    (the decode half is the env-stubbed kernel; a real deployment feeds
+    this schedule to the ffmpeg/decord mapInPandas stage). Metadata
+    (duration, fps) is derived deterministically from the documents
+    table so the whole schedule is value-hash oracled. Map-only:
+    sequence + explode fuse into the scan, schedules never shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.col("n_chars") % 300 + 10).alias("duration_s"),
+        F.when(F.col("doc_id") % 3 == 0, 24)
+        .when(F.col("doc_id") % 3 == 1, 25)
+        .otherwise(30)
+        .alias("fps"),
+    )
+    sized = assets.select(
+        "asset_id",
+        "fps",
+        (F.col("duration_s") * F.col("fps")).alias("n_frames"),
+        F.least(F.lit(16), F.col("duration_s")).alias("n_samples"),
+    )
+    ex = sized.select(
+        "asset_id",
+        "fps",
+        "n_frames",
+        "n_samples",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_samples") - 1)
+        ).alias("slot"),
+    )
+    frame_idx = F.expr("(slot * n_frames) div n_samples")
+    return ex.select(
+        "asset_id",
+        "fps",
+        F.col("slot").cast("int").alias("slot"),
+        frame_idx.cast("bigint").alias("frame_idx"),
+        F.expr("((slot * n_frames) div n_samples) * 1000 div fps")
+        .cast("bigint")
+        .alias("ts_ms"),
+    )

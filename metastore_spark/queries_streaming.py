@@ -88,3 +88,46 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("total_value", 2).alias("total_value"),
     )
+
+
+@query(
+    "events_stream_enrich",
+    oracle="""
+    SELECT c.c_mktsegment                AS segment,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT)      AS n_events,
+           ROUND(SUM(e.value), 2)        AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a STATIC
+    dimension (customer segments) before a streaming rollup — the
+    canonical streaming-ETL shape (facts stream, dims broadcast; the
+    static side is re-read per micro-batch and never holds state).
+    Result must equal the batch join+rollup — verified vs DuckDB.
+    """
+    from metastore_spark.catalog import load_table
+
+    name = f"events_stream_enrich_{next(_counter)}"
+    stream = ev.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey
+    )
+    agg = joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    ev.run_to_memory_sink(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        "segment",
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )
