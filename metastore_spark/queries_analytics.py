@@ -271,3 +271,34 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_status, g_priority, status, priority
         """
     )
+
+
+@query(
+    "events_salted_enrich",
+    oracle="""
+    SELECT c.c_mktsegment           AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2)   AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-dim join via explicit salting (operators/skew.py):
+    the big side's keys spread across 8 salt buckets, the dim
+    replicated to match, so one dominant user can never bottleneck a
+    single reducer (the belt-and-braces form of what AQE skew-split
+    does adaptively). Salting must be semantically invisible — the
+    oracle pins the result to the PLAIN SQL join, so a salting bug
+    (lost rows, duplicate dim matches) fails the value hash."""
+    from metastore_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, dim, "user_id", num_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
