@@ -223,3 +223,54 @@ def api_dataset_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = spark.createDataFrame(rows, _PAGE_SCHEMA_DS)
     return out.withColumn("total_bytes", F.round("total_bytes", 2))
+
+
+@query(
+    "api_error_envelope",
+    oracle="""
+    SELECT true AS unknown_field_error,
+           true AS bad_json_error,
+           true AS unknown_kind_error,
+           CAST(0 AS BIGINT) AS results_returned
+    """,
+)
+def api_error_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 error containment at the driver tier: three malformed
+    requests (unknown filter field, unquoted JSON value, unknown kind)
+    must each produce the ERROR ENVELOPE — empty results plus an error
+    string, never an exception (reference metastore/models.py:165-174).
+    The oracle pins the contract as constants: any raised exception or
+    silently-empty success flips a column or errors the query."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    engine = SearchEngine(
+        spark,
+        kinds={
+            "events": KindConfig(
+                table="events",
+                id_field="event_id",
+                findability_field="event_type",
+                owner_field="user_id",
+                filter_mode="term",
+                published_value="view",
+            )
+        },
+        dfs={"events": e},
+    )
+    unknown_field = engine.search("events", None, {"no_such_col": '"x"'})
+    bad_json = engine.search("events", None, {"event_type": "unquoted"})
+    unknown_kind = engine.search("nope", None, {})
+    rows = [
+        (
+            "error" in unknown_field and not unknown_field["results"],
+            "error" in bad_json and not bad_json["results"],
+            "error" in unknown_kind and not unknown_kind["results"],
+            len(unknown_field["results"])
+            + len(bad_json["results"])
+            + len(unknown_kind["results"]),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "unknown_field_error boolean, bad_json_error boolean, "
+        "unknown_kind_error boolean, results_returned bigint",
+    )
