@@ -1,0 +1,42 @@
+"""operators/ranking.py: the arithmetic NTILE must equal the window
+function's assignment for every (n, k) shape, and global_rank must
+produce the exact 1-based sort positions."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from metastore_spark.operators.ranking import global_rank, ntile_from_rank
+
+
+@pytest.mark.parametrize("k", [1, 3, 10])
+def test_ntile_formula_matches_sql_ntile(k):
+    con = duckdb.connect()
+    for n in range(1, 41):
+        sql = con.execute(
+            f"SELECT r, NTILE({k}) OVER (ORDER BY r) FROM range(1, {n + 1}) t(r)"
+        ).fetchall()
+        # evaluate the same formula in plain python (mirrors the Column expr)
+        q, m = divmod(n, k)
+        big = m * (q + 1)
+        for r, expected in sql:
+            if q == 0:
+                got = r
+            else:
+                got = (
+                    -(-r // (q + 1)) if r <= big else m + -(-(r - big) // q)
+                )
+            assert got == expected, (n, k, r)
+
+
+def test_global_rank_is_exact_sort_position(spark):
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 991).alias("v"), F.col("id").alias("tid")
+    )
+    ranked = global_rank(df, ["v", "tid"], "rank", num_partitions=7)
+    rows = sorted(
+        ((r["v"], r["tid"], r["rank"]) for r in ranked.collect())
+    )
+    for expected, (_, _, got) in enumerate(rows, start=1):
+        assert got == expected
