@@ -300,7 +300,10 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_nrm").alias("nrm_b"),
         F.col("centroid_id"),
     )
-    cos = sim._dot_cols(F.col("emb_a"), F.col("emb_b")) / (
+    # unrolled codegen dot (same left-to-right arithmetic as the fold
+    # and as DuckDB list_dot_product — bit-identical, ~10× faster on
+    # the pair join); 64 = the corpus's fixed embedding dimension
+    cos = sim._dot_cols_unrolled(F.col("emb_a"), F.col("emb_b"), 64) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
     return (

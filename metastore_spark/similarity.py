@@ -93,6 +93,23 @@ def _dot_cols(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_cols_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Column-column dot unrolled to a codegen element_at chain —
+    ~10× the interpreted zip_with/aggregate fold on hot pair joins.
+    Adds left-to-right from 0.0, the SAME summation order as the fold
+    and as DuckDB's list_dot_product, so oracle bit-equality holds.
+    ``dim`` must be the actual vector length (element_at past the end
+    yields null and poisons the sum) — use only where the corpus
+    dimension is fixed and known."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + (
+            F.element_at(a, i + 1).cast("double")
+            * F.element_at(b, i + 1).cast("double")
+        )
+    return acc
+
+
 def cosine_cols(a: Column, b: Column) -> Column:
     """Cosine between two vector COLUMNS (sequential fold dot and
     norms — the same op order as DuckDB's list_dot_product, so oracle
