@@ -444,3 +444,59 @@ def dedup_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         "doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+@query(
+    "docs_shared_passages",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 6),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                              toks[i+4], toks[i+5], toks[i+6], toks[i+7])))
+               AS passage
+      FROM toks WHERE len(toks) >= 8
+    )
+    SELECT passage,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT)               AS n_occurrences
+    FROM grams
+    GROUP BY passage
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def docs_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public method):
+    8-token passages appearing in ≥ 2 distinct documents, with doc and
+    occurrence counts — the candidates for cross-document boilerplate
+    removal that document-level dedup can't see. Built on the codegen
+    shingle stream (slice+zip+explode, no lambdas); one partial-agg
+    shuffle keyed by passage. At 100 TB the passage key space is the
+    token stream itself — production would hash passages (8-byte keys)
+    and optionally pre-filter with a count-min pass; the structure is
+    identical."""
+    from metastore_spark.text.ops import word_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    # shingle_stream emits whole-doc fallback rows for docs shorter
+    # than k; those are not 8-gram passages — gate to n >= 8 first,
+    # mirroring the oracle's len(toks) >= 8
+    long_enough = d.filter(F.size(word_tokens(F.col("text"))) >= 8)
+    grams = dd.shingle_stream(
+        long_enough, "text", "doc_id", k=8
+    ).withColumnRenamed("shingle", "passage")
+    return (
+        grams.groupBy("passage")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -111,3 +111,48 @@ def docs_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ~preferred & bucket.isin("0", "1")
     )
     return d.filter(keep).select("doc_id", "source")
+
+
+@query(
+    "docs_train_val_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             list_sum(list_transform(range(1,16), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+               * (1::BIGINT << (4*(15-i))))) % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM h
+    GROUP BY 1, 2
+    """,
+)
+def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split by CONTENT-INDEPENDENT id
+    hash — the split every training pipeline needs to be reproducible
+    across runs, engines, and re-partitions (row order and partition
+    layout must not change membership; a hash of the stable id is the
+    only assignment with that property). Uses the portable md5-prefix
+    hash so the oracle reproduces membership bit-for-bit. Map-only +
+    one tiny rollup."""
+    from metastore_spark.dedup.ops import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = portable_hash60(F.col("doc_id").cast("string")) % 100
+    return (
+        d.select(
+            "lang",
+            F.when(bucket < 90, "train").otherwise("val").alias("split"),
+            "doc_id",
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
