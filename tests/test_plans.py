@@ -126,3 +126,14 @@ def test_deciles_no_global_window(spark):
     plan = _plan(spark, "customer_spend_deciles")
     assert "SinglePartition" not in plan, "global WindowExec found"
     assert "rangepartitioning" in plan.lower()
+
+
+def test_chunk_and_schedule_are_map_only(spark):
+    # sequence→explode→slice queries must fuse into the scan: any
+    # Exchange means a shuffle crept into a map-only operator
+    import metastore_spark.queries_curation  # noqa: F401
+    import metastore_spark.queries_multimodal  # noqa: F401
+
+    for name in ("docs_chunk_split", "multimodal_frame_schedule"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} shuffles"
