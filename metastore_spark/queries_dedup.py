@@ -500,3 +500,54 @@ def docs_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "dedup_incremental_ingest",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fp
+      FROM documents WHERE doc_id < 400
+    ),
+    incoming AS (
+      SELECT doc_id, lang, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id >= 400
+    )
+    SELECT i.doc_id, i.lang, i.source,
+           (e.fp IS NOT NULL) AS dup_of_corpus
+    FROM incoming i LEFT JOIN existing e ON i.fp = e.fp
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the shape every CONTINUOUSLY-FED
+    corpus needs: an incoming batch (doc_id >= 400 stands in) checked
+    against the existing corpus's fingerprint set (doc_id < 400), each
+    new doc labeled duplicate-of-corpus or genuinely new. Unlike the
+    batch dedup ops, only the DELTA is scanned in full; the existing
+    side contributes nothing but its (16-byte) fingerprint column —
+    at 100 TB that column is a materialized index, and the check is a
+    broadcast or bucketed semi-join keyed on the hash, never a rescan
+    of history."""
+    from metastore_spark.text.ops import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    existing = (
+        d.filter(F.col("doc_id") < 400)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    incoming = d.filter(F.col("doc_id") >= 400).select(
+        "doc_id", "lang", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    return (
+        incoming.join(F.broadcast(existing), "fp", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("_hit").isNotNull().alias("dup_of_corpus"),
+        )
+    )
