@@ -302,3 +302,94 @@ def events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "lineitem_price_histogram",
+    oracle="""
+    WITH mm AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM lineitem
+    )
+    SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 20)), 19)
+                AS INT)                  AS bucket,
+           CAST(COUNT(*) AS BIGINT)      AS n_rows,
+           ROUND(MIN(l_extendedprice), 2) AS bucket_min,
+           ROUND(MAX(l_extendedprice), 2) AS bucket_max
+    FROM lineitem, mm
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram — the profiling primitive behind
+    any data-quality dashboard. min/max come from one tiny aggregate
+    broadcast back over the scan (scalar-subquery pattern), bucketing
+    is pure arithmetic fused into the scan, and the rollup is a
+    20-group partial agg: two passes, no corpus-sized shuffle at any
+    scale. The top edge folds into the last bucket (least(..., 19)) on
+    both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    mm = l.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / 20
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / width), F.lit(19)
+    ).cast("int")
+    return (
+        l.crossJoin(F.broadcast(mm))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("bucket_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bucket_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "orders_column_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           CAST(COUNT(*) AS BIGINT)                   AS n_rows,
+           CAST(COUNT(o_totalprice) AS BIGINT)        AS n_nonnull,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           ROUND(MIN(o_totalprice), 2)                AS min_v,
+           ROUND(MAX(o_totalprice), 2)                AS max_v,
+           ROUND(AVG(o_totalprice), 4)                AS mean_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           ROUND(MIN(o_custkey), 2),
+           ROUND(MAX(o_custkey), 2),
+           ROUND(AVG(o_custkey), 4)
+    FROM orders
+    """,
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null/distinct/min/max/mean per column) — the
+    ingest-time data-quality summary. All metrics for all profiled
+    columns compute in ONE aggregation job over one scan (Spark plans
+    the multi-distinct via expand), not one pass per column."""
+    o = _t(spark, sf_dir, "orders")
+    out = []
+    for c in ("o_totalprice", "o_custkey"):
+        out.append(
+            o.agg(
+                F.lit(c).alias("col"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(c).alias("n_nonnull"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.round(F.min(c), 2).alias("min_v"),
+                F.round(F.max(c), 2).alias("max_v"),
+                F.round(F.avg(c), 4).alias("mean_v"),
+            )
+        )
+    a, b = out
+    return a.unionByName(b)
