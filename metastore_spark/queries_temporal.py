@@ -362,3 +362,128 @@ def events_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("c_ts", "c_id")
     )
+
+
+@query(
+    "events_gapfill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, SUM(value) AS revenue
+      FROM events WHERE user_id % 7 = 0
+      GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    cal AS (
+      SELECT lo + INTERVAL (r.range) DAY AS day
+      FROM b CROSS JOIN range(0, 36600) r
+      WHERE lo + INTERVAL (r.range) DAY <= hi
+    ),
+    grid AS (
+      SELECT u.user_id, c.day
+      FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN cal c
+    )
+    SELECT g.user_id,
+           STRFTIME(g.day, '%Y-%m-%d') AS day,
+           ROUND(COALESCE(last_value(d.revenue IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 2)
+             AS revenue_ff,
+           d.revenue IS NULL AS is_gap
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify + forward fill: per-user daily revenue on a
+    dense calendar, gaps carried forward (0 before first observation).
+
+    Scale shape: the raw scan reduces to a per-(user, day) aggregate
+    first; the dense calendar is sequence() over a 1-row global
+    min/max aggregate (broadcast), so the grid is |users| x |days| --
+    the output's own size, never a blowup of the input. The
+    forward-fill window partitions by user_id, so no global sort and
+    state per task is one user's day series.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    daily = e.groupBy(
+        "user_id",
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day"),
+    ).agg(F.sum("value").alias("revenue"))
+    daily = daily.persist()
+    span = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    cal = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    grid = daily.select("user_id").distinct().crossJoin(F.broadcast(cal))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(
+            F.coalesce(F.last("revenue", ignorenulls=True).over(w), F.lit(0.0)), 2
+        ).alias("revenue_ff"),
+        F.col("revenue").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "events_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, state, ts_us, event_id FROM ordered
+      WHERE prev_state IS NULL OR prev_state <> state
+    )
+    SELECT user_id, state,
+           ts_us AS valid_from,
+           LEAD(ts_us) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS valid_to,
+           LEAD(ts_us) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+           ) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval derivation from an append-only change log:
+    collapse consecutive duplicate states per user, emit
+    [valid_from, valid_to) validity intervals with an is_current flag
+    on the open interval.
+
+    Two windows, both partitioned by user_id (the natural change-log
+    key), ordered by (ts, event_id) so equal-timestamp changes are
+    deterministic. One shuffle on user_id serves both window passes --
+    Spark reuses the child ordering for the second window, and the
+    filter between them runs map-side. No global sort anywhere.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+    ).withColumn("prev_state", F.lag("state").over(w))
+    changes = ordered.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    )
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts_us").alias("valid_from"),
+        F.lead("ts_us").over(w).alias("valid_to"),
+        F.lead("ts_us").over(w).isNull().alias("is_current"),
+    )
