@@ -1,0 +1,115 @@
+"""Sketch-accelerated exact queries: bloom-pruned semi-join and
+two-pass heavy hitters.
+
+Both follow the candidates-then-verify discipline the engine already
+uses for LSH dedup (queries_dedup.dedup_jaccard_verified): a cheap
+candidate pass with a *no-false-negative* guarantee shrinks the data
+the expensive pass touches, and an exact verify step keeps the final
+answer byte-identical to the naive plan — which is exactly what the
+DuckDB oracles check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metastore_spark.operators.sketches import (
+    bloom_build,
+    bloom_might_contain,
+    mg_candidates,
+)
+from metastore_spark.queries import query, _t
+
+_PRICE_CUT = 450000.0
+_HH_FRAC = 0.002
+
+
+@query(
+    "lineitem_bloom_semijoin",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+          WHERE o_totalprice > {_PRICE_CUT}) o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to high-value orders, with an
+    explicit runtime bloom filter pruning the fact scan.
+
+    Scale story: the selective dimension predicate (top ~10% of
+    orders) is aggregated into a 2048-bit expression-built bloom
+    filter (operators/sketches.py) that ships as a literal — the
+    explicit form of Spark's InjectRuntimeFilter. The probe is pure
+    codegen fused into the lineitem scan, so ~90% of fact rows die
+    before the join; the broadcast hash join afterwards removes bloom
+    false positives, keeping the result exactly the plain join the
+    oracle runs. On a cluster this converts a 100 TB shuffle-side
+    scan into a filtered one at the cost of one 64-int broadcast.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > _PRICE_CUT
+    )
+    dim = orders.select("o_orderkey", "o_orderpriority")
+    words = bloom_build(dim, F.col("o_orderkey").cast("string"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        bloom_might_contain(F.col("l_orderkey").cast("string"), words)
+    )
+    return (
+        li.join(F.broadcast(dim), li.l_orderkey == dim.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "events_heavy_hitters",
+    oracle=f"""
+    WITH tot AS (SELECT COUNT(*) AS n FROM events)
+    SELECT e.user_id, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(COUNT(*) * 1.0 / MAX(t.n), 4) AS share
+    FROM events e CROSS JOIN tot t
+    GROUP BY e.user_id, e.event_type
+    HAVING COUNT(*) >= {_HH_FRAC} * MAX(t.n)
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, event_type) pairs holding >= 0.2% of all events — exact
+    counts, found without shuffling the full key space.
+
+    Pass 1 (mg_candidates) keeps O(1/frac) counters per partition and
+    emits a provable superset of the heavy keys (Misra-Gries bound;
+    see operators/sketches.py). Pass 2 re-scans with a broadcast
+    semi-join on the candidate set and aggregates exactly — only
+    candidate keys enter the shuffle. With billions of distinct keys
+    the naive groupBy exchanges all of them; this exchanges
+    O(partitions / frac) candidates.
+    """
+    e = _t(spark, sf_dir, "events")
+    keys = ["user_id", "event_type"]
+    cands = mg_candidates(e, keys, _HH_FRAC).distinct()
+    total = e.agg(F.count("*").alias("n"))
+    return (
+        e.join(F.broadcast(cands), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= _HH_FRAC * F.col("n"))
+        .select(
+            "user_id",
+            "event_type",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 4).alias("share"),
+        )
+    )
