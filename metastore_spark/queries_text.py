@@ -478,3 +478,100 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "docs_tfidf_similar_pairs",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM docs),
+    tf AS (
+      SELECT doc_id, t.term, COUNT(*)::DOUBLE AS tf
+      FROM docs, UNNEST(toks) AS t(term) GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * LN((SELECT n_docs FROM n) / df.df) AS w
+      FROM tf JOIN df USING (term)
+      WHERE df.df <= 0.2 * (SELECT n_docs FROM n)
+    ),
+    norms AS (SELECT doc_id, SQRT(SUM(w*w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.35
+    """,
+)
+def docs_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity: TF-IDF cosine over an inverted-index
+    (posting-list) self-join, with document-frequency pruning.
+
+    The scale lever is the df cap: terms in more than 20% of documents
+    contribute near-zero IDF weight but quadratic join fan-out, so they
+    are dropped before the self-join — the pair generation is then a
+    term-bucketed equi-join whose per-term fan-out is df^2, bounded by
+    the cap (at corpus scale the cap would be an absolute df, e.g.
+    1000). Weights shuffle O(postings); no all-pairs stage exists.
+    Cosine sums are rounded on both engines; the threshold is applied
+    to the rounded value so pair membership can't flap on float noise.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = d.select("doc_id", ops.word_tokens(F.col("text")).alias("toks"))
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n = toks.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    w = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= 0.2 * F.col("n_docs"))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+        .persist()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b")
+    )
+    cos = F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 4)
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= 0.35)
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+    )
