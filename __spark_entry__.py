@@ -34,6 +34,7 @@ import metastore_spark.queries_multimodal  # noqa: F401,E402
 import metastore_spark.queries_curation  # noqa: F401,E402
 import metastore_spark.queries_api  # noqa: F401,E402
 import metastore_spark.queries_sketch  # noqa: F401,E402
+import metastore_spark.queries_graph  # noqa: F401,E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
