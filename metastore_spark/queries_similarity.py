@@ -331,3 +331,48 @@ def emb_near_pairs_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         n_planes=8,
     )
+
+
+@query(
+    "ann_sq8_topk",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    s AS (
+      SELECT 127.0 / MAX(list_max(list_transform(embedding::DOUBLE[],
+                                                 x -> abs(x)))) AS scale
+      FROM embeddings
+    ),
+    qq AS (
+      SELECT list_transform(qv, x -> floor(x * scale + 0.5)) AS qqv
+      FROM q, s
+    ),
+    cand AS (
+      SELECT vec_id, embedding,
+             list_dot_product(
+               list_transform(embedding::DOUBLE[],
+                              x -> floor(x * scale + 0.5)),
+               qqv) AS qdot
+      FROM embeddings, s, qq
+      ORDER BY qdot DESC, vec_id
+      LIMIT 50
+    )
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN top-10 with exact rerank (see
+    similarity.sq8_topk). The oracle mirrors BOTH stages: quantized
+    candidate selection is integer-exact across engines, and the
+    rerank reuses the ann_cosine_topk expression — so even a
+    quantization-induced recall miss would still hash-match."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir, 0)
+    return sim.sq8_topk(e, qvec, sim.corpus_maxabs(e), k=10, n_cand=50)

@@ -475,3 +475,63 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def sq8_topk(
+    df: DataFrame,
+    qvec: list[float],
+    maxabs: float,
+    k: int = 10,
+    n_cand: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (int8) ANN: candidate top-n_cand by quantized
+    integer dot product, exact-cosine rerank to top-k.
+
+    Symmetric quantization q_i = floor(v_i * 127/maxabs + 0.5) maps
+    the corpus into [-127, 127]; the candidate score is then a sum of
+    64 integer products (< 2^21), exact in a double in ANY summation
+    order — which is what lets an external oracle mirror candidate
+    selection bit-for-bit (ties broken on id). At scale the win is
+    bandwidth: the quantized scan reads 8-bit codes (4x less than
+    float32, 8x less than double) and the rerank touches only n_cand
+    full-precision rows. floor(x+0.5) instead of round() dodges
+    banker's-rounding ambiguity across engines.
+    """
+    scale = 127.0 / maxabs
+    qq = [math.floor(float(x) * scale + 0.5) for x in qvec]
+    qdot: Column = F.lit(0.0)
+    for i, qi in enumerate(qq):
+        qdot = qdot + F.floor(
+            F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(scale)
+            + F.lit(0.5)
+        ) * F.lit(float(qi))
+    cand = (
+        df.select(F.col(id_col), F.col(vec_col), qdot.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc(id_col))
+        .limit(n_cand)
+    )
+    sim = F.round(cosine_sim_lit(F.col(vec_col), qvec), 4)
+    return (
+        cand.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def corpus_maxabs(df: DataFrame, vec_col: str = "embedding") -> float:
+    """Global max |component| — the sq8 quantizer's scale denominator.
+    One map pass + a max aggregate; the collect is a single double."""
+    return float(
+        df.select(
+            F.max(
+                F.array_max(
+                    F.transform(
+                        F.col(vec_col).cast("array<double>"),
+                        lambda x: F.abs(x),
+                    )
+                )
+            ).alias("m")
+        ).first()["m"]
+    )

@@ -80,3 +80,20 @@ def test_semdedup_gemm_matches_exact_query(spark):
     assert len(exact) > 0
     for k in exact:
         assert abs(exact[k] - fast[k]) < 1e-3, k
+
+
+def test_sq8_topk_matches_exact_topk(spark):
+    """At 8-bit precision with 5x candidate head-room the quantized
+    path should recover the exact top-10 on the test corpus."""
+    from metastore_spark import similarity as sim
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row = e.filter(F.col("vec_id") == 0).first()
+    qvec = [float(x) for x in row["embedding"]]
+    exact = [r["vec_id"] for r in sim.cosine_topk(e, qvec, k=10).collect()]
+    quant = [
+        r["vec_id"]
+        for r in sim.sq8_topk(e, qvec, sim.corpus_maxabs(e), k=10).collect()
+    ]
+    assert quant == exact
