@@ -59,6 +59,14 @@ HEADLINE = [
     "events_funnel",
     "events_retention_cohorts",
     "events_stream_hourly",
+    # sketch-accelerated / graph / quantized (round 2 additions)
+    "lineitem_bloom_semijoin",
+    "events_heavy_hitters",
+    "docs_tfidf_similar_pairs",
+    "nation_trade_pagerank",
+    "ann_sq8_topk",
+    "events_gapfill_daily",
+    "events_scd2_intervals",
 ]
 
 

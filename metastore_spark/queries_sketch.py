@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from metastore_spark.operators.sketches import (
     bloom_build,
-    bloom_might_contain,
+    bloom_prefilter,
     mg_candidates,
 )
 from metastore_spark.queries import query, _t
@@ -43,22 +43,23 @@ def lineitem_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit runtime bloom filter pruning the fact scan.
 
     Scale story: the selective dimension predicate (top ~10% of
-    orders) is aggregated into a 2048-bit expression-built bloom
-    filter (operators/sketches.py) that ships as a literal — the
-    explicit form of Spark's InjectRuntimeFilter. The probe is pure
-    codegen fused into the lineitem scan, so ~90% of fact rows die
-    before the join; the broadcast hash join afterwards removes bloom
-    false positives, keeping the result exactly the plain join the
-    oracle runs. On a cluster this converts a 100 TB shuffle-side
-    scan into a filtered one at the cost of one 64-int broadcast.
+    orders) is aggregated into an expression-built bloom filter sized
+    at 10 bits/key (operators/sketches.py) that ships as one array
+    literal — the explicit form of Spark's InjectRuntimeFilter. The
+    probe is xxhash64 codegen fused into the lineitem scan, so ~90%
+    of fact rows die before the join; the broadcast hash join
+    afterwards removes bloom false positives, keeping the result
+    exactly the plain join the oracle runs. On a cluster this
+    converts a 100 TB shuffle-side scan into a filtered one at the
+    cost of a bits-per-key-sized broadcast.
     """
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > _PRICE_CUT
     )
     dim = orders.select("o_orderkey", "o_orderpriority")
-    words = bloom_build(dim, F.col("o_orderkey").cast("string"))
-    li = _t(spark, sf_dir, "lineitem").filter(
-        bloom_might_contain(F.col("l_orderkey").cast("string"), words)
+    words = bloom_build(dim, F.col("o_orderkey"))
+    li = bloom_prefilter(
+        _t(spark, sf_dir, "lineitem"), F.col("l_orderkey"), words
     )
     return (
         li.join(F.broadcast(dim), li.l_orderkey == dim.o_orderkey)
