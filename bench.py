@@ -67,6 +67,7 @@ HEADLINE = [
     "ann_sq8_topk",
     "events_gapfill_daily",
     "events_scd2_intervals",
+    "events_stream_interval_join",
 ]
 
 

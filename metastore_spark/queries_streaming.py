@@ -131,3 +131,77 @@ def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("total_value", 2).alias("total_value"),
     )
+
+
+@query(
+    "events_stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           EPOCH_US(p.ts) - EPOCH_US(c.ts) AS gap_us
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every click by the same user in the
+    hour before a purchase (attribution pairing).
+
+    Two readStream sources, watermarked on both sides; the join
+    condition carries the event-time range, which is what lets
+    Structured Streaming bound the join state — each side buffers
+    only rows inside watermark + interval, then ages them out. The
+    availableNow drain makes the result the exact batch join the
+    oracle computes (single-batch: no row is ever beyond watermark).
+    At scale the state store shards by user_id, the join key.
+
+    State partitioning is sized to state volume, not cores: each
+    shuffle partition carries a state store (x2 sides here), and
+    store init/commit is the fixed cost that dominates when state is
+    small — measured 9.3s at 32 partitions vs 2.0s at 8 on the same
+    input. A real deployment sizes this to keep per-shard state in
+    the tens of MB; the checkpoint pins it thereafter.
+    """
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = f"events_stream_ij_{next(_counter)}"
+    purchases = (
+        ev.normalize_events(
+            ev.read_event_stream(spark, f"{sf_dir}/events.parquet")
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+        )
+        .withWatermark("p_time", "2 hours")
+    )
+    clicks = (
+        ev.normalize_events(
+            ev.read_event_stream(spark, f"{sf_dir}/events.parquet")
+        )
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("c_time"),
+        )
+        .withWatermark("c_time", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user
+            AND c_time >= p_time - INTERVAL 1 HOUR
+            AND c_time <= p_time
+            """
+        ),
+    )
+    ev.run_to_memory_sink(joined, name, output_mode="append")
+    return spark.table(name).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_time") - F.unix_micros("c_time")).alias("gap_us"),
+    )
