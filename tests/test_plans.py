@@ -137,3 +137,18 @@ def test_chunk_and_schedule_are_map_only(spark):
     for name in ("docs_chunk_split", "multimodal_frame_schedule"):
         plan = _plan(spark, name)
         assert "Exchange" not in plan, f"{name} shuffles"
+
+
+def test_cdc_latest_state_is_partial_agg_not_window(spark):
+    # latest-wins compaction must combine map-side (partial_max_by
+    # before the exchange) and must not fall back to a per-key
+    # ROW_NUMBER window (full-row shuffle + sort)
+    import metastore_spark.queries_temporal  # noqa: F401
+
+    df = REGISTRY["events_cdc_latest_state"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
+    # the partial aggregate must sit BELOW the hash exchange
+    # (toString prints top-down: final agg, then exchange, then partial)
+    assert plan.index("partial_max_by") > plan.index("Exchange hashpartitioning")
