@@ -158,3 +158,44 @@ def events_user_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("within_5pct"),
     )
+
+
+@query(
+    "lineitem_price_quantiles_approx",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           true AS approx_within_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_quantiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB quantile path: percentile_approx (mergeable KLL-style
+    sketch, one partial-agg shuffle, no per-group sort) validated
+    in-query against the exact interpolated quantile — the approx
+    value must land between the exact 0.49 and 0.51 quantiles (its
+    rank-error guarantee at accuracy 10000 is far tighter). The
+    oracle pins the exact median AND that the bound held, the same
+    pattern as the HLL distinct-count query: approximate operators
+    whose structure can't be mirrored still get a value-hashed
+    correctness contract, not a rows-only pass.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "exact_p50"
+        ),
+        (
+            (
+                F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+                >= F.expr("percentile(l_extendedprice, 0.49)")
+            )
+            & (
+                F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+                <= F.expr("percentile(l_extendedprice, 0.51)")
+            )
+        ).alias("approx_within_bounds"),
+    )

@@ -538,3 +538,151 @@ def events_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s.value"), 2).alias("last_value"),
         F.col("s.ts_us").alias("last_ts_us"),
     )
+
+
+@query(
+    "orders_events_reconcile",
+    oracle="""
+    WITH od AS (
+      SELECT STRFTIME(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+             SUM(o_totalprice::DECIMAL(18,6)) AS order_rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    ed AS (
+      SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             SUM(value::DECIMAL(18,6)) AS purchase_val,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT COALESCE(od.day, ed.day) AS day,
+           ROUND(CAST(COALESCE(od.order_rev, 0) AS DOUBLE), 2) AS order_rev,
+           COALESCE(od.n_orders, 0) AS n_orders,
+           ROUND(CAST(COALESCE(ed.purchase_val, 0) AS DOUBLE), 2) AS purchase_val,
+           COALESCE(ed.n_purchases, 0) AS n_purchases,
+           od.day IS NULL AS events_only,
+           ed.day IS NULL AS orders_only
+    FROM od FULL OUTER JOIN ed ON od.day = ed.day
+    """,
+)
+def orders_events_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source reconciliation: FULL OUTER join of daily order
+    revenue against daily purchase-event value, flagging days present
+    on only one side — the completeness audit a multi-source pipeline
+    runs before trusting either feed.
+
+    Both sides pre-aggregate to day grain BEFORE the full outer join,
+    so the join touches |days| rows, not facts. Money sums use
+    DECIMAL(18,6) so the aggregate is exact (associativity-proof)
+    before the final double round.
+    """
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    od = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("order_rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    ed = e.groupBy(
+        F.date_format(
+            F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"
+        ).alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("purchase_val"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+    od = od.select(
+        F.col("day").alias("od_day"), "order_rev", "n_orders"
+    )
+    ed = ed.select(
+        F.col("day").alias("ed_day"), "purchase_val", "n_purchases"
+    )
+    j = od.join(ed, od.od_day == ed.ed_day, "full_outer")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return j.select(
+        F.coalesce("od_day", "ed_day").alias("day"),
+        F.round(F.coalesce("order_rev", zero).cast("double"), 2).alias(
+            "order_rev"
+        ),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("purchase_val", zero).cast("double"), 2).alias(
+            "purchase_val"
+        ),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.col("od_day").isNull().alias("events_only"),
+        F.col("ed_day").isNull().alias("orders_only"),
+    )
+
+
+@query(
+    "events_multires_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(value::DECIMAL(18,6)) AS total_value
+      FROM events GROUP BY 1
+    )
+    SELECT 'hour' AS level, EPOCH_US(bucket) AS bucket_start_us,
+           n_events, ROUND(CAST(total_value AS DOUBLE), 2) AS total_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day', EPOCH_US(date_trunc('day', bucket)),
+           SUM(n_events), ROUND(CAST(SUM(total_value) AS DOUBLE), 2)
+    FROM hourly GROUP BY 2
+    UNION ALL
+    SELECT 'month', EPOCH_US(date_trunc('month', bucket)),
+           SUM(n_events), ROUND(CAST(SUM(total_value) AS DOUBLE), 2)
+    FROM hourly GROUP BY 2
+    """,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (continuous-aggregate pattern):
+    hour, day, and month grains from ONE fact scan — the day level
+    aggregates the hourly partials and the month level the same, so
+    the fact table is read once and coarser grains cost only
+    |hourly| rows each. Counts stay bigint; value sums ride as
+    DECIMAL(18,6) through the hierarchy (exact under re-association)
+    and round to double only at the output edge.
+    """
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc(
+                "hour", F.timestamp_micros(F.expr("ts div 1000"))
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+        )
+        .persist()
+    )
+
+    def _grain(df: DataFrame, level: str, trunc: str | None) -> DataFrame:
+        if trunc is None:
+            g = df
+        else:
+            g = (
+                df.groupBy(F.date_trunc(trunc, F.col("bucket")).alias("b"))
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+                .withColumnRenamed("b", "bucket")
+            )
+        return g.select(
+            F.lit(level).alias("level"),
+            F.unix_micros("bucket").alias("bucket_start_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("total_value").cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+
+    return (
+        _grain(hourly, "hour", None)
+        .unionAll(_grain(hourly, "day", "day"))
+        .unionAll(_grain(hourly, "month", "month"))
+    )
