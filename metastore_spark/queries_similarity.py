@@ -376,3 +376,81 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qvec = _query_vec(spark, sf_dir, 0)
     return sim.sq8_topk(e, qvec, sim.corpus_maxabs(e), k=10, n_cand=50)
+
+
+@query(
+    "ann_pq_topk",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    s AS (
+      SELECT 127.0 / MAX(list_max(list_transform(embedding::DOUBLE[],
+                                                 x -> abs(x)))) AS scale
+      FROM embeddings
+    ),
+    vq AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS iv
+      FROM embeddings, s
+    ),
+    cb AS (SELECT vec_id AS c, iv AS cv FROM vq WHERE vec_id < 16),
+    assigns AS (
+      SELECT v.vec_id, sp.range AS sub, cb.c,
+             list_sum(list_transform(range(1, 9),
+               i -> (v.iv[sp.range*8+i] - cb.cv[sp.range*8+i])
+                    * (v.iv[sp.range*8+i] - cb.cv[sp.range*8+i]))) AS dist
+      FROM vq v CROSS JOIN range(0, 8) sp CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, sub, c FROM (
+        SELECT vec_id, sub, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, c) AS rn
+        FROM assigns
+      ) WHERE rn = 1
+    ),
+    qdist AS (SELECT sub, c, dist FROM assigns WHERE vec_id = 0),
+    approx AS (
+      SELECT codes.vec_id, SUM(qd.dist) AS approx_dist
+      FROM codes JOIN qdist qd ON qd.sub = codes.sub AND qd.c = codes.c
+      GROUP BY 1
+    ),
+    cand AS (
+      SELECT a.vec_id, e.embedding
+      FROM approx a JOIN embeddings e USING (vec_id)
+      ORDER BY a.approx_dist, a.vec_id
+      LIMIT 50
+    )
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (int8-domain PQ, 8 subspaces x
+    16 data-sampled codewords, asymmetric-distance scoring, exact
+    rerank of 50 candidates — similarity.pq_topk).
+
+    The entire PQ pipeline is integer arithmetic after quantization,
+    so the oracle mirrors ALL of it in SQL: codebook build, per-
+    subspace argmin encoding (ties to the lowest code on both
+    engines), ADC lookup sums, candidate cut, and the final rerank.
+    An approximate operator with an exact cross-engine contract."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir, 0)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return sim.pq_topk(
+        e, qvec, cents, sim.corpus_maxabs(e), k=10, n_cand=50
+    )

@@ -97,3 +97,25 @@ def test_sq8_topk_matches_exact_topk(spark):
         for r in sim.sq8_topk(e, qvec, sim.corpus_maxabs(e), k=10).collect()
     ]
     assert quant == exact
+
+
+def test_pq_topk_recall(spark):
+    """16-codeword int8 PQ with 5x rerank head-room: top-1 must be the
+    query itself and recall@10 vs exact >= 0.7 on the test corpus
+    (measured 0.8; the oracle pins exact behavior, this pins quality)."""
+    from metastore_spark import similarity as sim
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row = e.filter(F.col("vec_id") == 0).first()
+    qvec = [float(x) for x in row["embedding"]]
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    exact = {r["vec_id"] for r in sim.cosine_topk(e, qvec, k=10).collect()}
+    pq_rows = sim.pq_topk(
+        e, qvec, cents, sim.corpus_maxabs(e), k=10, n_cand=50
+    ).collect()
+    assert pq_rows[0]["vec_id"] == 0
+    assert len(exact & {r["vec_id"] for r in pq_rows}) >= 7
