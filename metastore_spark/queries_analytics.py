@@ -393,3 +393,32 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     a, b = out
     return a.unionByName(b)
+
+
+@query(
+    "users_setops_funnel",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click' AND value > 90
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 95
+    """,
+)
+def users_setops_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator composition: users with a big purchase AND a big
+    click but no big error — INTERSECT then EXCEPT with ANSI set
+    (distinct) semantics. Spark plans these as aggregate-then-join on the
+    hashed key (one shuffle per operand, partial distinct map-side);
+    no full-row comparison materializes.
+    """
+    e = _t(spark, sf_dir, "events")
+
+    def users(t: str, cut: float) -> DataFrame:
+        return e.filter(
+            (F.col("event_type") == t) & (F.col("value") > cut)
+        ).select("user_id")
+
+    return users("purchase", 90).intersect(users("click", 90)).exceptAll(
+        users("error", 95).distinct()
+    ).distinct()

@@ -686,3 +686,49 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_grain(hourly, "day", "day"))
         .unionAll(_grain(hourly, "month", "month"))
     )
+
+
+@query(
+    "events_ohlc_daily",
+    oracle="""
+    SELECT event_type,
+           STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           ROUND(FIRST(value ORDER BY ts, event_id), 2) AS open,
+           ROUND(MAX(value), 2)  AS high,
+           ROUND(MIN(value), 2)  AS low,
+           ROUND(LAST(value ORDER BY ts, event_id), 2)  AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars: per (event_type, day), open/high/low/close of the
+    value series — the downsampling shape time-series stores serve.
+
+    min_by/max_by on a (ts, event_id) ordering struct give open/close
+    as commutative partial aggregates — one shuffle of one candidate
+    row per group per partition, no per-group sort. The oracle's
+    ordered-aggregate FIRST/LAST is the window formulation of the
+    same contract; the (ts, event_id) tiebreak makes both
+    deterministic.
+    """
+    e = _t(spark, sf_dir, "events")
+    ordkey = F.struct(
+        F.expr("ts div 1000").alias("ts_us"), F.col("event_id")
+    )
+    return (
+        e.groupBy(
+            "event_type",
+            F.date_format(
+                F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"
+            ).alias("day"),
+        )
+        .agg(
+            F.round(F.min_by("value", ordkey), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", ordkey), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
