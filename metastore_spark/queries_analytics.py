@@ -422,3 +422,126 @@ def users_setops_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return users("purchase", 90).intersect(users("click", 90)).exceptAll(
         users("error", 95).distinct()
     ).distinct()
+
+
+@query(
+    "lineitem_stats_profile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice), 4)             AS price_stddev,
+           ROUND(var_samp(l_discount), 6)                     AS discount_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate family (corr / covar_samp / stddev_samp /
+    var_samp) per group — all mergeable moment sketches in Spark:
+    partial (n, Σx, Σy, Σxy, Σx², Σy²) map-side, one tiny shuffle,
+    no second pass. Both engines agree at 4-6 decimals on these
+    moments, pinned by the oracle."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("discount_var"),
+    )
+
+
+@query(
+    "orders_trend_regression",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(regr_slope(o_totalprice,
+                 date_diff('day', DATE '1992-01-01', o_orderdate)), 4)
+             AS slope_per_day,
+           ROUND(regr_intercept(o_totalprice,
+                 date_diff('day', DATE '1992-01-01', o_orderdate)), 4)
+             AS intercept,
+           CAST(regr_count(o_totalprice,
+                 date_diff('day', DATE '1992-01-01', o_orderdate)) AS BIGINT)
+             AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (regr_slope / regr_intercept /
+    regr_count): is order value drifting over time per priority class?
+    Same partial-moment aggregation shape as the stats profile — a
+    distributed OLS fit in one shuffle with no iteration."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.regr_slope(F.col("o_totalprice"), day), 4).alias(
+            "slope_per_day"
+        ),
+        F.round(F.regr_intercept(F.col("o_totalprice"), day), 4).alias(
+            "intercept"
+        ),
+        F.regr_count(F.col("o_totalprice"), day).cast("long").alias("n"),
+    )
+
+
+@query(
+    "customers_name_fuzzy",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(levenshtein(c_name, 'Customer#000000100') AS INTEGER)
+             AS edit_dist
+    FROM customer
+    WHERE levenshtein(c_name, 'Customer#000000100') <= 2
+    """,
+)
+def customers_name_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy lookup: edit distance <= 2 from a probe string — the
+    typo-tolerant entity-resolution primitive. Map-only (levenshtein
+    fuses into the scan); a pairwise fuzzy JOIN at scale would first
+    block on cheap invariants (length bands, q-gram buckets) exactly
+    like the LSH dedup operators block before verifying."""
+    c = _t(spark, sf_dir, "customer")
+    d = F.levenshtein(F.col("c_name"), F.lit("Customer#000000100"))
+    return (
+        c.select("c_custkey", "c_name", d.cast("int").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
+@query(
+    "events_daily_user_bitmap",
+    oracle="""
+    SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           bit_or(1::BIGINT << CAST(user_id % 60 AS INTEGER)) AS user_bitmap,
+           CAST(COUNT(DISTINCT user_id % 60) AS BIGINT) AS n_buckets
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_daily_user_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap index aggregate: one bigint per day whose bits mark
+    active user buckets (user_id mod 60) — the roaring-bitmap idea in
+    its single-word form. bit_or is commutative, so partials combine
+    map-side and each day shuffles one long regardless of event
+    volume; bitmap AND/OR across days then answers
+    retention/overlap questions without touching facts again."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(
+                F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"
+            ).alias("day")
+        )
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, cast(user_id % 60 as int))")
+            ).alias("user_bitmap"),
+            F.countDistinct(F.expr("user_id % 60")).alias("n_buckets"),
+        )
+    )
