@@ -68,6 +68,10 @@ HEADLINE = [
     "events_gapfill_daily",
     "events_scd2_intervals",
     "events_stream_interval_join",
+    "ann_pq_topk",
+    "events_cdc_latest_state",
+    "events_multires_rollup",
+    "events_peak_concurrency",
 ]
 
 
