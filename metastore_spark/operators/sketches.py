@@ -85,11 +85,14 @@ def bloom_prefilter(df: DataFrame, key: Column, words: list[int]) -> DataFrame:
     30x slower at 8k words); as a broadcast attribute the array is
     built once and each probe is four O(1) element_at lookups fused
     into the scan stage — no exchange of df anywhere."""
+    wcol = "_bloom_words"
+    while wcol in df.columns:
+        wcol += "_"
     bf = df.sparkSession.createDataFrame(
-        [(words,)], "bloom_words: array<bigint>"
+        [(words,)], f"{wcol}: array<bigint>"
     )
     conds = [
-        F.element_at(F.col("bloom_words"), (p / 32).cast("int") + 1).bitwiseAND(
+        F.element_at(F.col(wcol), (p / 32).cast("int") + 1).bitwiseAND(
             F.pow(F.lit(2.0), (p % 32).cast("int")).cast("long")
         )
         != 0
@@ -98,7 +101,7 @@ def bloom_prefilter(df: DataFrame, key: Column, words: list[int]) -> DataFrame:
     out = conds[0]
     for c in conds[1:]:
         out = out & c
-    return df.crossJoin(F.broadcast(bf)).filter(out).drop("bloom_words")
+    return df.crossJoin(F.broadcast(bf)).filter(out).drop(wcol)
 
 
 def mg_candidates(
@@ -127,7 +130,9 @@ def mg_candidates(
 
         counters: dict[tuple, int] = {}
         for pdf in it:
-            vc = pdf.groupby(key_cols, sort=False).size()
+            # dropna=False: a null key is a key — dropping it would
+            # break the superset guarantee for null-heavy inputs
+            vc = pdf.groupby(key_cols, sort=False, dropna=False).size()
             for key_val, c in vc.items():
                 tup = key_val if isinstance(key_val, tuple) else (key_val,)
                 counters[tup] = counters.get(tup, 0) + int(c)
@@ -136,9 +141,8 @@ def mg_candidates(
                 # d = smallest value whose removal leaves <= k survivors
                 d = int(np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1])
                 counters = {t: c - d for t, c in counters.items() if c > d}
-        out = {
-            c: [t[i] for t in counters] for i, c in enumerate(key_cols)
-        }
-        yield pd.DataFrame(out, columns=key_cols)
+        out = pd.DataFrame(list(counters.keys()), columns=key_cols)
+        # pandas upcasts null keys to NaN; hand Arrow real NULLs
+        yield out.where(pd.notna(out), None)
 
     return df.select(*key_cols).mapInPandas(gen, schema=fields)

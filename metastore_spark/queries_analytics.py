@@ -419,9 +419,11 @@ def users_setops_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == t) & (F.col("value") > cut)
         ).select("user_id")
 
-    return users("purchase", 90).intersect(users("click", 90)).exceptAll(
-        users("error", 95).distinct()
-    ).distinct()
+    return (
+        users("purchase", 90)
+        .intersect(users("click", 90))
+        .subtract(users("error", 95))
+    )
 
 
 @query(

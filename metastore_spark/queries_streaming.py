@@ -162,6 +162,7 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     input. A real deployment sizes this to keep per-shard state in
     the tens of MB; the checkpoint pins it thereafter.
     """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     name = f"events_stream_ij_{next(_counter)}"
     purchases = (
@@ -198,7 +199,12 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ),
     )
-    ev.run_to_memory_sink(joined, name, output_mode="append")
+    try:
+        ev.run_to_memory_sink(joined, name, output_mode="append")
+    finally:
+        # the narrowed state-partition count must not leak into the
+        # shared session once the drain finishes
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).select(
         "purchase_id",
         "click_id",

@@ -522,16 +522,14 @@ def sq8_topk(
 
 def corpus_maxabs(df: DataFrame, vec_col: str = "embedding") -> float:
     """Global max |component| — the sq8 quantizer's scale denominator.
-    One map pass + a max aggregate; the collect is a single double."""
+    One map pass + a max aggregate; the collect is a single double.
+    max|x| = max(|min(x)|, |max(x)|) keeps the scan in codegen'd
+    builtins instead of an interpreted per-element HOF lambda."""
+    v = F.col(vec_col).cast("array<double>")
     return float(
         df.select(
             F.max(
-                F.array_max(
-                    F.transform(
-                        F.col(vec_col).cast("array<double>"),
-                        lambda x: F.abs(x),
-                    )
-                )
+                F.greatest(F.abs(F.array_min(v)), F.abs(F.array_max(v)))
             ).alias("m")
         ).first()["m"]
     )
@@ -585,7 +583,8 @@ def pq_topk(
     # dtable[s, c] = ||q_s - centroid_c,s||^2, exact integers
     dtable = ((qq[None, :, :] - C) ** 2).sum(axis=2).T  # (n_sub, n_cent)
 
-    out_schema = f"{id_col} bigint, approx_dist bigint"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, approx_dist bigint"
 
     def encode_score(it):
         for pdf in it:

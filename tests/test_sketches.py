@@ -47,8 +47,11 @@ def test_bloom_probe_is_codegen(spark):
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     # map-side only: no shuffle exchange in the probe (the word table
-    # arrives by broadcast, which is the point)
-    assert "ShuffleExchange" not in plan
+    # arrives by BroadcastExchange, which is the point). Plain
+    # "Exchange" would also match the broadcast node; shuffles print
+    # as "Exchange hashpartitioning"/"rangepartitioning".
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_mg_superset_of_heavy_keys(spark):
@@ -123,3 +126,14 @@ def test_sketch_queries_match_naive(spark, qname):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in naive.collect()}
     assert got == want
+
+
+def test_mg_null_keys_are_candidates(spark):
+    """A null key above the threshold must surface as a candidate —
+    pandas groupby drops NaN groups by default, which would break the
+    superset guarantee on null-heavy inputs."""
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 2 == 0, None).otherwise(F.col("id") % 100).alias("k")
+    ).repartition(4)
+    cands = mg_candidates(df, ["k"], 0.1).collect()
+    assert any(r["k"] is None for r in cands)
