@@ -547,3 +547,100 @@ def events_daily_user_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.expr("user_id % 60")).alias("n_buckets"),
         )
     )
+
+
+@query(
+    "events_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(value::DECIMAL(18,6)) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a 'materialized' aggregate over
+    the first 25 days merged with the delta aggregate of later
+    arrivals — WITHOUT rescanning the base. The merged result must be
+    indistinguishable from the one-pass aggregate the oracle runs,
+    which is exactly the IVM contract; DECIMAL(18,6) partials make
+    the merge associativity-proof (double partials could drift at the
+    last bit under re-grouping).
+
+    At scale the base aggregate is a stored table and only the delta
+    scan runs per refresh; count/sum (and min/max, or any commutative
+    monoid) merge this way — that is why the engine's aggregates
+    favor mergeable forms (see also the HLL and percentile_approx
+    sketches).
+    """
+    e = _t(spark, sf_dir, "events")
+    cutoff_us = 1706140800000000  # 2024-01-25T00:00:00Z
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+        )
+
+    base = partial(e.filter(F.expr("ts div 1000") < cutoff_us))
+    delta = partial(e.filter(F.expr("ts div 1000") >= cutoff_us))
+    merged = base.unionByName(delta).groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("v").alias("total_value"),
+    )
+    return merged.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "events_integrity_checksum",
+    oracle="""
+    WITH rows_c AS (
+      SELECT event_type,
+             event_id || '|' || EPOCH_US(ts) || '|' || user_id || '|'
+               || CAST(ROUND(value * 100) AS BIGINT) || '|' || props AS canon
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(list_sum(list_transform(range(1,16), i ->
+             (strpos('0123456789abcdef', substr(md5(canon), i, 1)) - 1)::BIGINT
+             * (1::BIGINT << (4*(15-i)))))) AS checksum
+    FROM rows_c
+    GROUP BY event_type
+    """,
+)
+def events_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine table integrity checksum: per partition key, XOR of
+    a portable 60-bit row hash over a canonical row rendering (value
+    as integer cents — never a float's engine-specific string form).
+
+    bit_xor is commutative and width-stable, so the checksum is
+    independent of row order, partitioning, and engine — two systems
+    holding the same logical table agree bit-for-bit, which is how a
+    migration (or a replica) is audited without moving data. One
+    map-side hash + one tiny shuffle of (key, xor) partials.
+    """
+    from metastore_spark.dedup.ops import portable_hash60
+
+    e = _t(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id"),
+        F.expr("ts div 1000"),
+        F.col("user_id"),
+        F.round(F.col("value") * 100).cast("long"),
+        F.col("props"),
+    )
+    return (
+        e.select("event_type", portable_hash60(canon).alias("h"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("h").alias("checksum"),
+        )
+    )

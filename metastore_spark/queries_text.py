@@ -11,6 +11,7 @@ from metastore_spark.queries import query, _t
 from metastore_spark.search.analysis import ENGLISH_STOPWORDS
 from metastore_spark.text import ops
 from metastore_spark.dedup.ops import shingles_from_tokens as dd_shingles
+from metastore_spark.dedup import ops as dd
 
 _STOPLIST_SQL = ", ".join(f"'{s}'" for s in ENGLISH_STOPWORDS)
 
@@ -574,4 +575,44 @@ def docs_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "doc_b")
         .filter(cos >= 0.35)
         .select("doc_a", "doc_b", cos.alias("cosine"))
+    )
+
+
+@query(
+    "docs_bpe_merge_candidates",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT p.pair FROM toks,
+        UNNEST(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) AS p(pair)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 30
+    """,
+)
+def docs_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE/WordPiece tokenizer training: corpus-wide
+    adjacent-pair frequencies, top-30 merge candidates.
+
+    Pair generation is the codegen shingle stream (k=2 — slice +
+    arrays_zip + explode, no interpreted lambda; see
+    dedup.ops.shingle_stream) with multiplicity preserved; counting
+    is one partial-agg shuffle over the pair space and the top-30 is
+    TakeOrderedAndProject. A full BPE trainer iterates this with the
+    chosen merge applied — each round is this same query shape.
+    """
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.shingle_stream(d, "text", "doc_id", k=2)
+    return (
+        pairs.groupBy(F.col("shingle").alias("pair"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(30)
     )
