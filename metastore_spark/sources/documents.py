@@ -79,3 +79,16 @@ def json_field(df: DataFrame, raw_col: str, json_path: str, out: str) -> DataFra
     """Late-bound field access on the raw document column: pull an
     undeclared field out of ``_raw`` (O6 on dynamic schema)."""
     return df.withColumn(out, F.get_json_object(F.col(raw_col), json_path))
+
+
+def read_orc_docs(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC source — schema travels with the file (no
+    inference pass); predicate pushdown and column pruning work as
+    with parquet. Useful when upstream Hive/Trino pipelines hand over
+    ORC instead of parquet."""
+    return spark.read.format("orc").load(path)
+
+
+def write_orc_docs(df: DataFrame, path: str) -> None:
+    """ORC sink (snappy, the interoperable default)."""
+    df.write.mode("overwrite").format("orc").save(path)

@@ -63,3 +63,33 @@ def test_salted_count_equals_plain(spark):
     want = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
     got = {r["k"]: r["n"] for r in salted_count(df, "k").collect()}
     assert got == want
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """ORC write/read must preserve the documents table exactly —
+    schema and values — so a query is source-format-independent."""
+    from metastore_spark.sources.documents import read_orc_docs, write_orc_docs
+
+    pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_orc")
+    write_orc_docs(pq, path)
+    orc = read_orc_docs(spark, path)
+    assert orc.schema == pq.schema
+    assert orc.count() == pq.count()
+    a = {tuple(r) for r in orc.collect()}
+    b = {tuple(r) for r in pq.collect()}
+    assert a == b
+
+
+def test_orc_pushdown(spark, tmp_path):
+    from metastore_spark.sources.documents import read_orc_docs, write_orc_docs
+
+    pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_orc_pd")
+    write_orc_docs(pq, path)
+    from pyspark.sql import functions as F
+
+    q = read_orc_docs(spark, path).filter(F.col("lang") == "en").select("doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: []" not in plan  # the lang filter reached the scan
+    assert "ReadSchema" in plan
