@@ -152,3 +152,34 @@ def test_cdc_latest_state_is_partial_agg_not_window(spark):
     # the partial aggregate must sit BELOW the hash exchange
     # (toString prints top-down: final agg, then exchange, then partial)
     assert plan.index("partial_max_by") > plan.index("Exchange hashpartitioning")
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """§4 optimizer contract: the engine can steer join strategy per
+    relation when the planner's default is wrong for the data shape
+    (e.g. force shuffle-hash for a medium build side that would
+    otherwise sort-merge)."""
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+
+    hashed = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+
+    bcast = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_verify_is_broadcast_semi(spark):
+    # pass 2 must semi-join facts against the (tiny) candidate set by
+    # broadcast — a shuffled semi would defeat the sketch's purpose
+    import metastore_spark.queries_sketch  # noqa: F401
+
+    df = REGISTRY["events_heavy_hitters"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
