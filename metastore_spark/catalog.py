@@ -13,6 +13,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from metastore_spark.ts import normalize_ts
+
 TABLES = (
     "region",
     "nation",
@@ -34,8 +36,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan for one table."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Lazy parquet scan for one table.
+
+    ``events.ts`` is normalized to TIMESTAMP_NTZ here (see
+    :mod:`metastore_spark.ts`) so every downstream query sees one
+    canonical event-time type regardless of the physical parquet
+    encoding (timestamp[us] vs legacy bigint nanos).
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = normalize_ts(df)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -44,7 +55,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         path = table_path(sf_dir, name)
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            df = spark.read.parquet(path)
+            if name == "events":
+                df = normalize_ts(df)
+            out[name] = df
     return out
 
 

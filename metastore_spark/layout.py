@@ -29,13 +29,15 @@ from metastore_spark.search.analysis import analyze_udf
 
 
 def write_events_by_day(df: DataFrame, path: str, ts_col: str = "ts") -> None:
-    """events (ts = bigint nanos) → parquet partitioned by event_date."""
+    """events → parquet partitioned by event_date (ts normalized to
+    canonical TIMESTAMP_NTZ whatever the physical input encoding)."""
+    from metastore_spark.ts import normalize_ts
+
     (
-        df.withColumn(
+        normalize_ts(df, ts_col)
+        .withColumn(
             "event_date",
-            F.date_format(
-                F.timestamp_micros(F.expr(f"{ts_col} div 1000")), "yyyy-MM-dd"
-            ),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd"),
         )
         .repartition("event_date")  # one writer task per partition dir
         .write.mode("overwrite")

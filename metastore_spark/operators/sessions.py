@@ -23,9 +23,15 @@ def sessionize(
     df: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
-    gap: int = 30 * 60 * 10**9,  # 30 min in ns (events.ts is bigint nanos)
+    gap: int = 30 * 60 * 10**9,
 ) -> DataFrame:
-    """Assign session ids: (user, session_seq starting at 1)."""
+    """Assign session ids: (user, session_seq starting at 1).
+
+    ``ts_col`` must be a NUMERIC epoch column; ``gap`` is in the same
+    unit (callers on the canonical NTZ events table project
+    ``ts_us("ts")`` first and pass a microsecond gap). The default
+    matches the nanosecond unit-test fixtures.
+    """
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_flag = F.when(
         F.col(ts_col) - F.lag(ts_col, 1).over(w) > gap, 1

@@ -28,6 +28,7 @@ from metastore_spark.operators.filters import (
 from metastore_spark.operators.paging import paginate
 from metastore_spark.params import parse_params
 from metastore_spark.session import tune_runtime
+from metastore_spark.ts import ts_us
 
 
 @dataclass
@@ -58,10 +59,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _ts_us() -> F.Column:
-    """events.ts arrives as bigint nanoseconds (see session.tune_runtime);
-    `ts div 1000` is epoch microseconds — integer division, no double
-    round-trip (nanos exceed 2^53 and would lose precision as double)."""
-    return F.expr("ts div 1000").alias("ts_us")
+    """events.ts is canonical TIMESTAMP_NTZ after catalog.load_table
+    (see metastore_spark.ts); project epoch microseconds with pure
+    wall-clock arithmetic — session-timezone-independent and equal to
+    the oracle's DuckDB EPOCH_US(ts) bit-for-bit."""
+    return ts_us("ts").alias("ts_us")
 
 
 # ===========================================================================

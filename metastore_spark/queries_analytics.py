@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metastore_spark.queries import query, _t
+from metastore_spark.ts import ts_us, us_to_ts
 
 
 @query(
@@ -537,7 +538,7 @@ def events_daily_user_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(
             F.date_format(
-                F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"
+                F.col("ts"), "yyyy-MM-dd"
             ).alias("day")
         )
         .agg(
@@ -583,8 +584,8 @@ def events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
         )
 
-    base = partial(e.filter(F.expr("ts div 1000") < cutoff_us))
-    delta = partial(e.filter(F.expr("ts div 1000") >= cutoff_us))
+    base = partial(e.filter(ts_us("ts") < cutoff_us))
+    delta = partial(e.filter(ts_us("ts") >= cutoff_us))
     merged = base.unionByName(delta).groupBy("event_type").agg(
         F.sum("n").alias("n_events"),
         F.sum("v").alias("total_value"),
@@ -631,7 +632,7 @@ def events_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = F.concat_ws(
         "|",
         F.col("event_id"),
-        F.expr("ts div 1000"),
+        ts_us("ts"),
         F.col("user_id"),
         F.round(F.col("value") * 100).cast("long"),
         F.col("props"),

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from metastore_spark.api import KindConfig, SearchEngine
 from metastore_spark.queries import query, _t
+from metastore_spark.ts import ts_us, us_to_ts
 
 _PAGE_SCHEMA_EVENTS = (
     "event_id bigint, user_id bigint, event_type string, ts_us bigint, "
@@ -63,7 +64,7 @@ def api_events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.expr("ts div 1000").alias("ts_us"),
+        ts_us("ts").alias("ts_us"),
         F.round("value", 2).alias("value"),
     )
     engine = SearchEngine(

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from metastore_spark.operators.asof import asof_join
 from metastore_spark.queries import query, _t
+from metastore_spark.ts import lit_ts
 
 
 @query(
@@ -31,7 +32,7 @@ from metastore_spark.queries import query, _t
 def events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time state attach: each purchase gets the user's most
     recent signup at-or-before it — checked against DuckDB's native
-    ASOF JOIN. events.ts is bigint nanos (ordering-equivalent)."""
+    ASOF JOIN. events.ts is NTZ on both engines (ordering-equivalent)."""
     e = _t(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase")
     signups = e.filter(F.col("event_type") == "signup").select(
@@ -88,13 +89,13 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def active_buyers_not_erroring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set algebra: INTERSECT/EXCEPT chain (distinct semantics),
     hash-partitioned by the set key. The error leg is time-scoped so
-    the result is non-trivial (events.ts = bigint nanos here)."""
-    cutoff_ns = 1704240000 * 10**9  # 2024-01-03T00:00:00Z
+    the result is non-trivial (ts compares as NTZ wall-clock)."""
     e = _t(spark, sf_dir, "events")
     buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
     viewers = e.filter(F.col("event_type") == "view").select("user_id")
     errorers = e.filter(
-        (F.col("event_type") == "error") & (F.col("ts") < F.lit(cutoff_ns))
+        (F.col("event_type") == "error")
+        & (F.col("ts") < lit_ts("2024-01-03 00:00:00"))
     ).select("user_id")
     return buyers.intersect(viewers).exceptAll(errorers.distinct())
 

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from metastore_spark.operators.sessions import session_stats
 from metastore_spark.queries import query, _t
+from metastore_spark.ts import ts_us, us_to_ts
 
 
 @query(
@@ -41,13 +42,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions (30 min): lag-flag + running sum, one
     shuffle on user_id. The canonical behavioral-analytics operator,
     value-hash-checked against DuckDB's window mirror."""
-    e = _t(spark, sf_dir, "events")
-    s = session_stats(e, gap=30 * 60 * 10**9)
+    e = _t(spark, sf_dir, "events").withColumn("ts", ts_us("ts"))
+    s = session_stats(e, gap=30 * 60 * 10**6)
     return s.select(
         "user_id",
         F.col("session_seq").cast("bigint").alias("session_seq"),
-        F.expr("session_start div 1000").alias("session_start_us"),
-        F.expr("session_end div 1000").alias("session_end_us"),
+        F.col("session_start").alias("session_start_us"),
+        F.col("session_end").alias("session_end_us"),
         "n_events",
         "session_value",
     )
@@ -143,11 +144,11 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast offsets, and local+offset reconstructs the exact global
     curve — no single-partition window over the data anywhere.
     """
-    e = _t(spark, sf_dir, "events")
-    s = session_stats(e, gap=30 * 60 * 10**9)
+    e = _t(spark, sf_dir, "events").withColumn("ts", ts_us("ts"))
+    s = session_stats(e, gap=30 * 60 * 10**6)
     sess = s.select(
-        F.expr("session_start div 1000").alias("start_us"),
-        F.expr("session_end div 1000").alias("end_us"),
+        F.col("session_start").alias("start_us"),
+        F.col("session_end").alias("end_us"),
     )
     b = sess.select(F.col("start_us").alias("t"), F.lit(1).alias("d")).unionAll(
         sess.select(F.col("end_us").alias("t"), F.lit(-1).alias("d"))
@@ -188,7 +189,7 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         run.withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") == 1)
         .select(
-            F.date_format(F.timestamp_micros("t"), "yyyy-MM-dd").alias("day"),
+            F.date_format(us_to_ts("t"), "yyyy-MM-dd").alias("day"),
             F.col("conc").cast("long").alias("peak_concurrency"),
             F.col("t").alias("at_us"),
         )

@@ -35,11 +35,18 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow drain into a memory sink (complete mode). The result
     must equal the batch/SQL computation — the streaming/batch
     unification contract, verified against DuckDB.
+
+    No watermark on this drain: complete mode retains all window
+    state, and skipping the watermark keeps the full-history batch
+    oracle exact even when the source splits into multiple files /
+    micro-batches (tests/test_streaming.py covers the multi-file
+    case). The watermarked append-mode variant is what production
+    would run (streaming/events.py).
     """
     name = f"events_stream_hourly_{next(_counter)}"
     stream = ev.read_event_stream(spark, f"{sf_dir}/events.parquet")
     ev.run_to_memory_sink(
-        ev.windowed_event_counts(stream, window="1 hour"),
+        ev.windowed_event_counts(stream, window="1 hour", watermark=None),
         name,
         output_mode="complete",
     )
@@ -161,13 +168,22 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     small — measured 9.3s at 32 partitions vs 2.0s at 8 on the same
     input. A real deployment sizes this to keep per-shard state in
     the tens of MB; the checkpoint pins it thereafter.
+
+    The narrowed partition count lives in an ISOLATED session
+    (``spark.newSession()``: own SQLConf, shared SparkContext) — the
+    caller's session confs are never touched, so a concurrent query
+    on the shared session cannot observe the streaming-specific
+    sizing (tests/test_registry_conf.py asserts this).
     """
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    from metastore_spark.session import tune_runtime
+
+    iso = spark.newSession()
+    tune_runtime(iso)
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
     name = f"events_stream_ij_{next(_counter)}"
     purchases = (
         ev.normalize_events(
-            ev.read_event_stream(spark, f"{sf_dir}/events.parquet")
+            ev.read_event_stream(iso, f"{sf_dir}/events.parquet")
         )
         .filter(F.col("event_type") == "purchase")
         .select(
@@ -179,7 +195,7 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = (
         ev.normalize_events(
-            ev.read_event_stream(spark, f"{sf_dir}/events.parquet")
+            ev.read_event_stream(iso, f"{sf_dir}/events.parquet")
         )
         .filter(F.col("event_type") == "click")
         .select(
@@ -199,13 +215,9 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ),
     )
-    try:
-        ev.run_to_memory_sink(joined, name, output_mode="append")
-    finally:
-        # the narrowed state-partition count must not leak into the
-        # shared session once the drain finishes
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name).select(
+    ev.run_to_memory_sink(joined, name, output_mode="append")
+    # the memory sink registers in the isolated session's catalog
+    return iso.table(name).select(
         "purchase_id",
         "click_id",
         F.col("p_user").alias("user_id"),

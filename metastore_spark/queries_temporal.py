@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from metastore_spark.operators.rangejoin import range_join_binned
 from metastore_spark.queries import query, _t
+from metastore_spark.ts import lit_us, ts_us, us_to_ts
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -64,7 +65,7 @@ def events_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = e.groupBy(
         F.date_format(
-            F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"
+            F.col("ts"), "yyyy-MM-dd"
         ).alias("day")
     ).agg(F.sum("value").alias("revenue"))
     w = Window.partitionBy().orderBy("day")
@@ -100,23 +101,22 @@ def events_range_join_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join via binning: purchases attributed to overlapping
     promo windows. The bin equi-join replaces the O(P×I) nested loop
     the naive range predicate would plan (see operators/rangejoin.py).
-    Timestamps are epoch nanos here; bins are 1-day wide."""
-    day_ns = 24 * 3600 * 10**9
-    epoch_ns = lambda s: int(  # noqa: E731
-        __import__("datetime")
-        .datetime.fromisoformat(s + "+00:00")
-        .timestamp()
-    ) * 10**9
+    Timestamps compare as epoch micros; bins are 1-day wide."""
+    day_us = 24 * 3600 * 10**6
     promos = spark.createDataFrame(
         [
-            ("p1", epoch_ns("2024-01-05 00:00:00"), epoch_ns("2024-01-08 00:00:00")),
-            ("p2", epoch_ns("2024-01-10 12:00:00"), epoch_ns("2024-01-11 00:00:00")),
-            ("p3", epoch_ns("2024-01-20 00:00:00"), epoch_ns("2024-01-27 00:00:00")),
+            ("p1", lit_us("2024-01-05 00:00:00"), lit_us("2024-01-08 00:00:00")),
+            ("p2", lit_us("2024-01-10 12:00:00"), lit_us("2024-01-11 00:00:00")),
+            ("p3", lit_us("2024-01-20 00:00:00"), lit_us("2024-01-27 00:00:00")),
         ],
         "promo_id string, p_start bigint, p_end bigint",
     )
-    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    joined = range_join_binned(e, promos, "ts", "p_start", "p_end", day_ns)
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("ts", ts_us("ts"))
+    )
+    joined = range_join_binned(e, promos, "ts", "p_start", "p_end", day_us)
     return (
         joined.groupBy("promo_id")
         .agg(
@@ -169,12 +169,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides (broadcast when small, shuffle join at billion-user
     scale). s1/s2 are cached — each feeds both its own count branch
     and the next step's join. All timestamps compare at MICROsecond
-    granularity (`ts div 1000`) on both engines: events.ts is nanos
-    in Spark but DuckDB truncates parquet nanos to micros, so
-    nanosecond-resolution comparisons could order two same-micro
-    events differently."""
+    granularity (`ts_us`) on both engines — events.ts is canonical
+    TIMESTAMP_NTZ (metastore_spark.ts) and DuckDB's epoch_us is the
+    identical wall-clock arithmetic."""
     e = _t(spark, sf_dir, "events")
-    us = F.expr("ts div 1000")
+    us = ts_us("ts")
     s1 = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -244,9 +243,9 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     against deduplicated (user, week) activity; exchanges carry one
     row per user resp. per (user, week), never the event stream.
     Weeks truncate from MICROsecond timestamps on both engines
-    (events.ts is nanos in Spark; DuckDB reads micros)."""
+    (events.ts is canonical TIMESTAMP_NTZ on both engines)."""
     e = _t(spark, sf_dir, "events")
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    ts = F.col("ts")
     signup = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -298,7 +297,7 @@ def events_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over the daily aggregate (one row per day), never the event
     stream."""
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    day_ts = F.date_trunc("day", F.timestamp_micros(F.expr("ts div 1000")))
+    day_ts = F.date_trunc("day", F.col("ts"))
     daily = e.groupBy(
         F.datediff(day_ts.cast("date"), F.lit("1970-01-01").cast("date"))
         .cast("bigint")
@@ -341,7 +340,7 @@ def events_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identical to page 3 of the OFFSET query — which is what the
     oracle computes the cursor from."""
     e = _t(spark, sf_dir, "events")
-    us = F.expr("ts div 1000")
+    us = ts_us("ts")
     cursor = (
         e.select(us.alias("c_ts"), F.col("event_id").alias("c_id"))
         .orderBy(F.desc("c_ts"), F.asc("c_id"))
@@ -406,7 +405,7 @@ def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
     daily = e.groupBy(
         "user_id",
-        F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day"),
+        F.to_date(F.col("ts")).alias("day"),
     ).agg(F.sum("value").alias("revenue"))
     daily = daily.persist()
     span = daily.agg(
@@ -474,7 +473,7 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = e.select(
         "user_id",
         F.col("event_type").alias("state"),
-        F.expr("ts div 1000").alias("ts_us"),
+        ts_us("ts").alias("ts_us"),
         "event_id",
     ).withColumn("prev_state", F.lag("state").over(w))
     changes = ordered.filter(
@@ -520,13 +519,13 @@ def events_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _t(spark, sf_dir, "events")
     ordkey = F.struct(
-        F.expr("ts div 1000").alias("ts_us"), F.col("event_id")
+        ts_us("ts").alias("ts_us"), F.col("event_id")
     )
     payload = F.struct(
         F.col("event_id"),
         F.col("event_type"),
         F.col("value"),
-        F.expr("ts div 1000").alias("ts_us"),
+        ts_us("ts").alias("ts_us"),
     )
     latest = e.groupBy("user_id").agg(
         F.max_by(payload, ordkey).alias("s")
@@ -586,7 +585,7 @@ def orders_events_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ed = e.groupBy(
         F.date_format(
-            F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"
+            F.col("ts"), "yyyy-MM-dd"
         ).alias("day")
     ).agg(
         F.sum(F.col("value").cast("decimal(18,6)")).alias("purchase_val"),
@@ -650,7 +649,7 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         e.groupBy(
             F.date_trunc(
-                "hour", F.timestamp_micros(F.expr("ts div 1000"))
+                "hour", F.col("ts")
             ).alias("bucket")
         )
         .agg(
@@ -715,13 +714,13 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _t(spark, sf_dir, "events")
     ordkey = F.struct(
-        F.expr("ts div 1000").alias("ts_us"), F.col("event_id")
+        ts_us("ts").alias("ts_us"), F.col("event_id")
     )
     return (
         e.groupBy(
             "event_type",
             F.date_format(
-                F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"
+                F.col("ts"), "yyyy-MM-dd"
             ).alias("day"),
         )
         .agg(

@@ -77,9 +77,11 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
         # ANSI off: x/0 → NULL and bad casts → NULL, matching the
         # permissive semantics of the reference (and the DuckDB oracle).
         ("spark.sql.ansi.enabled", "false"),
-        # The driver's events.ts is parquet TIMESTAMP(NANOS), which the
-        # vectorized reader rejects; read as bigint nanoseconds instead
-        # (keeps predicate pushdown; convert at projection with `div 1000`).
+        # Best-effort ONLY: lets a legacy TIMESTAMP(NANOS) parquet
+        # generation read as bigint nanos. NOTHING depends on this
+        # applying — event-time handling is schema-adaptive
+        # (metastore_spark.ts.normalize_ts) because a host-owned
+        # session may reject the conf.
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         # Externally-created sessions default to 200 shuffle partitions;
         # size to local cores (AQE coalesces further at runtime).

@@ -28,13 +28,21 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
-# Parquet nanos arrive as bigint (see session.tune_runtime).
+from metastore_spark.ts import ts_us
+
+# Canonical wire shape (current testdata: parquet timestamp[us] →
+# TIMESTAMP_NTZ). Used as the fallback when the source directory has
+# no files to infer from; read_event_stream prefers the physical
+# schema of the files actually present, so a legacy bigint-nanos
+# generation still streams correctly.
 EVENT_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -46,42 +54,76 @@ EVENT_STREAM_SCHEMA = StructType(
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over an events directory (parquet)."""
-    reader = (
-        spark.readStream.schema(EVENT_STREAM_SCHEMA)
-        .format("parquet")
-    )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    """File-source stream over an events directory (parquet).
+
+    Streaming file sources need an explicit schema; rather than
+    hard-coding one physical encoding of ``ts``, peek at the parquet
+    footers with a batch reader (metadata-only, no row reads) and
+    stream with whatever type is really on disk —
+    :func:`normalize_events` adapts downstream.
+    """
     import os
 
+    glob = None
     if os.path.isfile(path):
         # file source wants a directory; narrow a single-file source
         # with a glob filter on its parent
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        glob = os.path.basename(path)
         path = os.path.dirname(path)
+    try:
+        probe = spark.read.format("parquet")
+        if glob:
+            probe = probe.option("pathGlobFilter", glob)
+        schema = probe.load(path).schema
+    except Exception:
+        schema = EVENT_STREAM_SCHEMA
+    reader = spark.readStream.schema(schema).format("parquet")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
+
+
+def event_time_col(stream: DataFrame, col: str = "ts") -> F.Column:
+    """TIMESTAMP (instant) event-time whose epoch-micros equal the
+    wall-clock micros of ``ts`` — watermarks require TimestampType,
+    and building the instant from the wall-clock micros keeps window
+    boundaries and unix_micros projections equal to the DuckDB
+    oracle's naive-timestamp arithmetic for ANY session timezone."""
+    dt = stream.schema[col].dataType
+    if isinstance(dt, TimestampType):
+        return F.col(col)
+    if isinstance(dt, TimestampNTZType):
+        return F.timestamp_micros(ts_us(col))
+    # legacy bigint nanos
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
 
 
 def normalize_events(stream: DataFrame) -> DataFrame:
     """Project the wire shape into the query shape: real event_time
-    timestamp (from bigint nanos), typed columns preserved."""
-    return stream.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    timestamp (watermark-capable), typed columns preserved."""
+    return stream.withColumn("event_time", event_time_col(stream))
 
 
 def windowed_event_counts(
     stream: DataFrame,
     window: str = "1 hour",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
 ) -> DataFrame:
     """Tumbling-window counts + value sums per event_type with
     late-data handling: rows later than ``watermark`` are dropped and
-    their window state is reclaimed — bounded memory forever."""
+    their window state is reclaimed — bounded memory forever.
+
+    ``watermark=None`` skips the watermark entirely — the right call
+    for a complete-mode availableNow drain, where all window state is
+    retained anyway and a watermark could drop pre-horizon history if
+    the source arrives as multiple files/micro-batches."""
+    normalized = normalize_events(stream)
+    if watermark is not None:
+        normalized = normalized.withWatermark("event_time", watermark)
     return (
-        normalize_events(stream)
-        .withWatermark("event_time", watermark)
+        normalized
         .groupBy(F.window("event_time", window), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -16,9 +16,9 @@ def stream_dir(spark, tmp_path_factory):
 
 
 def _batch_windows(spark, stream_dir):
+    raw = spark.read.parquet(stream_dir)
     batch = (
-        spark.read.parquet(stream_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        raw.withColumn("event_time", ev.event_time_col(raw))
         .groupBy(F.window("event_time", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
     )
@@ -31,13 +31,33 @@ def _batch_windows(spark, stream_dir):
 def test_windowed_counts_match_batch(spark, stream_dir):
     stream = ev.read_event_stream(spark, stream_dir)
     ev.run_to_memory_sink(
-        ev.windowed_event_counts(stream, window="1 hour"),
+        ev.windowed_event_counts(stream, window="1 hour", watermark=None),
         "win_counts_complete",
         output_mode="complete",
     )
     got = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in spark.table("win_counts_complete").collect()
+    }
+    assert got == _batch_windows(spark, stream_dir)
+    assert len(got) > 0
+
+
+def test_windowed_counts_multibatch_matches_batch(spark, stream_dir):
+    """The events_stream_hourly oracle contract must hold when the
+    source arrives as MULTIPLE micro-batches (maxFilesPerTrigger=1
+    over the 4-file source), not just a single-batch drain — the
+    no-watermark complete-mode drain retains all window state, so
+    later micro-batches cannot drop pre-horizon history."""
+    stream = ev.read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    ev.run_to_memory_sink(
+        ev.windowed_event_counts(stream, window="1 hour", watermark=None),
+        "win_counts_multibatch",
+        output_mode="complete",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("win_counts_multibatch").collect()
     }
     assert got == _batch_windows(spark, stream_dir)
     assert len(got) > 0

@@ -35,13 +35,27 @@ def _normalize(rows, colnames):
 def main() -> int:
     import duckdb
 
-    from metastore_spark.session import get_spark
     import __spark_entry__ as entrymod
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("ORACLE_GET_SPARK"):
+        from metastore_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
+    else:
+        # Default: a VANILLA session like the driver's — no builder
+        # confs from this repo. Catches anything that silently
+        # depends on get_spark()'s configuration (the round-2 lesson).
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master(f"local[{cpus}]")
+            .getOrCreate()
+        )
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
