@@ -97,6 +97,20 @@ def main() -> int:
         lambda pdf: pdf, "id bigint, g bigint"
     ).count()
 
+    # Machine calibration: a fixed JVM-side micro-op (codegen sum over
+    # range) and a fixed single-thread Python loop. Bench totals only
+    # compare across rounds after dividing by this — the hosts differ
+    # round-to-round (round 3's box measured ~2x slower per core than
+    # round 2's on identical code paths).
+    t0 = time.time()
+    spark.range(500_000_000).selectExpr("sum(id * 2)").collect()
+    calib_spark = round(time.time() - t0, 3)
+    t0 = time.time()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    calib_py = round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in REGISTRY:
@@ -122,6 +136,8 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib": {"spark_range_sum_sec": calib_spark,
+                  "py_loop_sec": calib_py},
     }
     print(json.dumps(result))
     # Append to the per-query history log so round-over-round regression

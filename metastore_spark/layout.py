@@ -22,6 +22,8 @@ assumes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,6 +46,53 @@ def write_events_by_day(df: DataFrame, path: str, ts_col: str = "ts") -> None:
         .partitionBy("event_date")
         .parquet(path)
     )
+
+
+def events_partitioned(
+    spark: SparkSession, sf_dir: str, warehouse: str | None = None
+):
+    """Probe-or-build the date-partitioned events layout for ``sf_dir``.
+
+    Returns ``(df, True)`` reading the partitioned layout (cached under
+    the repo warehouse, keyed by the sf_dir name and invalidated on
+    source size/mtime change), or ``(df, False)`` falling back to the
+    flat parquet when the layout can't be materialized (read-only FS,
+    concurrent writer, ...). Either way ``ts`` is canonical NTZ and the
+    query result must be identical — the layout only changes WHAT the
+    scan can prune, never the rows. The `_SOURCE.json` marker is
+    underscore-prefixed so Spark's parquet reader ignores it.
+    """
+    import json
+
+    from metastore_spark.ts import normalize_ts
+
+    src = os.path.join(sf_dir, "events.parquet")
+    flat = lambda: normalize_ts(spark.read.parquet(src))  # noqa: E731
+    if warehouse is None:
+        warehouse = os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "spark-warehouse",
+            ),
+        )
+    key = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    dest = os.path.join(os.path.abspath(warehouse), "events_by_day", key)
+    marker = os.path.join(dest, "_SOURCE.json")
+    try:
+        st = os.stat(src)
+        sig = {"size": st.st_size, "mtime": int(st.st_mtime)}
+        fresh = False
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                fresh = json.load(fh) == sig
+        if not fresh:
+            write_events_by_day(flat(), dest)
+            with open(marker, "w") as fh:
+                json.dump(sig, fh)
+        return spark.read.parquet(dest), True
+    except Exception:
+        return flat(), False
 
 
 def read_events_day_range(

@@ -125,6 +125,32 @@ def _decode_one(content: bytes) -> tuple[int, int, float]:
     )
 
 
+def synthesize_media(df: DataFrame) -> DataFrame:
+    """Table-driven synthetic media: (media_id, w, h) rows → binary
+    content via :func:`synth_image_bytes`, Arrow-batched worker-side
+    (never driver-materialized — the synth step scales with the
+    table, exactly like a real 'fetch bytes from object store' stage
+    would)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        synth_image_bytes(int(m), int(w), int(h))
+                        for m, w, h in zip(
+                            pdf["media_id"], pdf["w"], pdf["h"]
+                        )
+                    ],
+                }
+            )
+
+    return df.select("media_id", "w", "h").mapInPandas(
+        run, "media_id bigint, content binary"
+    )
+
+
 def decode_image_features(df: DataFrame) -> DataFrame:
     """Image → feature row, Arrow-batched via mapInPandas.
 

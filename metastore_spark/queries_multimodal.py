@@ -79,6 +79,68 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_oracle",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             CAST(16 + doc_id % 32 AS INT)        AS w,
+             CAST(16 + (doc_id * 7) % 32 AS INT)  AS h
+      FROM documents
+    ),
+    hx AS (
+      SELECT media_id, w, h,
+             sha256(CAST(media_id AS VARCHAR)) AS hex
+      FROM d
+    ),
+    bytes AS (
+      SELECT media_id, w, h,
+        list_transform(range(32), i ->
+          (CASE WHEN ord(substr(hex, 2*i+1, 1)) < 58
+                THEN ord(substr(hex, 2*i+1, 1)) - 48
+                ELSE ord(substr(hex, 2*i+1, 1)) - 87 END) * 16
+          + CASE WHEN ord(substr(hex, 2*i+2, 1)) < 58
+                 THEN ord(substr(hex, 2*i+2, 1)) - 48
+                 ELSE ord(substr(hex, 2*i+2, 1)) - 87 END
+        ) AS bv
+      FROM hx
+    )
+    SELECT media_id,
+           w AS width,
+           h AS height,
+           CAST(16 + w*h AS BIGINT) AS n_bytes,
+           ROUND(
+             ((w*h) // 32 * list_sum(bv)
+              + COALESCE(list_sum(bv[1:((w*h) % 32)]), 0))
+             / CAST(w*h AS DOUBLE), 4) AS mean_intensity
+    FROM bytes
+    """,
+)
+def multimodal_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode kernel with a VALUE oracle: per-document synthetic
+    media (dims derived from doc_id, payload = repeated sha256 digest
+    of the id — synth_image_bytes) is built worker-side, decoded by
+    the same Arrow mapInPandas pipeline as ``multimodal_decode_features``,
+    and every numeric feature (dims from the header, byte size, mean
+    intensity over the payload) is hash-checked against a pure-SQL
+    mirror of the signature math (hex-pair byte extraction + the
+    repeated-digest mean formula) — the PQ-codebook oracle pattern
+    applied to binary decode."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (16 + F.col("doc_id") % 32).cast("int").alias("w"),
+        (16 + (F.col("doc_id") * 7) % 32).cast("int").alias("h"),
+    )
+    feats = mm.decode_image_features(mm.synthesize_media(d))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+    )
+
+
+@query(
     "multimodal_frame_schedule",
     oracle="""
     WITH assets AS (

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from metastore_spark.operators.rangejoin import range_join_binned
 from metastore_spark.queries import query, _t
-from metastore_spark.ts import lit_us, ts_us, us_to_ts
+from metastore_spark.ts import lit_ts, lit_us, ts_us, us_to_ts
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -401,8 +401,16 @@ def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output's own size, never a blowup of the input. The
     forward-fill window partitions by user_id, so no global sort and
     state per task is one user's day series.
+
+    Reads through the date-partitioned layout (layout.events_partitioned
+    probe, flat-parquet fallback) — result identical either way, but
+    the partitioned path is what CORRECTNESS exercises (SCALE.md
+    'Scan & filter').
     """
-    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    from metastore_spark import layout
+
+    e, _ = layout.events_partitioned(spark, sf_dir)
+    e = e.filter(F.col("user_id") % 7 == 0)
     daily = e.groupBy(
         "user_id",
         F.to_date(F.col("ts")).alias("day"),
@@ -644,8 +652,13 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     |hourly| rows each. Counts stay bigint; value sums ride as
     DECIMAL(18,6) through the hierarchy (exact under re-association)
     and round to double only at the output edge.
+
+    Reads through the date-partitioned layout (probe + fallback, see
+    events_gapfill_daily).
     """
-    e = _t(spark, sf_dir, "events")
+    from metastore_spark import layout
+
+    e, _ = layout.events_partitioned(spark, sf_dir)
     hourly = (
         e.groupBy(
             F.date_trunc(
@@ -729,5 +742,47 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 2).alias("low"),
             F.round(F.max_by("value", ordkey), 2).alias("close"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_day_range_pruned",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-09 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def events_day_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range rollup through the partitioned layout: the
+    event_date predicate is a PARTITION filter (directory pruning —
+    the scan never opens a row group outside the four requested
+    days), with the exact ts bounds as the residual predicate. On the
+    flat-parquet fallback the same ts predicate still row-group-prunes
+    via parquet min/max stats; the result is identical, the layout
+    only changes how much the scan reads. tests/test_layout.py pins
+    the PartitionFilters plan shape; this query pins the values.
+    """
+    from metastore_spark import layout
+
+    e, partitioned = layout.events_partitioned(spark, sf_dir)
+    if partitioned:
+        # partition filter first: prunes directories before any IO
+        e = e.filter(
+            (F.col("event_date") >= "2024-01-05")
+            & (F.col("event_date") <= "2024-01-08")
+        )
+    lo, hi = lit_ts("2024-01-05 00:00:00"), lit_ts("2024-01-09 00:00:00")
+    return (
+        e.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
         )
     )

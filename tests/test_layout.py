@@ -93,3 +93,36 @@ def test_incremental_refresh_equals_full_build(spark, tmp_path):
         for r in inc.collect()
     }
     assert got == want
+
+
+def test_events_partitioned_probe_and_pruned_query(spark, tmp_path):
+    """events_partitioned builds the layout once (marker-cached) and
+    the registry's day-range query prunes partitions through it."""
+    import metastore_spark.queries_temporal  # noqa: F401
+    from metastore_spark.queries import REGISTRY
+
+    wh = str(tmp_path / "wh")
+    df, used = layout.events_partitioned(
+        spark, "/root/testdata/sf0.001", warehouse=wh
+    )
+    assert used
+    flat = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert df.count() == flat.count()
+    # second probe reuses the cache (marker matches — no rewrite):
+    # capture the layout dir mtimes and re-probe
+    import os
+
+    dest = os.path.join(wh, "events_by_day", "sf0.001")
+    before = os.path.getmtime(os.path.join(dest, "_SOURCE.json"))
+    df2, used2 = layout.events_partitioned(
+        spark, "/root/testdata/sf0.001", warehouse=wh
+    )
+    assert used2 and os.path.getmtime(
+        os.path.join(dest, "_SOURCE.json")
+    ) == before
+
+    # the registry query (repo-warehouse layout) shows partition
+    # pruning in its plan
+    plan = _explain(REGISTRY["events_day_range_pruned"].fn(spark, "/root/testdata/sf0.001"))
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan
