@@ -105,7 +105,7 @@ def sessionize_stream(
                             "session_start": start,
                             "session_end": last_ts,
                             "n_events": n,
-                            "session_value": round(val, 2),
+                            "session_value": val,
                         }
                     ]
                 )
@@ -129,7 +129,7 @@ def sessionize_stream(
                         "session_start": start,
                         "session_end": last_ts,
                         "n_events": n,
-                        "session_value": round(val, 2),
+                        "session_value": val,
                     }
                 )
                 seq, start, n, val = seq + 1, ts, 1, v

@@ -223,3 +223,105 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         (F.unix_micros("p_time") - F.unix_micros("c_time")).alias("gap_us"),
     )
+
+
+@query(
+    "events_stream_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             1 + SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT)     AS session_seq,
+           EPOCH_US(MIN(ts))               AS session_start_us,
+           EPOCH_US(MAX(ts))               AS session_end_us,
+           CAST(COUNT(*) AS BIGINT)        AS n_events,
+           ROUND(SUM(value), 2)            AS session_value
+    FROM sessioned
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization as a custom stateful operator
+    (applyInPandasWithState, per-user state = open-session tuple) —
+    the operator shape Spark lacks a built-in for — value-hash checked
+    against the batch window-trick SQL.
+
+    The availableNow drain only emits GAP-CLOSED sessions, so the
+    query unions a per-user SENTINEL stream (one synthetic event at
+    global-max-ts + 2×gap): every real session closes deterministically
+    and the sentinel's own session stays open in state and never
+    emits. Streamed output therefore equals the batch sessionization
+    of the real events exactly — no timeout race, no lost tails.
+
+    Scale: state shards by user_id (the groupBy key); per-user state
+    is one tuple regardless of history length; sentinels add |users|
+    rows, not |events|.
+    """
+    import shutil
+    import tempfile
+
+    from metastore_spark.operators.sessions import sessionize_stream
+    from metastore_spark.session import tune_runtime
+    from metastore_spark.ts import ts_us
+
+    gap_us = 30 * 60 * 10**6
+    name = f"events_stream_sessions_{next(_counter)}"
+    # state-store sizing in an isolated session, same rationale as
+    # events_stream_interval_join (store init dominates small state)
+    iso = spark.newSession()
+    tune_runtime(iso)
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = iso
+
+    # parameter-sized collect: one global max timestamp
+    from metastore_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    hi = e.agg(F.max(ts_us("ts")).alias("hi")).first()["hi"]
+    sentinels = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(hi + 2 * gap_us).cast("bigint").alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="sess_sentinels_")
+    try:
+        sentinels.coalesce(1).write.mode("overwrite").parquet(tmp)
+        real = ev.read_event_stream(spark, f"{sf_dir}/events.parquet")
+        real = real.select(
+            "user_id", ts_us("ts").cast("bigint").alias("ts"), "value"
+        )
+        sent = (
+            spark.readStream.schema("user_id bigint, ts bigint, value double")
+            .parquet(tmp)
+        )
+        out = sessionize_stream(
+            real.unionByName(sent), gap=gap_us, timeout_ms=None
+        )
+        ev.run_to_memory_sink(out, name, output_mode="append")
+        return spark.table(name).select(
+            "user_id",
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            F.col("session_start").alias("session_start_us"),
+            F.col("session_end").alias("session_end_us"),
+            "n_events",
+            F.round("session_value", 2).alias("session_value"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

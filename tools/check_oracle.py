@@ -7,6 +7,12 @@ multiset (floats compared exactly — our queries round on both sides,
 so any drift is a real bug).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Set CHECK_ORACLE_JSON=<path> to also write a driver-style JSON report
+({query: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}) — used to commit SELFCHECK_r{N}.json so queries
+the driver's 50-query sample never reached still carry an
+oracle-checked record.
 """
 
 from __future__ import annotations
@@ -70,38 +76,56 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        report[name] = rec
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             spark_cols = [c.lower() for c in sdf.columns]
             spark_rows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(spark_rows)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            rec["err"] = f"spark error: {e}"
             failed.append(name)
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(spark_rows)} rows, "
                   f"{time.time()-t0:.1f}s)")
+            rec["rows_match"] = "rows-only"
             continue
         try:
             rel = con.execute(oracles[name])
             duck_cols = [d[0].lower() for d in rel.description]
             duck_rows = rel.fetchall()
+            rec["oracle_rows"] = len(duck_rows)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb error: {e}"
             failed.append(name)
             continue
         problems = []
-        if len(spark_rows) != len(duck_rows):
+        rec["rows_match"] = len(spark_rows) == len(duck_rows)
+        rec["schema_match"] = sorted(spark_cols) == sorted(duck_cols)
+        if not rec["rows_match"]:
             problems.append(f"rowcount {len(spark_rows)} != {len(duck_rows)}")
-        if sorted(spark_cols) != sorted(duck_cols):
+        if not rec["schema_match"]:
             problems.append(f"cols {sorted(spark_cols)} != {sorted(duck_cols)}")
         if not problems:
             s = _normalize(spark_rows, spark_cols)
             d = _normalize(duck_rows, duck_cols)
+            rec["hash_match"] = s == d
             if s != d:
                 diff = [(a, b) for a, b in zip(s, d) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
@@ -111,6 +135,17 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(spark_rows)} rows match "
                   f"({time.time()-t0:.1f}s)")
+    out_path = os.environ.get("CHECK_ORACLE_JSON")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "ts": int(time.time()), "results": report},
+                fh,
+                indent=1,
+                default=str,
+            )
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 
