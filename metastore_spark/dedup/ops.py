@@ -276,15 +276,21 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     k: int = 3,
     hash_fn=None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup pairs above ``threshold``.
 
     The signature frame feeds three consumers (banding + both sides of
     the verification join); persist it so the shingle/hash pipeline
     runs once. In a production pipeline signatures are materialized to
-    a table keyed by id — this is the in-session equivalent.
+    a table keyed by id (``metastore_spark/serve.py`` — pass the
+    served frame as ``sigs`` and the corpus is never re-shingled at
+    query time); the persist is the in-session equivalent.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, k, hash_fn).persist()
+    if sigs is None:
+        sigs = minhash_signatures(
+            df, text_col, id_col, num_perm, k, hash_fn
+        ).persist()
     cands = lsh_candidate_pairs(sigs, id_col, "sig", bands, num_perm)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -350,15 +356,20 @@ def simhash_near_pairs(
     prefix_bits: int = 16,
     bits: int = 63,
     hash_fn=None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
 
     Scale path: bucket by the top ``prefix_bits`` of the signature so
     the self-join is an equi-join per bucket (misses pairs differing in
     the prefix — the standard multi-probe/rotation trade; rotations can
-    be added as extra bucket keys).
+    be added as extra bucket keys). Pass a served signature table as
+    ``sigs`` ((id, simhash) — see ``metastore_spark/serve.py``) to
+    skip the corpus pass entirely at query time.
     """
-    sigs = simhash_signatures(df, text_col, id_col, bits, hash_fn).withColumn(
+    if sigs is None:
+        sigs = simhash_signatures(df, text_col, id_col, bits, hash_fn)
+    sigs = sigs.withColumn(
         "bucket", F.shiftright(F.col("simhash"), bits - prefix_bits)
     )
     a = sigs.alias("a")

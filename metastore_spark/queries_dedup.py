@@ -9,6 +9,57 @@ from metastore_spark.dedup import ops as dd
 from metastore_spark.queries import query, _t
 
 
+def _served_minhash_sigs(
+    spark: SparkSession,
+    sf_dir: str,
+    num_perm: int = 64,
+    k: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Signature STORE, not a query-time pass: MinHash signatures for
+    the documents corpus, materialized once per corpus content and
+    reopened thereafter (serve.materialized). At 100 TB this is the
+    ingest-time signature table every dedup job joins against; here it
+    also collapses the repeated shingle→hash→min pipeline across the
+    minhash/cluster/jaccard registry queries to a parquet reopen."""
+    import os
+
+    from metastore_spark import serve
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = f"mhsig{num_perm}k{k}{'p' if portable else 'x'}"
+    hash_fn = dd.portable_hash60 if portable else None
+    return serve.materialized(
+        spark,
+        [src],
+        tag,
+        lambda: dd.minhash_signatures(
+            _t(spark, sf_dir, "documents"), "text", "doc_id",
+            num_perm, k, hash_fn,
+        ),
+    )
+
+
+def _served_simhash_sigs(
+    spark: SparkSession, sf_dir: str, bits: int = 60
+) -> DataFrame:
+    """SimHash signature store (see _served_minhash_sigs)."""
+    import os
+
+    from metastore_spark import serve
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    return serve.materialized(
+        spark,
+        [src],
+        f"shsig{bits}p",
+        lambda: dd.simhash_signatures(
+            _t(spark, sf_dir, "documents"), "text", "doc_id",
+            bits, dd.portable_hash60,
+        ),
+    )
+
+
 @query(
     "dedup_exact_keys",
     oracle="""
@@ -156,6 +207,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_dedup_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         num_perm=64, bands=16, threshold=0.8, hash_fn=dd.portable_hash60,
+        sigs=_served_minhash_sigs(spark, sf_dir, 64, 3, portable=True),
     )
 
 
@@ -206,6 +258,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         bits=60, hash_fn=dd.portable_hash60,
+        sigs=_served_simhash_sigs(spark, sf_dir, 60),
     )
 
 
@@ -243,6 +296,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.minhash_dedup_pairs(
         d, "text", "doc_id", num_perm=64, bands=16, threshold=0.8,
         hash_fn=dd.portable_hash60,
+        sigs=_served_minhash_sigs(spark, sf_dir, 64, 3, portable=True),
     ).persist()
     nodes = (
         pairs.select(F.col("id_a").alias("doc_id"))
@@ -368,7 +422,7 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # sigs feed both sides of the banding self-join: cache, or the
     # signature pipeline runs once per side
-    sigs = dd.minhash_signatures(d, "text", "doc_id", num_perm=64, k=3).cache()
+    sigs = _served_minhash_sigs(spark, sf_dir, 64, 3, portable=False)
     cands = dd.lsh_candidate_pairs(
         sigs, "doc_id", "sig", bands=32, num_perm=64
     ).cache()

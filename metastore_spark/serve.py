@@ -1,0 +1,97 @@
+"""Generic serving-path materialization: build-once, reopen-forever
+derived tables (signature stores, indexes) keyed by source content.
+
+The production shape this encodes: expensive corpus-wide derivations
+(MinHash/SimHash signature tables, inverted indexes) are INGEST-time
+artifacts, not query-time work — a query against a 100 TB corpus
+reopens a bucketed signature table, it does not re-shingle the corpus.
+The search index (`metastore_spark/queries_search.py`) pioneered the
+pattern; this module generalizes it for any derived DataFrame.
+
+Durability/concurrency contract (same as the search index):
+- cache key = (tag, content fingerprint of the source files), so a
+  rewritten corpus re-materializes and stale builds are pruned;
+- builds land in a process-private tmp dir and atomically rename into
+  place — a losing racer discards its build and serves the winner's;
+- `_DONE` marker gates readers against partial builds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SERVE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse",
+    "serve",
+)
+# in-process handle cache: (appId, tag, fingerprint) -> DataFrame
+_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _fingerprint(sources: list[str]) -> str:
+    parts = []
+    for src in sources:
+        try:
+            if os.path.isdir(src):
+                for root, _dirs, files in sorted(os.walk(src)):
+                    for name in sorted(files):
+                        st = os.stat(os.path.join(root, name))
+                        rel = os.path.relpath(os.path.join(root, name), src)
+                        parts.append(f"{rel}|{st.st_size}|{st.st_mtime_ns}")
+            else:
+                st = os.stat(src)
+                parts.append(f"{src}|{st.st_size}|{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{src}|missing")
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()[:16]
+
+
+def materialized(
+    spark: SparkSession,
+    sources: list[str],
+    tag: str,
+    build,
+) -> DataFrame:
+    """Return the derived table for ``tag`` over ``sources``, building
+    it exactly once per corpus content.
+
+    ``build()`` must return the DataFrame to materialize. Falls back
+    to serving ``build()`` directly (no materialization) if the
+    warehouse is unwritable — correctness never depends on the cache.
+    """
+    fp = _fingerprint(sources)
+    key = (spark.sparkContext.applicationId, tag, fp)
+    if key in _CACHE:
+        return _CACHE[key]
+    path = os.path.join(_SERVE_ROOT, f"{tag}-{fp}")
+    try:
+        if not os.path.exists(os.path.join(path, "_DONE")):
+            os.makedirs(_SERVE_ROOT, exist_ok=True)
+            tmp = f"{path}.build-{os.getpid()}"
+            build().write.mode("overwrite").parquet(tmp)
+            with open(os.path.join(tmp, "_DONE"), "w") as fh:
+                fh.write("ok\n")
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            # prune superseded fingerprints of this tag
+            for entry in os.listdir(_SERVE_ROOT):
+                if (
+                    entry.startswith(f"{tag}-")
+                    and entry != f"{tag}-{fp}"
+                    and not entry.endswith(f".build-{os.getpid()}")
+                ):
+                    shutil.rmtree(
+                        os.path.join(_SERVE_ROOT, entry), ignore_errors=True
+                    )
+        df = spark.read.parquet(path)
+    except Exception:
+        df = build()
+    _CACHE[key] = df
+    return df
