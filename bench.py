@@ -128,6 +128,11 @@ def main() -> int:
         timings[name] = round(best, 3)
         n = REGISTRY[name].fn(spark, sf_dir).count()  # untimed, for the log
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # drop this query's persisted frames: per-query caches are an
+        # intra-query optimization, and letting 47 queries' caches
+        # accumulate in one JVM eventually exhausts the heap. Serving
+        # stores (indexes, signatures) are parquet reopens, unaffected.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -44,6 +44,18 @@ def query(name: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_runtime(spark)
+            # Drop PREVIOUS queries' persisted frames before building
+            # this one: per-query caches are intra-query optimizations,
+            # and a harness that runs dozens of registry queries in one
+            # JVM (driver correctness sample, bench, oracle sweep) must
+            # not accumulate them until the heap dies. Composed queries
+            # are safe: the inner wrapper runs before the outer body
+            # caches anything. Serving stores are parquet reopens and
+            # are unaffected.
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -605,3 +605,46 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_hit").isNotNull().alias("dup_of_corpus"),
         )
     )
+
+
+@query(
+    "dedup_corpus_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(u, v) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    ),
+    drop AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+    SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop)
+    """,
+)
+def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLIED: the training corpus after near-dup removal —
+    each verified cluster keeps its min-doc_id representative, every
+    unpaired doc survives untouched. This is the output artifact a
+    data pipeline actually ships; the pairs/clusters queries are its
+    diagnostics. Anti-join shape: survivors = documents ⟕̸ drop-list
+    (left_anti on a cluster-member frame that excludes each cluster's
+    keeper) — the drop-list is near-dup-sized, never corpus-sized, so
+    the anti-join broadcast-prunes at any scale."""
+    clusters = dedup_clusters_verified(spark, sf_dir)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    d = _t(spark, sf_dir, "documents")
+    return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )

@@ -35,6 +35,18 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
+        # local mode: driver == executor JVM, and Spark's 1g default
+        # heap OOMs once tens of queries accumulate cached frames /
+        # broadcasts. Only effective at JVM launch (ignored if a
+        # session already exists — e.g. under a host-owned driver).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
+        # JVM unified-logging warnings (gc,alloc GCLocker retries)
+        # print to STDOUT and would corrupt stdout contracts like
+        # bench.py's one-JSON-line output.
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
