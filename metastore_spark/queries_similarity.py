@@ -125,10 +125,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed lists — the oracle reproduces every stage including the
     recall misses of unprobed lists. The k-means quantizer
     (kmeans_centroids) remains the balanced-lists index build, pinned
-    by tests/test_serve_index.py and tests/test_similarity.py."""
+    by tests/test_serve_index.py and tests/test_similarity.py.
+
+    The assignment table is a SERVED index (serve.materialized,
+    partitioned by centroid_id): built once per corpus content at
+    ingest, and the nprobe filter is then directory pruning — the
+    probe scan opens nprobe of k partition dirs, the 100 TB ANN
+    serving shape."""
+    import os
+
+    from metastore_spark import serve
+
     emb = _t(spark, sf_dir, "embeddings")
     centroids = sim.sampled_centroids(emb, k=8)
-    indexed = sim.ivf_assign(emb, centroids)
+    indexed = serve.materialized(
+        spark,
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        "ivf8",
+        lambda: sim.ivf_assign(emb, centroids),
+        partition_by=["centroid_id"],
+    )
     qvec = _query_vec(spark, sf_dir, 0)
     return sim.ivf_topk(indexed, centroids, qvec, k=10, nprobe=3)
 

@@ -56,13 +56,17 @@ def materialized(
     sources: list[str],
     tag: str,
     build,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Return the derived table for ``tag`` over ``sources``, building
     it exactly once per corpus content.
 
-    ``build()`` must return the DataFrame to materialize. Falls back
-    to serving ``build()`` directly (no materialization) if the
-    warehouse is unwritable — correctness never depends on the cache.
+    ``build()`` must return the DataFrame to materialize;
+    ``partition_by`` lays the store out hive-partitioned so equality
+    probes on those columns become directory pruning (e.g. an IVF
+    index partitioned by centroid_id). Falls back to serving
+    ``build()`` directly (no materialization) if the warehouse is
+    unwritable — correctness never depends on the cache.
     """
     fp = _fingerprint(sources)
     key = (spark.sparkContext.applicationId, tag, fp)
@@ -73,7 +77,10 @@ def materialized(
         if not os.path.exists(os.path.join(path, "_DONE")):
             os.makedirs(_SERVE_ROOT, exist_ok=True)
             tmp = f"{path}.build-{os.getpid()}"
-            build().write.mode("overwrite").parquet(tmp)
+            writer = build().write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(tmp)
             with open(os.path.join(tmp, "_DONE"), "w") as fh:
                 fh.write("ok\n")
             try:

@@ -183,3 +183,14 @@ def test_heavy_hitters_verify_is_broadcast_semi(spark):
     df = REGISTRY["events_heavy_hitters"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_ann_ivf_probe_partition_prunes(spark):
+    """The served IVF index is partitioned by centroid_id, so the
+    nprobe filter must reach the scan as a partition filter."""
+    import metastore_spark.queries_similarity  # noqa: F401
+
+    df = REGISTRY["ann_ivf_topk"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan
