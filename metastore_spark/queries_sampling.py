@@ -156,3 +156,67 @@ def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_id"),
         )
     )
+
+
+def _leak_safe_oracle() -> str:
+    from metastore_spark.queries_dedup import _SHINGLE_PAIR_CTES
+
+    ph = (
+        "list_sum(list_transform(range(1,16), i -> "
+        "(strpos('0123456789abcdef', substr(md5(CAST(gkey AS VARCHAR)), i, 1))"
+        " - 1)::BIGINT * (1::BIGINT << (4*(15-i)))))"
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLE_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(u, v) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    ),
+    keyed AS (
+      SELECT d.doc_id,
+             COALESCE(l.cluster_id, d.doc_id) AS gkey,
+             l.cluster_id IS NOT NULL        AS grouped
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN ({ph}) % 100 < 90 THEN 'train' ELSE 'val' END AS split,
+           grouped
+    FROM keyed
+    """
+
+
+@query("docs_split_leakage_safe", oracle=_leak_safe_oracle())
+def docs_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: membership hashes the near-dup
+    CLUSTER representative (verified-Jaccard connected component), so
+    two near-duplicate documents can never land on opposite sides of
+    the split — the contamination mode a plain per-doc hash split
+    leaves open. Unclustered docs hash their own id; the whole
+    assignment stays deterministic, engine-portable, and
+    layout-independent. Composition shape: the cluster labels are
+    near-dup-sized (broadcastable at any corpus scale), left-joined
+    onto the corpus scan, then a map-only hash bucket."""
+    from metastore_spark.dedup.ops import portable_hash60
+    from metastore_spark.queries_dedup import dedup_clusters_verified
+
+    clusters = dedup_clusters_verified(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").join(
+        F.broadcast(clusters), "doc_id", "left"
+    )
+    key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = portable_hash60(key.cast("string")) % 100
+    return d.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("val").alias("split"),
+        F.col("cluster_id").isNotNull().alias("grouped"),
+    )
