@@ -219,3 +219,65 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         run, "media_id bigint, content binary, width int, height int"
     )
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "asset_id bigint, win_idx int, rms double, zero_crossings int"
+)
+
+
+def synth_pcm(asset_id: int, n_samples: int) -> list[int]:
+    """Deterministic synthetic PCM in [-128, 127]: the sha256 digest of
+    the id, cycled with a per-repeat amplitude ramp so successive
+    windows differ (s_i = (b[i%32]*(1+i//32)) % 256 - 128)."""
+    b = hashlib.sha256(str(asset_id).encode()).digest()
+    return [
+        ((b[i % 32] * (1 + i // 32)) % 256) - 128 for i in range(n_samples)
+    ]
+
+
+def audio_window_features(
+    df: DataFrame, window: int = 32, hop: int = 16
+) -> DataFrame:
+    """Audio feature extraction over binary-style PCM: frame the signal
+    into overlapping windows and emit RMS + zero-crossing counts per
+    window — the standard VAD/energy front-end, Arrow-batched via
+    mapInPandas exactly like the image decode kernel (swap synth_pcm
+    for a real codec read and nothing else changes).
+
+    Input: (asset_id, n_samples). Output rows scale with total signal
+    length / hop; the stage is map-only (no shuffle) and partitions
+    by the input scan.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "win_idx": [],
+                "rms": [],
+                "zero_crossings": [],
+            }
+            for aid, n in zip(pdf["asset_id"], pdf["n_samples"]):
+                s = np.asarray(synth_pcm(int(aid), int(n)), dtype="float64")
+                if len(s) < window:
+                    continue
+                nw = (len(s) - window) // hop + 1
+                for w in range(nw):
+                    seg = s[w * hop : w * hop + window]
+                    nonneg = seg >= 0
+                    out["asset_id"].append(int(aid))
+                    out["win_idx"].append(w)
+                    out["rms"].append(
+                        round(float(np.sqrt((seg * seg).mean())), 4)
+                    )
+                    out["zero_crossings"].append(
+                        int((nonneg[1:] != nonneg[:-1]).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "n_samples").mapInPandas(
+        run, AUDIO_WINDOW_SCHEMA
+    )

@@ -206,3 +206,62 @@ def multimodal_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ts_ms"),
     )
+
+
+@query(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             (n_chars % 1000) + 64 AS n_samples,
+             sha256(CAST(doc_id AS VARCHAR)) AS hex
+      FROM documents
+    ),
+    bytes AS (
+      SELECT asset_id, n_samples,
+        list_transform(range(32), i ->
+          (CASE WHEN ord(substr(hex, 2*i+1, 1)) < 58
+                THEN ord(substr(hex, 2*i+1, 1)) - 48
+                ELSE ord(substr(hex, 2*i+1, 1)) - 87 END) * 16
+          + CASE WHEN ord(substr(hex, 2*i+2, 1)) < 58
+                 THEN ord(substr(hex, 2*i+2, 1)) - 48
+                 ELSE ord(substr(hex, 2*i+2, 1)) - 87 END
+        ) AS bv
+      FROM a
+    ),
+    wins AS (
+      SELECT asset_id, bv,
+             unnest(range((n_samples - 32) // 16 + 1)) AS w
+      FROM bytes WHERE n_samples >= 32
+    ),
+    seg AS (
+      SELECT asset_id, CAST(w AS INT) AS win_idx,
+        list_transform(range(32), j ->
+          ((bv[((w*16 + j) % 32) + 1] * (1 + (w*16 + j) // 32)) % 256) - 128
+        ) AS s
+      FROM wins
+    )
+    SELECT asset_id, win_idx,
+           ROUND(sqrt(list_sum(list_transform(s, x -> x*x)) / 32.0), 4)
+             AS rms,
+           CAST(list_sum(list_transform(range(1, 32), j ->
+             CASE WHEN (s[j+1] >= 0) <> (s[j] >= 0) THEN 1 ELSE 0 END))
+             AS INT) AS zero_crossings
+    FROM seg
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio front-end over synthetic PCM: overlapping 32-sample
+    windows (hop 16) → RMS energy + zero-crossing counts per window,
+    the classic VAD/energy featurization — run through the same
+    Arrow-batched mapInPandas kernel shape as the image decode (swap
+    synth_pcm for a codec read and the plan is unchanged). Signal
+    length derives from documents metadata, the PCM from the id's
+    sha256 digest with an amplitude ramp, so DuckDB mirrors every
+    sample and the windows are value-hash checked end-to-end. Output
+    cardinality = total signal length / hop; the stage is map-only."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        (F.col("n_chars") % 1000 + 64).cast("bigint").alias("n_samples"),
+    )
+    return mm.audio_window_features(d, window=32, hop=16)

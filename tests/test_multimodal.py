@@ -47,3 +47,34 @@ def test_decode_rejects_unknown_bytes(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no image decoder"):
         mm.decode_image_features(df).collect()
+
+
+def test_audio_window_features_values(spark):
+    """Pin the audio kernel against a hand-computed reference."""
+    import numpy as np
+
+    from metastore_spark import multimodal as mm
+
+    n = 80  # 4 windows at window=32, hop=16
+    df = spark.createDataFrame([(7, n)], "asset_id bigint, n_samples bigint")
+    rows = {
+        r["win_idx"]: (r["rms"], r["zero_crossings"])
+        for r in mm.audio_window_features(df).collect()
+    }
+    s = np.asarray(mm.synth_pcm(7, n), dtype="float64")
+    assert len(rows) == (n - 32) // 16 + 1
+    for w, (rms, zc) in rows.items():
+        seg = s[w * 16 : w * 16 + 32]
+        assert rms == round(float(np.sqrt((seg * seg).mean())), 4)
+        nonneg = seg >= 0
+        assert zc == int((nonneg[1:] != nonneg[:-1]).sum())
+
+
+def test_audio_short_signal_skipped(spark):
+    from metastore_spark import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 32)], "asset_id bigint, n_samples bigint"
+    )
+    out = mm.audio_window_features(df).collect()
+    assert {r["asset_id"] for r in out} == {2}  # sub-window signal drops
