@@ -325,3 +325,55 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "events_stream_cdc_apply",
+    oracle="""
+    SELECT user_id, event_id, ts_us, event_type, value FROM (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             ROUND(value, 2) AS value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC APPLY end-to-end: the event feed split into
+    multiple micro-batches (maxFilesPerTrigger=1 over a 4-file copy)
+    drives foreachBatch generation-swapped merges of a
+    latest-state-per-user table; the FINAL state generation must equal
+    the batch latest-state computation — proving the incremental MERGE
+    (max_by under a total order, associative over batches) converges
+    regardless of feed batching. The writeStream/maintenance half of
+    the CDC story (the read half is events_cdc_latest_state)."""
+    import shutil
+    import tempfile
+
+    from metastore_spark.catalog import load_table
+
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    state = tempfile.mkdtemp(prefix="cdc_state_")
+    try:
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        final_gen = ev.cdc_apply_stream(
+            spark, src, state, max_files_per_trigger=1
+        )
+        out = spark.read.parquet(final_gen).select(
+            "user_id",
+            F.col("st.event_id").alias("event_id"),
+            F.col("st.ts_us").alias("ts_us"),
+            F.col("st.event_type").alias("event_type"),
+            F.round(F.col("st.value"), 2).alias("value"),
+        )
+        # the tmp dirs must outlive the driver's collect: materialize
+        # the (users-sized) result before cleanup
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

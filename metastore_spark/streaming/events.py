@@ -164,3 +164,88 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return q
+
+
+def cdc_apply_stream(
+    spark: SparkSession,
+    src_path: str,
+    state_root: str,
+    max_files_per_trigger: int | None = 1,
+) -> str:
+    """Streaming CDC APPLY: maintain a latest-state-per-key table from
+    an append-only change feed, via foreachBatch generation swapping.
+
+    Each micro-batch compacts to its per-user latest row (max_by over
+    the (event-time, event_id) total order), merges with the current
+    state generation, and writes generation N+1 — readers always open
+    the highest complete generation, the writer never overwrites the
+    files it is reading (the atomic-swap discipline a real lakehouse
+    MERGE INTO encodes). Because the per-key latest under a total
+    order is associative over batches, the final state equals the
+    batch computation regardless of how the feed splits into
+    micro-batches. Returns the final generation's path.
+
+    At scale: each merge shuffles |state-keys| + |batch-keys| rows on
+    the key — the state table would be bucketed by key so the merge
+    co-locates; generations are retained for time travel / rollback
+    and pruned by retention policy.
+    """
+    import os
+
+    def _gens() -> list[int]:
+        if not os.path.isdir(state_root):
+            return []
+        out = []
+        for d in os.listdir(state_root):
+            if d.startswith("gen=") and os.path.exists(
+                os.path.join(state_root, d, "_SUCCESS")
+            ):
+                out.append(int(d.split("=")[1]))
+        return sorted(out)
+
+    stream = read_event_stream(spark, src_path, max_files_per_trigger)
+
+    def merge(batch_df, batch_id: int) -> None:
+        # event_time_col adapts to the physical ts encoding; its
+        # epoch-micros are the canonical wall-clock micros
+        b = batch_df.withColumn(
+            "_us", F.unix_micros(event_time_col(batch_df))
+        )
+        ord_col = F.struct(F.col("_us").alias("t"), F.col("event_id").alias("e"))
+        payload = F.struct(
+            "event_id", F.col("_us").alias("ts_us"), "event_type", "value"
+        )
+        latest = b.groupBy("user_id").agg(
+            F.max_by(payload, ord_col).alias("st")
+        )
+        gens = _gens()
+        if gens:
+            cur = spark.read.parquet(
+                os.path.join(state_root, f"gen={gens[-1]}")
+            )
+            # state rows re-enter the same max_by under the same total
+            # order — idempotent, associative merge
+            reord = F.struct(
+                F.col("st.ts_us").alias("t"), F.col("st.event_id").alias("e")
+            )
+            latest = (
+                cur.unionByName(latest)
+                .groupBy("user_id")
+                .agg(F.max_by(F.col("st"), reord).alias("st"))
+            )
+        nxt = (gens[-1] + 1) if gens else 0
+        latest.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"gen={nxt}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(state_root, "_checkpoint")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    gens = _gens()
+    return os.path.join(state_root, f"gen={gens[-1]}") if gens else ""
