@@ -645,3 +645,67 @@ def events_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("h").alias("checksum"),
         )
     )
+
+
+@query(
+    "events_daily_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             SUM(value) AS revenue
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, day, revenue,
+             AVG(revenue) OVER w    AS mu,
+             STDDEV_SAMP(revenue) OVER w AS sigma,
+             COUNT(*) OVER w        AS n_hist
+      FROM daily
+      WINDOW w AS (
+        PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT event_type, day,
+           ROUND(revenue, 2) AS revenue,
+           ROUND((revenue - mu) / sigma, 4) AS zscore,
+           ABS((revenue - mu) / sigma) > 3.0 AS is_anomaly
+    FROM scored
+    WHERE n_hist >= 7 AND sigma > 0
+    """,
+)
+def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags on the daily revenue series: each
+    (event_type, day) scores against the TRAILING 7-day window
+    excluding itself (self-inclusion would dampen the very spike being
+    tested). The monitoring primitive for pipeline health at scale —
+    the window runs over the daily AGGREGATE (one row per type×day),
+    partitioned by type, never over raw events; warm-up rows (fewer
+    than 7 prior days) and zero-variance windows are excluded
+    deterministically on both engines."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum("value").alias("revenue"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    z = (F.col("revenue") - F.avg("revenue").over(w)) / F.stddev_samp(
+        "revenue"
+    ).over(w)
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.stddev_samp("revenue").over(w).alias("_sig"),
+    )
+    return scored.filter(
+        (F.col("_n") >= 7) & (F.col("_sig") > 0)
+    ).drop("_n", "_sig")
