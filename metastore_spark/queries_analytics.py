@@ -709,3 +709,73 @@ def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         (F.col("_n") >= 7) & (F.col("_sig") > 0)
     ).drop("_n", "_sig")
+
+
+@query(
+    "docs_column_profile",
+    oracle="""
+    SELECT 'doc_id' AS column_name,
+           CAST(COUNT(*) AS BIGINT)                       AS n_rows,
+           CAST(COUNT(*) - COUNT(doc_id) AS BIGINT)       AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT)         AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR)                   AS min_val,
+           CAST(MAX(doc_id) AS VARCHAR)                   AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT),
+           MIN(lang), MAX(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(source) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           MIN(source), MAX(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def docs_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the statistics a METADATA STORE serves about
+    its corpora (the reference's whole domain is dataset metadata):
+    per-column row/null/distinct counts and min/max, computed in ONE
+    scan via grouped conditional aggregates (the long-format output is
+    an unpivot of a single aggregate row — no per-column rescans; the
+    oracle states the naive per-column UNION for clarity). At 100 TB
+    swap exact distincts for approx_count_distinct; kept exact here so
+    the oracle pins real values."""
+    d = _t(spark, sf_dir, "documents")
+    row = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            x
+            for c in ("doc_id", "lang", "source", "n_chars")
+            for x in (
+                F.count(c).alias(f"{c}_nn"),
+                F.count_distinct(c).alias(f"{c}_nd"),
+                F.min(c).cast("string").alias(f"{c}_min"),
+                F.max(c).cast("string").alias(f"{c}_max"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"'{c}', {c}_nn, {c}_nd, {c}_min, {c}_max"
+        for c in ("doc_id", "lang", "source", "n_chars")
+    )
+    return row.selectExpr(
+        "n_rows",
+        f"stack(4, {stack}) AS (column_name, _nn, n_distinct, min_val, max_val)",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("n_rows") - F.col("_nn")).cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )

@@ -258,3 +258,45 @@ def search_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "search_bool_and_not",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         t -> t <> '' AND t NOT IN ({_STOPS_SQL})) AS toks
+      FROM documents
+    )
+    SELECT doc_id FROM tok
+    WHERE list_contains(toks, 'spark') AND list_contains(toks, 'stream')
+      AND NOT list_contains(toks, 'error')
+    ORDER BY doc_id
+    """,
+)
+def search_bool_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval on the SERVED inverted index: docs matching
+    spark AND stream AND NOT error. The AND is a term-count over the
+    term-pruned postings (each listed term's posting list is one
+    bucket read; a doc qualifies when it appears under every required
+    term), the NOT an anti-join against the excluded term's postings —
+    no corpus scan, no re-analysis at query time. The ES bool
+    must/must_not contract (reference filter algebra,
+    metastore/models.py:97-105) expressed as posting-list algebra;
+    the oracle re-analyzes the corpus directly."""
+    must = ["spark", "stream"]
+    idx = _index_for(spark, sf_dir)
+    p = idx.postings.filter(F.col("field") == "text")
+    anded = (
+        p.filter(F.col("term").isin(must))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == len(must))
+    )
+    negs = p.filter(F.col("term") == "error").select("doc_id")
+    return (
+        anded.join(negs, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
