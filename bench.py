@@ -134,6 +134,14 @@ def main() -> int:
         # stores (indexes, signatures) are parquet reopens, unaffected.
         spark.catalog.clearCache()
 
+    # second calibration probe: the host's throughput is bursty
+    # (disjoint queries measure 2-5x apart between runs minutes apart
+    # with identical code); start+end probes bound the drift WITHIN
+    # this run for the cross-round normalizer.
+    t0 = time.time()
+    spark.range(500_000_000).selectExpr("sum(id * 2)").collect()
+    calib_spark_end = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_runtime",
@@ -142,7 +150,8 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "calib": {"spark_range_sum_sec": calib_spark,
-                  "py_loop_sec": calib_py},
+                  "py_loop_sec": calib_py,
+                  "spark_range_sum_end_sec": calib_spark_end},
     }
     print(json.dumps(result))
     # Append to the per-query history log so round-over-round regression
