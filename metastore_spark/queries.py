@@ -10,6 +10,10 @@ Conventions that keep the oracle hash-stable across engines:
 - timestamps are projected as epoch microseconds (unix_micros /
   epoch_us) or ISO date strings — never as raw timestamp values
 - any top-k has a unique tiebreaker column in the ORDER BY
+- a ROUND whose input can be a tiny NEGATIVE (deltas, z-scores,
+  correlations, covariances, centroids) gets `+ 0.0` on BOTH sides:
+  DuckDB's ROUND yields IEEE -0.0 where Spark yields 0.0, and the
+  hash compare distinguishes their representations
 """
 
 from __future__ import annotations

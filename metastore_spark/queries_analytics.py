@@ -431,8 +431,8 @@ def users_setops_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_stats_profile",
     oracle="""
     SELECT l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covar,
+           ROUND(corr(l_quantity, l_extendedprice), 4) + 0.0  AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_covar,
            ROUND(stddev_samp(l_extendedprice), 4)             AS price_stddev,
            ROUND(var_samp(l_discount), 6)                     AS discount_var
     FROM lineitem
@@ -447,10 +447,10 @@ def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments, pinned by the oracle."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
             "qty_price_corr"
         ),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
             "qty_price_covar"
         ),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
@@ -463,7 +463,7 @@ def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            ROUND(regr_slope(o_totalprice,
-                 date_diff('day', DATE '1992-01-01', o_orderdate)), 4)
+                 date_diff('day', DATE '1992-01-01', o_orderdate)), 4) + 0.0
              AS slope_per_day,
            ROUND(regr_intercept(o_totalprice,
                  date_diff('day', DATE '1992-01-01', o_orderdate)), 4)
@@ -483,7 +483,7 @@ def orders_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.regr_slope(F.col("o_totalprice"), day), 4).alias(
+        (F.round(F.regr_slope(F.col("o_totalprice"), day), 4) + F.lit(0.0)).alias(
             "slope_per_day"
         ),
         F.round(F.regr_intercept(F.col("o_totalprice"), day), 4).alias(
@@ -669,7 +669,7 @@ def events_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, day,
            ROUND(revenue, 2) AS revenue,
-           ROUND((revenue - mu) / sigma, 4) AS zscore,
+           ROUND((revenue - mu) / sigma, 4) + 0.0 AS zscore,
            ABS((revenue - mu) / sigma) > 3.0 AS is_anomaly
     FROM scored
     WHERE n_hist >= 7 AND sigma > 0
@@ -701,7 +701,7 @@ def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         F.round("revenue", 2).alias("revenue"),
-        F.round(z, 4).alias("zscore"),
+        (F.round(z, 4) + F.lit(0.0)).alias("zscore"),
         (F.abs(z) > 3.0).alias("is_anomaly"),
         F.count(F.lit(1)).over(w).alias("_n"),
         F.stddev_samp("revenue").over(w).alias("_sig"),

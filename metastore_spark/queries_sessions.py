@@ -59,7 +59,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            CAST(t.i - 1 AS INTEGER)                 AS pos,
-           ROUND(AVG(embedding[t.i]::DOUBLE), 6)    AS centroid_val,
+           ROUND(AVG(embedding[t.i]::DOUBLE), 6) + 0.0 AS centroid_val,
            CAST(COUNT(*) AS BIGINT)                 AS n_vectors
     FROM embeddings
     CROSS JOIN generate_series(1, 64) AS t(i)  -- dim fixed at 64 in testdata
@@ -81,7 +81,7 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "pos")
         .agg(
-            F.round(F.avg("val"), 6).alias("centroid_val"),
+            (F.round(F.avg("val"), 6) + F.lit(0.0)).alias("centroid_val"),
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )

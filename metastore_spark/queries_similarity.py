@@ -470,3 +470,60 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(
         e, qvec, cents, sim.corpus_maxabs(e), k=10, n_cand=50
     )
+
+
+@query(
+    "emb_covariance",
+    oracle="""
+    WITH cells AS (
+      SELECT t1.range AS i, t2.range AS j,
+             SUM(embedding[t1.range + 1]::DOUBLE
+                 * embedding[t2.range + 1]::DOUBLE) AS xtx,
+             SUM(embedding[t1.range + 1]::DOUBLE)   AS sx_i,
+             CAST(COUNT(*) AS BIGINT)               AS n
+      FROM embeddings
+      CROSS JOIN range(64) t1 CROSS JOIN range(64) t2
+      GROUP BY 1, 2
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           -- + 0.0 canonicalizes IEEE negative zero: DuckDB ROUND
+           -- yields -0.0 where Spark yields 0.0
+           ROUND((xtx - sx_i * (SELECT sx_i FROM cells c2
+                                WHERE c2.i = cells.j AND c2.j = cells.j)
+                         / n) / n, 6) + 0.0 AS cov
+    FROM cells
+    """,
+)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the embedding corpus — the PCA/whitening
+    front-end — from a DISTRIBUTED Gram matrix: per-partition numpy
+    GEMMs reduce as dim²-sized partials (the exchange carries
+    O(partitions × dim²) floats, never vectors), then the covariance
+    forms cell-wise. The oracle recomputes every cell from raw data
+    by position cross-join. Eigen-decomposition of the 64×64 result
+    is a driver-side numpy call (parameter-sized, like the PQ
+    codebooks) — the distributed work IS the sufficient statistics."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    g = sim.gram_matrix(e, dim=64)
+    # sx_j via self-join on the diagonal-free pivot: sx depends only
+    # on the row index, so join the j-sums back by index
+    sj = g.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("j2"), F.col("sx_i").alias("sx_j")
+    )
+    return (
+        g.join(F.broadcast(sj), g.j == sj.j2)
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    (F.col("xtx") - F.col("sx_i") * F.col("sx_j") / F.col("n"))
+                    / F.col("n"),
+                    6,
+                )
+                + F.lit(0.0)  # canonicalize -0.0 (see oracle comment)
+            ).alias("cov"),
+        )
+    )

@@ -54,7 +54,7 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day,
            ROUND(revenue, 2) AS revenue,
-           ROUND(revenue - LAG(revenue) OVER (ORDER BY day), 2) AS dod_delta
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY day), 2) + 0.0 AS dod_delta
     FROM daily
     """,
 )
@@ -72,9 +72,10 @@ def events_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day",
         F.round("revenue", 2).alias("revenue"),
-        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias(
-            "dod_delta"
-        ),
+        (
+            F.round(F.col("revenue") - F.lag("revenue").over(w), 2)
+            + F.lit(0.0)
+        ).alias("dod_delta"),
     )
 
 

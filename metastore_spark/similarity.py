@@ -615,3 +615,63 @@ def pq_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Gram matrix + column sums — the sufficient
+    statistics of PCA/whitening (covariance = (XᵀX − s sᵀ/n)/n).
+
+    The 100 TB shape: each Arrow batch contributes a LOCAL dim×dim
+    GEMM (numpy, one partial row per partition), and only the
+    dim²-sized partials reduce — the exchange carries
+    O(partitions × dim²) floats, never the corpus. The final combine
+    is a position-keyed sum (dim² groups). Returns (i, j, xtx, sx_i,
+    n) — one row per matrix cell.
+    """
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            acc += m.T @ m
+            s += m.sum(axis=0)
+            n += len(m)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "xtx": [acc.flatten().tolist()],
+                    "sx": [s.tolist()],
+                    "n": [n],
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(
+        partial, "xtx array<double>, sx array<double>, n bigint"
+    )
+    cells = partials.select(
+        F.posexplode("xtx").alias("pos", "v"), "sx", "n"
+    ).select(
+        (F.col("pos") / dim).cast("int").alias("i"),
+        (F.col("pos") % dim).cast("int").alias("j"),
+        "v",
+        F.element_at("sx", (F.col("pos") / dim).cast("int") + 1).alias("si"),
+        "n",
+    )
+    return cells.groupBy("i", "j").agg(
+        F.sum("v").alias("xtx"),
+        F.sum("si").alias("sx_i"),
+        F.sum("n").alias("n"),
+    )
