@@ -527,3 +527,114 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+def _kmeans_oracle(k: int = 4, dim: int = 64, iters: int = 2) -> str:
+    """Unrolled-CTE mirror of quantized Lloyd's: every stage is exact
+    int64 arithmetic (floor(x*1e6+0.5)+1e6 quantization keeps all
+    values positive, so Spark's `div` truncation == DuckDB's `//`
+    floor), so assignments match bit-for-bit — the PQ/pagerank oracle
+    pattern applied to an iterative ML training loop."""
+    d2 = (
+        "list_sum(list_transform(range(64), i -> "
+        "(q.qv[i+1] - {c}.cv[i+1]) * (q.qv[i+1] - {c}.cv[i+1])))"
+    )
+    parts = [f"""
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)
+               + 1000000) AS qv
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {k})"""]
+    for it in range(1, iters + 1):
+        prev = f"c{it-1}"
+        dist = d2.format(c=prev)
+        parts.append(f"""
+    a{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, {prev}.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id ORDER BY {dist}, {prev}.cid
+               ) AS rn
+        FROM q CROSS JOIN {prev}
+      ) WHERE rn = 1
+    )""")
+        if it < iters:
+            parts.append(f"""
+    u{it} AS (
+      SELECT a{it}.cid, t.range AS pos,
+             SUM(q.qv[t.range + 1]) // COUNT(*) AS cval
+      FROM a{it} JOIN q USING (vec_id) CROSS JOIN range({dim}) t
+      GROUP BY 1, 2
+    ),
+    c{it} AS (
+      SELECT cid, list(cval ORDER BY pos) AS cv FROM u{it} GROUP BY cid
+    )""")
+    body = ",".join(parts)
+    return f"""
+    WITH {body}
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a{iters}
+    """
+
+
+@query("emb_kmeans_quantized", oracle=_kmeans_oracle())
+def emb_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means TRAINING (Lloyd's, k=4, 2 iterations) with
+    a value-exact oracle: vectors quantize to positive int64s
+    (floor(x*1e6+0.5)+1e6 — same dodge as SQ8: no banker's rounding,
+    truncating div == floor div), assignment is a literal-folded
+    integer-L2 argmin (one scan per iteration, no shuffle), and the
+    centroid update is a posexplode partial-agg whose exchange carries
+    k x dim sums — the Lloyd iteration at any scale. Centroids live
+    driver-side between iterations (k x dim ints — parameters, like
+    the PQ codebooks). DuckDB unrolls the same two iterations as
+    chained CTEs, every stage exact integer arithmetic, so the final
+    assignment hash-matches including tie-breaks (lowest centroid id
+    wins)."""
+    k, dim = 4, 64
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)"
+            " + 1000000)"
+        ).alias("qv"),
+    )
+    cents = [
+        [int(x) for x in r["qv"]]
+        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+
+    def assign(cur: list[list[int]]) -> DataFrame:
+        best_id = F.lit(-1)
+        best_d = F.lit(None).cast("bigint")
+        for ci, c in enumerate(cur):
+            d = None
+            for i in range(dim):
+                t = F.element_at("qv", i + 1) - F.lit(c[i])
+                term = t * t
+                d = term if d is None else d + term
+            better = best_d.isNull() | (d < best_d)
+            best_id = F.when(better, F.lit(ci)).otherwise(best_id)
+            best_d = F.when(better, d).otherwise(best_d)
+        return e.select("vec_id", "qv", best_id.alias("cid"))
+
+    for it in range(2):
+        assigned = assign(cents)
+        if it == 1:
+            break
+        upd = (
+            assigned.select("cid", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(v) div count(1)").alias("cval"))
+            .collect()
+        )
+        nxt: dict[int, list[int]] = {}
+        for r in upd:
+            nxt.setdefault(r["cid"], [0] * dim)[r["pos"]] = int(r["cval"])
+        cents = [nxt[ci] for ci in sorted(nxt)]
+    return assigned.select(
+        "vec_id", F.col("cid").cast("bigint").alias("cluster_id")
+    )
