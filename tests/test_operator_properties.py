@@ -1,0 +1,138 @@
+"""Property-based tests for the custom temporal operators (asof join,
+sessionize, range join) against pure-Python reference evaluators —
+the combinator-space coverage pointwise oracle data can't give.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from metastore_spark.operators.asof import asof_join
+from metastore_spark.operators.rangejoin import range_join_binned
+from metastore_spark.operators.sessions import session_stats
+
+# small domains force collisions: equal timestamps, same keys,
+# boundary-touching intervals
+key_s = st.integers(0, 2)
+ts_s = st.integers(0, 40)
+val_s = st.integers(0, 9)
+
+left_s = st.lists(st.tuples(key_s, ts_s), min_size=0, max_size=8)
+right_s = st.lists(st.tuples(key_s, ts_s, val_s), min_size=0, max_size=8)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(left=left_s, right=right_s)
+def test_asof_join_matches_reference(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        "lid bigint, k bigint, ts bigint",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right], "k bigint, ts bigint, payload bigint"
+    )
+    got = {
+        r["lid"]: r["payload_asof"]
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts",
+            payload_cols=["payload"],
+        ).collect()
+    }
+    # reference: latest right row with r.ts <= l.ts in the same key;
+    # among equal ts, asof_join picks the LAST right row in window
+    # order (rows sort by (_ats, _origin) and last() wins) — emulate
+    # by sorting right rows per key and taking the final qualifying one
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, t, v in right:
+        by_key.setdefault(k, []).append((t, v))
+    for k in by_key:
+        by_key[k].sort(key=lambda p: p[0])
+    want = {}
+    for i, (k, t) in enumerate(left):
+        cand = [p for p in by_key.get(k, []) if p[0] <= t]
+        want[i] = cand[-1][1] if cand else None
+    # ties among right rows at the same ts are engine-order dependent:
+    # compare on the qualifying-timestamp level instead of raw payload
+    for i, (k, t) in enumerate(left):
+        cand = [p for p in by_key.get(k, []) if p[0] <= t]
+        if not cand:
+            assert got[i] is None
+        else:
+            last_ts = cand[-1][0]
+            allowed = {v for (tt, v) in cand if tt == last_ts}
+            assert got[i] in allowed
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(events=st.lists(st.tuples(key_s, ts_s), min_size=1, max_size=10))
+def test_sessionize_matches_reference(spark, events):
+    gap = 5
+    # unique (k, ts) pairs: duplicate timestamps within a user are
+    # window-order ambiguous for n_events but not for session bounds
+    events = sorted(set(events))
+    df = spark.createDataFrame(
+        [(k, t, 1.0) for k, t in events], "user_id bigint, ts bigint, value double"
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start"], r["session_end"], r["n_events"]
+        )
+        for r in session_stats(df, gap=gap).collect()
+    }
+    want = {}
+    by_user: dict[int, list[int]] = {}
+    for k, t in events:
+        by_user.setdefault(k, []).append(t)
+    for k, ts_list in by_user.items():
+        ts_list.sort()
+        seq, start, prev, n = 1, ts_list[0], ts_list[0], 1
+        for t in ts_list[1:]:
+            if t - prev > gap:
+                want[(k, seq)] = (start, prev, n)
+                seq, start, n = seq + 1, t, 0
+            n += 1
+            prev = t
+        want[(k, seq)] = (start, prev, n)
+    assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(ts_s, min_size=0, max_size=8),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(1, 10)),
+        min_size=0,
+        max_size=5,
+    ),
+)
+def test_range_join_matches_reference(spark, points, intervals):
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(points)], "pid bigint, ts bigint"
+    )
+    idf = spark.createDataFrame(
+        [(j, s, s + w) for j, (s, w) in enumerate(intervals)],
+        "iid bigint, lo bigint, hi bigint",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_binned(pdf, idf, "ts", "lo", "hi", 7).collect()
+    }
+    want = {
+        (i, j)
+        for i, t in enumerate(points)
+        for j, (s, w) in enumerate(intervals)
+        if s <= t < s + w
+    }
+    assert got == want
