@@ -787,3 +787,52 @@ def events_day_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "events_sliding_rate",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(ts) AS t, event_type, value FROM events
+    ),
+    w AS (
+      SELECT (t // 900000000) * 900000000 - r.range * 900000000 AS ws,
+             event_type, value
+      FROM e CROSS JOIN range(4) r
+    )
+    SELECT ws AS window_start_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING-window rate rollup: 1-hour windows sliding every 15
+    minutes (each event lands in 4 overlapping windows) — the
+    rate-monitoring / sliding-SLA window type, complementing the
+    tumbling (events_stream_hourly) and session
+    (events_stream_sessionize) window families. F.window's hop
+    assignment is epoch-aligned integer arithmetic on the event-time
+    micros, which the oracle states directly (grid(t) - j*15min,
+    j=0..3). The 4x row expansion happens inside the aggregate's
+    map side — the exchange carries only (windows x types) partials."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " timestamp_ntz'1970-01-01 00:00:00', win.start)"
+            ).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

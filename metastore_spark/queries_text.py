@@ -616,3 +616,64 @@ def docs_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(30)
     )
+
+
+@query(
+    "docs_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(range(length(lower(text))),
+                              i -> substr(lower(text), i + 1, 1)),
+               x -> x <> '') AS cs
+      FROM documents
+    ),
+    hist AS (
+      SELECT doc_id, cs,
+             list_sort(list_distinct(cs)) AS ds,
+             len(cs) AS n
+      FROM ch WHERE len(cs) > 0
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars_counted,
+           CAST(len(ds) AS INTEGER) AS n_distinct_chars,
+           ROUND(-list_sum(list_transform(ds, c ->
+               (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
+               * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
+               / ln(2.0))), 4) AS char_entropy_bits
+    FROM hist
+    """,
+)
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document — the classic gibberish /
+    boilerplate / encoding-noise quality signal (low entropy = repeated
+    chars, high = random bytes). Pure codegen expressions: char
+    histogram via sorted-distinct transform + counted filter, entropy
+    as a deterministic left fold over the sorted alphabet — the SAME
+    fold order DuckDB's list_transform/list_sum uses, so the doubles
+    agree bit-for-bit before the final round. Map-only (no shuffle);
+    the O(distinct-chars x len) count is fine for document-sized text
+    (alphabet ~40); megabyte blobs would swap in the mapInPandas
+    histogram kernel without changing the plan shape."""
+    d = _t(spark, sf_dir, "documents")
+    cs = F.expr("filter(split(lower(text), ''), x -> x <> '')")
+    out = d.select("doc_id", cs.alias("cs")).filter(F.size("cs") > 0)
+    out = out.select(
+        "doc_id",
+        "cs",
+        F.expr("array_sort(array_distinct(cs))").alias("ds"),
+        F.size("cs").alias("n"),
+    )
+    ent = F.expr(
+        "-aggregate(transform(ds, c -> "
+        "(cast(size(filter(cs, x -> x = c)) as double) / n)"
+        " * ln(cast(size(filter(cs, x -> x = c)) as double) / n)"
+        " / ln(2.0)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars_counted"),
+        F.size("ds").cast("int").alias("n_distinct_chars"),
+        F.round(ent, 4).alias("char_entropy_bits"),
+    )
