@@ -779,3 +779,55 @@ def docs_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+@query(
+    "events_journey_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (
+             PARTITION BY event_type), 4) AS p_transition
+    FROM ordered
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov transition matrix: consecutive event-type
+    bigrams per user (lead over (ts, event_id) — a deterministic total
+    order) rolled into counts and row-normalized transition
+    probabilities. The funnel-discovery complement to the fixed-path
+    funnel query: one shuffle on user_id for the sequence window, then
+    a types x types aggregate whose normalizing window runs over at
+    most |types|^2 rows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_norm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(w_norm),
+            4,
+        ).alias("p_transition"),
+    )
