@@ -87,9 +87,30 @@ def events_partitioned(
             with open(marker) as fh:
                 fresh = json.load(fh) == sig
         if not fresh:
-            write_events_by_day(flat(), dest)
-            with open(marker, "w") as fh:
+            # Build in a process-private tmp dir and os.rename into
+            # place (same protocol as serve.materialized): an in-place
+            # overwrite lets two concurrent builders interleave Spark's
+            # delete-then-write, leaving BOTH writers' part-files under
+            # a fresh marker — silently doubled aggregates forever
+            # after. rename is atomic; losing the race just means the
+            # winner's identical layout serves.
+            import shutil
+
+            tmp = f"{dest}.build-{os.getpid()}"
+            write_events_by_day(flat(), tmp)
+            with open(os.path.join(tmp, "_SOURCE.json"), "w") as fh:
                 json.dump(sig, fh)
+            if os.path.exists(dest):  # stale layout: move aside, drop
+                trash = f"{dest}.old-{os.getpid()}"
+                try:
+                    os.rename(dest, trash)
+                    shutil.rmtree(trash, ignore_errors=True)
+                except OSError:
+                    pass  # another process already moved it
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
         return spark.read.parquet(dest), True
     except Exception:
         return flat(), False

@@ -18,15 +18,31 @@ single-reducer sort the naive window degrades to.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # The range-partitioned frame must stay cached between the counts job
 # and the consumer's job(s) — but not for the session's lifetime.
-# LRU-1: each global_rank call releases the previous call's cache
-# (repeat callers like bench best-of-3 otherwise accumulate pinned
-# copies until the executor store evicts under pressure).
-_LAST_PERSISTED: list[DataFrame] = []
+# LRU-1 *per thread*: each global_rank call releases the SAME thread's
+# previous cache (repeat callers like bench best-of-3 otherwise
+# accumulate pinned copies until the executor store evicts under
+# pressure). Thread-local, because a process-global list lets two
+# concurrent queries on one session unpersist each other's frame while
+# its consumer job is still running — the frame then silently
+# recomputes under a possibly different range-sample split.
+_TL = threading.local()
+
+
+def _evict_previous(part: DataFrame) -> None:
+    prev = getattr(_TL, "persisted", None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _TL.persisted = part
 
 
 def global_rank(
@@ -52,12 +68,7 @@ def global_rank(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    while _LAST_PERSISTED:
-        try:
-            _LAST_PERSISTED.pop().unpersist()
-        except Exception:
-            pass
-    _LAST_PERSISTED.append(part)
+    _evict_previous(part)
     # phase 1: per-partition counts — parameter-sized driver fetch
     counts = dict(
         (r["_pid"], r["cnt"])

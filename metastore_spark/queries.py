@@ -39,12 +39,24 @@ from metastore_spark.ts import ts_us
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
+    # validation_only: this query exists as the exhaustive/exact twin of
+    # a scale-safe variant (e.g. all-pairs GEMM vs SRP-LSH buckets) —
+    # correct at any SF the oracle can check, but NOT the plan to ship
+    # at 100 TB. Consumers picking operators programmatically must
+    # prefer the non-tagged sibling named in `scale_path`.
+    validation_only: bool = False
+    scale_path: str | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(
+    name: str,
+    oracle: str | None = None,
+    validation_only: bool = False,
+    scale_path: str | None = None,
+):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_runtime(spark)
@@ -64,7 +76,10 @@ def query(name: str, oracle: str | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        REGISTRY[name] = QueryDef(wrapped, oracle)
+        REGISTRY[name] = QueryDef(
+            wrapped, oracle, validation_only=validation_only,
+            scale_path=scale_path,
+        )
         return wrapped
 
     return deco

@@ -329,21 +329,37 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard near-dups, blocked by lang.
+    """Exact token-set Jaccard near-dups, blocked by (lang, length bucket).
 
     The blocked equi-join is the scale pattern: candidates only form
-    inside a block (here lang; production adds a length bucket), then
-    exact set arithmetic verifies. JVM-side array_intersect/union.
+    inside a block, then exact set arithmetic verifies. Lang alone is
+    not a block at 100 TB (the dominant language IS the corpus), so the
+    join key also carries a log-spaced token-set-size bucket:
+    Jaccard >= 0.8 forces |A|/|B| <= 1.25, and with bucket base 1.3
+    (> 1.25) the two buckets provably differ by at most 1 — probing
+    b.bucket + {-1, 0, +1} on the a side loses no qualifying pair while
+    turning the lang-block quadratic join into an equi-join on
+    (lang, bucket). JVM-side array_intersect/union does the verify.
     """
+    import math
+
     d = _t(spark, sf_dir, "documents")
+    ln_base = math.log(1.3)
     toks = d.select(
         "doc_id",
         "lang",
         F.array_distinct(
             F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
         ).alias("tset"),
+    ).withColumn("bkt", F.floor(F.log(F.size(F.col("tset"))) / F.lit(ln_base)))
+    # a side probes three adjacent buckets; each qualifying pair matches
+    # exactly once because b.bkt is a single value.
+    a = (
+        toks.withColumn("probe_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("bkt_probe", F.col("bkt") + F.col("probe_off"))
+        .drop("probe_off")
+        .alias("a")
     )
-    a = toks.alias("a")
     b = toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tset"), F.col("b.tset")))
     union = F.size(F.array_union(F.col("a.tset"), F.col("b.tset")))
@@ -352,6 +368,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bkt_probe") == F.col("b.bkt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

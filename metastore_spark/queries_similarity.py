@@ -60,6 +60,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
           >= 0.3
     """,
+    validation_only=True,
+    scale_path="emb_near_pairs_srp",
 )
 def emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact mode for the
@@ -602,15 +604,22 @@ def emb_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 1000000)"
         ).alias("qv"),
     )
-    cents = [
-        [int(x) for x in r["qv"]]
-        for r in e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    ]
+    # centroids keyed by their REAL cid (= seed vec_id, mirroring the
+    # oracle's `SELECT vec_id AS cid`): a list would re-label clusters
+    # by position whenever one empties, silently diverging from the
+    # oracle's preserved labels. Empty clusters DROP (the oracle's
+    # c{it} only contains cids with surviving members).
+    cents = {
+        int(r["vec_id"]): [int(x) for x in r["qv"]]
+        for r in e.filter(F.col("vec_id") < k).collect()
+    }
 
-    def assign(cur: list[list[int]]) -> DataFrame:
+    def assign(cur: dict[int, list[int]]) -> DataFrame:
         best_id = F.lit(-1)
         best_d = F.lit(None).cast("bigint")
-        for ci, c in enumerate(cur):
+        # sorted: ties break to the lowest cid, same as the oracle's
+        # row_number() ORDER BY dist, cid
+        for ci, c in sorted(cur.items()):
             d = None
             for i in range(dim):
                 t = F.element_at("qv", i + 1) - F.lit(c[i])
@@ -633,8 +642,8 @@ def emb_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         nxt: dict[int, list[int]] = {}
         for r in upd:
-            nxt.setdefault(r["cid"], [0] * dim)[r["pos"]] = int(r["cval"])
-        cents = [nxt[ci] for ci in sorted(nxt)]
+            nxt.setdefault(int(r["cid"]), [0] * dim)[r["pos"]] = int(r["cval"])
+        cents = nxt
     return assigned.select(
         "vec_id", F.col("cid").cast("bigint").alias("cluster_id")
     )

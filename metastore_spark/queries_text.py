@@ -641,7 +641,7 @@ def docs_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(-list_sum(list_transform(ds, c ->
                (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
                * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
-               / ln(2.0))), 4) AS char_entropy_bits
+               / ln(2.0))), 4) + 0.0 AS char_entropy_bits
     FROM hist
     """,
 )
@@ -675,5 +675,8 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n").cast("bigint").alias("n_chars_counted"),
         F.size("ds").cast("int").alias("n_distinct_chars"),
-        F.round(ent, 4).alias("char_entropy_bits"),
+        # + 0.0 canonicalizes -0.0 (single-distinct-char doc: -(1*ln 1)
+        # = -0.0, which DuckDB keeps and Spark's ROUND also keeps —
+        # repo-wide convention, see queries.py zscore/cov/delta)
+        (F.round(ent, 4) + F.lit(0.0)).alias("char_entropy_bits"),
     )

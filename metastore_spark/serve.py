@@ -31,6 +31,11 @@ _SERVE_ROOT = os.path.join(
 )
 # in-process handle cache: (appId, tag, fingerprint) -> DataFrame
 _CACHE: dict[tuple, DataFrame] = {}
+# superseded-fingerprint stores younger than this survive the prune: a
+# concurrent process that lazily opened the old store is still reading
+# it, and rmtree under a live reader fails its jobs. 30 min comfortably
+# outlives any single query.
+_PRUNE_AGE_SEC = 1800
 
 
 def _fingerprint(sources: list[str]) -> str:
@@ -87,16 +92,27 @@ def materialized(
                 os.rename(tmp, path)
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-            # prune superseded fingerprints of this tag
+            # prune superseded fingerprints of this tag — but spare ANY
+            # in-flight build dir (any pid: rmtree'ing a concurrent
+            # process's .build-* kills its rename) and anything touched
+            # within _PRUNE_AGE_SEC (a superseded store another process
+            # opened lazily is still being read; age-based retention
+            # lets it drain before space is reclaimed).
+            import time as _time
+
             for entry in os.listdir(_SERVE_ROOT):
                 if (
                     entry.startswith(f"{tag}-")
                     and entry != f"{tag}-{fp}"
-                    and not entry.endswith(f".build-{os.getpid()}")
+                    and ".build-" not in entry
                 ):
-                    shutil.rmtree(
-                        os.path.join(_SERVE_ROOT, entry), ignore_errors=True
-                    )
+                    victim = os.path.join(_SERVE_ROOT, entry)
+                    try:
+                        age = _time.time() - os.stat(victim).st_mtime
+                    except OSError:
+                        continue
+                    if age > _PRUNE_AGE_SEC:
+                        shutil.rmtree(victim, ignore_errors=True)
         df = spark.read.parquet(path)
     except Exception:
         df = build()

@@ -194,3 +194,19 @@ def test_ann_ivf_probe_partition_prunes(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "centroid_id" in plan
+
+
+def test_jaccard_pairs_join_keys_include_length_bucket(spark):
+    """dedup_jaccard_pairs must equi-join on (lang, length-bucket), not
+    lang alone — lang-only blocking is quadratic once one language
+    dominates the corpus. The bucket column participating in the join
+    keys is the structural guarantee."""
+    import metastore_spark.queries_dedup  # noqa: F401
+
+    plan = _plan(spark, "dedup_jaccard_pairs")
+    # the bucket probe column must appear in the plan's join keys
+    assert "bkt" in plan
+    # and the join must be a real equi-join (sort-merge or shuffled
+    # hash), not a nested-loop join degraded to lang-only blocking
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -40,3 +40,39 @@ def test_global_rank_is_exact_sort_position(spark):
     )
     for expected, (_, _, got) in enumerate(rows, start=1):
         assert got == expected
+
+
+def test_global_rank_concurrent_calls_do_not_evict_each_other(spark):
+    """Two threads ranking concurrently on one session: the per-thread
+    LRU-1 cache must not let one call unpersist the other's
+    range-partitioned frame mid-consumption (the old module-global
+    list did exactly that)."""
+    import threading
+
+    results = {}
+    errors = []
+
+    def run(tag, mod):
+        try:
+            df = spark.range(2000).select(
+                (F.col("id") * mod % 997).alias("v"),
+                F.col("id").alias("tid"),
+            )
+            ranked = global_rank(df, ["v", "tid"], "rank", num_partitions=5)
+            rows = sorted((r["v"], r["tid"], r["rank"]) for r in ranked.collect())
+            results[tag] = rows
+        except Exception as e:  # surface thread failures to the assert
+            errors.append((tag, e))
+
+    threads = [
+        threading.Thread(target=run, args=("a", 37)),
+        threading.Thread(target=run, args=("b", 53)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    for tag in ("a", "b"):
+        for expected, (_, _, got) in enumerate(results[tag], start=1):
+            assert got == expected, (tag, expected, got)

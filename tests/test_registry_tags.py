@@ -1,0 +1,27 @@
+"""Registry scale-contract tags: validation_only twins must point at a
+real scale-safe sibling, and the known all-pairs query carries the tag."""
+
+import __spark_entry__  # noqa: F401 — registers every query module
+from metastore_spark.queries import REGISTRY
+
+
+def test_emb_near_pairs_is_validation_only():
+    qd = REGISTRY["emb_near_pairs"]
+    assert qd.validation_only is True
+    assert qd.scale_path == "emb_near_pairs_srp"
+
+
+def test_scale_paths_resolve_to_registered_untagged_queries():
+    for name, qd in REGISTRY.items():
+        if qd.validation_only:
+            assert qd.scale_path, f"{name}: validation_only without scale_path"
+            assert qd.scale_path in REGISTRY, (name, qd.scale_path)
+            assert not REGISTRY[qd.scale_path].validation_only, (
+                f"{name}: scale_path {qd.scale_path} is itself tagged"
+            )
+
+
+def test_jaccard_pairs_untagged_now_length_bucketed():
+    # round-4 contract: dedup_jaccard_pairs blocks on (lang, length
+    # bucket) and is no longer a validation-only twin
+    assert REGISTRY["dedup_jaccard_pairs"].validation_only is False

@@ -33,7 +33,24 @@ def test_materialized_builds_once_and_invalidates(spark, tmp_path):
         serve._CACHE.clear()
         df3 = serve.materialized(spark, [src], "t1", build)
         assert df3.count() == 7 and calls["n"] == 2
-        # superseded fingerprint dir pruned
+        # superseded fingerprint dir RETAINED while young (a concurrent
+        # reader may still be draining it — age-based retention) ...
+        dirs = [
+            d
+            for d in os.listdir(serve._SERVE_ROOT)
+            if d.startswith("t1-") and not d.endswith("_DONE")
+        ]
+        assert len(dirs) == 2
+        # ... and pruned once older than the retention window
+        old_age = serve._PRUNE_AGE_SEC
+        serve._PRUNE_AGE_SEC = 0
+        try:
+            spark.range(3).toDF("id").write.mode("overwrite").parquet(src)
+            serve._CACHE.clear()
+            df4 = serve.materialized(spark, [src], "t1", build)
+            assert df4.count() == 3 and calls["n"] == 3
+        finally:
+            serve._PRUNE_AGE_SEC = old_age
         dirs = [
             d
             for d in os.listdir(serve._SERVE_ROOT)
