@@ -75,13 +75,23 @@ HEADLINE = [
 ]
 
 
-# Pinned calibration reference: the spark_range_sum_sec probe measured on
-# the best calibrated history run (BENCH_HISTORY.jsonl ts=1786658170,
-# value=37.515s, probe=0.374s). value_normalized rescales a run's total to
-# this host speed so cross-round comparisons survive host drift — round 3's
-# box measured ~2x slower per core than round 2's on identical plans, and
-# the probe swings ~35% even within one host-day.
-CALIB_REF_SPARK_SEC = 0.374
+# Pinned calibration references for value_normalized.
+#
+# Round-4 finding: the pure-codegen range-sum probe ANTI-correlates with
+# query wall time (r4 host: probe 2x FASTER than the 37.5s-era host, query
+# times unchanged) — these 47 queries are dominated by per-job/per-task
+# scheduler overhead (~6 ms/task on the r4 host, measured via 10x
+# trivial-job loops), not by JVM compute. So the normalizer is a
+# workload-shaped probe: 10 tiny two-stage jobs, timing exactly the
+# schedule/dispatch path. The codegen probe stays in the JSON for
+# history continuity.
+#
+# References pinned on the round-4 host (2026-08-14): jobs probe steady
+# state 1.75 s/10 jobs alongside a 40.4 s headline total. A future run
+# on a host with half the scheduler latency should therefore normalize
+# a ~20 s total back to ~40 s for apples-to-apples round comparisons.
+CALIB_REF_JOBS_SEC = 1.75
+CALIB_REF_SPARK_SEC = 0.374  # best-history codegen probe (ts=1786658170)
 
 
 def main() -> int:
@@ -122,7 +132,20 @@ def main() -> int:
             best = dt if best is None else min(best, dt)
         return round(best, 3)
 
+    def probe_jobs() -> float:
+        # 10 trivial two-stage jobs: times the scheduler/dispatch path
+        # that dominates small-SF query wall time. best-of-2.
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            for _ in range(10):
+                spark.range(1000, numPartitions=8).repartition(8).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
     calib_spark = probe_spark()
+    calib_jobs = probe_jobs()
     t0 = time.time()
     acc = 0
     for i in range(10_000_000):
@@ -157,13 +180,15 @@ def main() -> int:
     # with identical code); start+end probes bound the drift WITHIN
     # this run for the cross-round normalizer.
     calib_spark_end = probe_spark()
+    calib_jobs_end = probe_jobs()
 
     total = round(sum(timings.values()), 3)
-    # Normalize to the pinned reference host speed (see CALIB_REF_SPARK_SEC).
-    # min(start, end): the probes bound this run's drift window; the lower
-    # one is closer to the host's uncontended speed.
-    calib_run = min(calib_spark, calib_spark_end)
-    value_normalized = round(total * (CALIB_REF_SPARK_SEC / calib_run), 3)
+    # Normalize to the pinned reference host speed via the JOBS probe
+    # (scheduler-shaped — see CALIB_REF_JOBS_SEC). min(start, end): the
+    # probes bound this run's drift window; the lower one is closer to
+    # the host's uncontended speed.
+    calib_run = min(calib_jobs, calib_jobs_end)
+    value_normalized = round(total * (CALIB_REF_JOBS_SEC / calib_run), 3)
     result = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -174,6 +199,9 @@ def main() -> int:
         "calib": {"spark_range_sum_sec": calib_spark,
                   "py_loop_sec": calib_py,
                   "spark_range_sum_end_sec": calib_spark_end,
+                  "spark_jobs10_sec": calib_jobs,
+                  "spark_jobs10_end_sec": calib_jobs_end,
+                  "calib_ref_jobs_sec": CALIB_REF_JOBS_SEC,
                   "calib_ref_spark_sec": CALIB_REF_SPARK_SEC},
     }
     print(json.dumps(result))

@@ -14,11 +14,13 @@ Design for 100 TB of media:
   content-hash prefix, so dedup (identical bytes) is a partition-local
   groupBy.
 
-The actual codec calls are STUBBED (no PIL/ffmpeg in this
-environment): ``decode_image_features`` tries the real libraries and
-falls back to a deterministic fake decoder that parses our synthetic
-header. The Spark plumbing — schemas, Arrow batching, partitioning,
-UDF signatures — is real and tested.
+Codec dispatch (round 4): ``_decode_one`` routes on the content's
+magic number — PIL when importable AND it parses the bytes, else the
+pure-stdlib PNG decoder (``metastore_spark.codecs`` — real inflate +
+full 5-filter unfilter, not a stub), else the deterministic synthetic
+header for the FAKEIMG1 format. Genuinely unknown bytes raise. The
+Spark plumbing — schemas, Arrow batching, partitioning, UDF
+signatures — is identical for every branch.
 """
 
 from __future__ import annotations
@@ -65,9 +67,29 @@ _MAGIC = b"FAKEIMG1"
 def synth_image_bytes(media_id: int, width: int, height: int) -> bytes:
     """Deterministic synthetic 'image': magic + dims + seeded payload.
     Stands in for real encoded bytes in tests and local runs."""
+    return (
+        _MAGIC
+        + struct.pack("<II", width, height)
+        + synth_pixels(media_id, width * height)
+    )
+
+
+def synth_pixels(media_id: int, n: int) -> bytes:
+    """Deterministic pixel payload: the sha256 digest of the id,
+    repeated — the same byte stream synth_image_bytes embeds, so a
+    PNG encoding of these pixels and a FAKEIMG1 wrapping of them
+    decode to identical feature values (the dual-format oracle)."""
     seed = hashlib.sha256(str(media_id).encode()).digest()
-    payload = (seed * ((width * height) // len(seed) + 1))[: width * height]
-    return _MAGIC + struct.pack("<II", width, height) + payload
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def synth_png_bytes(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic REAL PNG (8-bit greyscale): same pixel payload as
+    the synthetic format, encoded through the spec-compliant encoder
+    (cycling all five scanline filters — see metastore_spark.codecs)."""
+    from metastore_spark.codecs import png_encode
+
+    return png_encode(width, height, synth_pixels(media_id, width * height), 1)
 
 
 def make_media_df(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
@@ -97,9 +119,11 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def _decode_one(content: bytes) -> tuple[int, int, float]:
-    """Decode stub: real path would use PIL; the fallback parses the
-    synthetic header. Raises on genuinely unknown formats."""
-    try:  # real decoder, if the environment has it AND recognizes the bytes
+    """Magic-dispatched decode: PIL when available and it parses the
+    bytes, else the pure-stdlib PNG decoder (real codec — see
+    metastore_spark.codecs), else the synthetic FAKEIMG1 header.
+    Raises on genuinely unknown formats — never a silent wrong answer."""
+    try:  # richest decoder first, if the environment has it
         import io
 
         from PIL import Image  # noqa: F401
@@ -112,8 +136,15 @@ def _decode_one(content: bytes) -> tuple[int, int, float]:
     except Exception:
         # no PIL (ImportError) or bytes PIL can't parse (synthetic
         # format → UnidentifiedImageError): fall through to the
-        # synthetic decoder either way
+        # format-dispatched decoders
         pass
+    from metastore_spark.codecs import PNG_MAGIC, png_decode
+
+    if content[: len(PNG_MAGIC)] == PNG_MAGIC:
+        width, height, _channels, pixels = png_decode(content)
+        # mean over every sample, matching np.asarray(img).mean()
+        mean = sum(pixels) / len(pixels) if pixels else 0.0
+        return width, height, mean
     if content[: len(_MAGIC)] == _MAGIC:
         width, height = struct.unpack_from("<II", content, len(_MAGIC))
         payload = content[len(_MAGIC) + 8 :]
@@ -121,34 +152,43 @@ def _decode_one(content: bytes) -> tuple[int, int, float]:
         return width, height, mean
     raise NotImplementedError(
         "no image decoder available in this environment and content is "
-        "not a synthetic image"
+        "not a PNG or synthetic image"
     )
 
 
-def synthesize_media(df: DataFrame) -> DataFrame:
-    """Table-driven synthetic media: (media_id, w, h) rows → binary
-    content via :func:`synth_image_bytes`, Arrow-batched worker-side
-    (never driver-materialized — the synth step scales with the
-    table, exactly like a real 'fetch bytes from object store' stage
-    would)."""
+def synthesize_media(df: DataFrame, fmt_col: str | None = None) -> DataFrame:
+    """Table-driven synthetic media: (media_id, w, h[, fmt]) rows →
+    binary content, Arrow-batched worker-side (never
+    driver-materialized — the synth step scales with the table,
+    exactly like a real 'fetch bytes from object store' stage would).
+
+    ``fmt_col`` selects the encoding per row: 'png' → a real PNG via
+    the stdlib codec, anything else → the FAKEIMG1 synthetic format.
+    Both wrap the SAME pixel payload, so downstream features agree.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if fmt_col is not None:
+                content = [
+                    synth_png_bytes(int(m), int(w), int(h))
+                    if f == "png"
+                    else synth_image_bytes(int(m), int(w), int(h))
+                    for m, w, h, f in zip(
+                        pdf["media_id"], pdf["w"], pdf["h"], pdf[fmt_col]
+                    )
+                ]
+            else:
+                content = [
+                    synth_image_bytes(int(m), int(w), int(h))
+                    for m, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"])
+                ]
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "content": [
-                        synth_image_bytes(int(m), int(w), int(h))
-                        for m, w, h in zip(
-                            pdf["media_id"], pdf["w"], pdf["h"]
-                        )
-                    ],
-                }
+                {"media_id": pdf["media_id"], "content": content}
             )
 
-    return df.select("media_id", "w", "h").mapInPandas(
-        run, "media_id bigint, content binary"
-    )
+    cols = ["media_id", "w", "h"] + ([fmt_col] if fmt_col else [])
+    return df.select(*cols).mapInPandas(run, "media_id bigint, content binary")
 
 
 def decode_image_features(df: DataFrame) -> DataFrame:

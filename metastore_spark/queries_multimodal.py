@@ -7,10 +7,11 @@ Two tiers, per SURVEY §2's north-star extensions:
   content bytes + typed metadata) and runs content-hash exact dedup
   JVM-side — fully DuckDB-oracled (sha256 over identical bytes).
 - ``multimodal_decode_features`` runs the real Arrow pipeline
-  (mapInPandas decode → features); the decode kernel is the
-  deterministic stub (no codecs in this environment), so it's a
-  rows-only driver check — the value-level pinning lives in
-  tests/test_multimodal.py.
+  (mapInPandas decode → features) over DUAL-format media — real PNGs
+  (stdlib codec, full unfilter path) interleaved with the synthetic
+  format — and is value-hash-checked end to end: both formats wrap the
+  same deterministic pixel payload, so one SQL oracle predicts every
+  decoded feature.
 """
 
 from __future__ import annotations
@@ -57,24 +58,80 @@ def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_features", oracle=None)
+@query(
+    "multimodal_decode_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'synth' END AS fmt,
+             CAST(16 + doc_id % 32 AS INT)        AS w,
+             CAST(16 + (doc_id * 7) % 32 AS INT)  AS h
+      FROM documents
+    ),
+    hx AS (
+      SELECT media_id, fmt, w, h,
+             sha256(CAST(media_id AS VARCHAR)) AS hex
+      FROM d
+    ),
+    bytes AS (
+      SELECT media_id, fmt, w, h,
+        list_transform(range(32), i ->
+          (CASE WHEN ord(substr(hex, 2*i+1, 1)) < 58
+                THEN ord(substr(hex, 2*i+1, 1)) - 48
+                ELSE ord(substr(hex, 2*i+1, 1)) - 87 END) * 16
+          + CASE WHEN ord(substr(hex, 2*i+2, 1)) < 58
+                 THEN ord(substr(hex, 2*i+2, 1)) - 48
+                 ELSE ord(substr(hex, 2*i+2, 1)) - 87 END
+        ) AS bv
+      FROM hx
+    )
+    SELECT media_id, fmt,
+           w AS width,
+           h AS height,
+           CAST(w*h AS BIGINT) AS n_pixels,
+           ROUND(
+             ((w*h) // 32 * list_sum(bv)
+              + COALESCE(list_sum(bv[1:((w*h) % 32)]), 0))
+             / CAST(w*h AS DOUBLE), 4) AS mean_intensity
+    FROM bytes
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract over binary media via the Arrow-batched
-    mapInPandas pipeline (stub kernel — deterministic synthetic format;
-    swapping in PIL changes one function, not the plan). Corpus size
-    scales with sf so the driver exercises real multi-batch Arrow
-    transfer. Non-SQL (binary parsing); value pinning in
-    tests/test_multimodal.py."""
-    n_docs = _t(spark, sf_dir, "documents").count()
-    media = mm.make_media_df(spark, min(n_docs, 500))
+    """Dual-format decode/feature-extract, VALUE-hash-checked.
+
+    Per-document media alternates between a REAL PNG (odd ids —
+    encoded by the stdlib codec with row-cycled scanline filters,
+    decoded by the spec-compliant inflate+unfilter path in
+    metastore_spark.codecs, or by PIL where available) and the
+    FAKEIMG1 synthetic format (even ids). Both carry the SAME
+    deterministic pixel payload (repeated sha256 digest of the id), so
+    one pure-SQL oracle predicts width/height/pixel-count/mean for
+    every row — any bug in chunk parsing, inflate, or any of the five
+    unfilter branches corrupts the PNG rows' mean and fails the hash.
+    Corpus size scales with sf so the driver exercises real
+    multi-batch Arrow transfer."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("png"))
+        .otherwise(F.lit("synth"))
+        .alias("fmt"),
+        (16 + F.col("doc_id") % 32).cast("int").alias("w"),
+        (16 + (F.col("doc_id") * 7) % 32).cast("int").alias("h"),
+    )
+    media = mm.synthesize_media(d, fmt_col="fmt")
     feats = mm.decode_image_features(media)
-    return feats.select(
-        "media_id",
-        "width",
-        "height",
-        "n_bytes",
-        F.round("mean_intensity", 4).alias("mean_intensity"),
-        "content_sha256",
+    return (
+        feats.join(d.select("media_id", "fmt"), "media_id")
+        .select(
+            "media_id",
+            "fmt",
+            "width",
+            "height",
+            (F.col("width").cast("bigint") * F.col("height")).alias(
+                "n_pixels"
+            ),
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+        )
     )
 
 

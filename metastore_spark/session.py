@@ -70,6 +70,13 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+    effective_master = master or os.environ.get("SPARK_MASTER") or f"local[{cpus}]"
+    if effective_master.startswith("local"):
+        # Locality levels are meaningless inside one JVM (every task is
+        # PROCESS_LOCAL); waiting for "better" locality only delays
+        # dispatch on busy hosts (~60 ms/job measured). Real clusters
+        # keep the default 3s — HDFS/shuffle locality matters there.
+        builder = builder.config("spark.locality.wait", "0")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

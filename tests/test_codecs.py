@@ -1,0 +1,115 @@
+"""PNG codec: spec-vector unfiltering (decoder validated independently
+of the encoder), roundtrip, malformed-input rejection, and the Spark
+decode pipeline over real PNG bytes."""
+
+import struct
+import zlib
+
+import pytest
+
+from metastore_spark.codecs import PNG_MAGIC, _chunk, png_decode, png_encode
+
+
+def _gray_png(width, height, raw_scanlines: bytes, idat_split=None) -> bytes:
+    """Hand-assemble a PNG from pre-filtered scanline bytes — bypasses
+    our encoder entirely so decoder bugs can't cancel encoder bugs."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    comp = zlib.compress(raw_scanlines)
+    if idat_split:
+        idats = _chunk(b"IDAT", comp[:idat_split]) + _chunk(
+            b"IDAT", comp[idat_split:]
+        )
+    else:
+        idats = _chunk(b"IDAT", comp)
+    return PNG_MAGIC + _chunk(b"IHDR", ihdr) + idats + _chunk(b"IEND", b"")
+
+
+# Hand-computed PNG-spec filter vectors (stride 2, greyscale):
+# each case is (filtered scanline stream, expected unfiltered pixels).
+SPEC_VECTORS = [
+    # Up then Sub: row0 Up over zero-prev passes through; row1 Sub
+    # wraps 250+9 mod 256 = 3
+    (bytes([2, 5, 7, 1, 9, 250]), bytes([5, 7, 9, 3])),
+    # Paeth both rows: predictors resolve to a, b, b per the
+    # tie-breaking rules (pa<=pb<=pc order)
+    (bytes([4, 10, 20, 4, 7, 200]), bytes([10, 30, 17, 230])),
+    # Average both rows: floor((a+b)/2) per spec
+    (bytes([3, 8, 10, 3, 6, 100]), bytes([8, 14, 10, 112])),
+]
+
+
+@pytest.mark.parametrize("raw,expected", SPEC_VECTORS)
+def test_unfilter_spec_vectors(raw, expected):
+    w, h, c, px = png_decode(_gray_png(2, 2, raw))
+    assert (w, h, c) == (2, 2, 1)
+    assert px == expected
+
+
+def test_idat_split_across_chunks():
+    raw = bytes([2, 5, 7, 1, 9, 250])
+    data = _gray_png(2, 2, raw, idat_split=3)
+    assert png_decode(data)[3] == bytes([5, 7, 9, 3])
+
+
+@pytest.mark.parametrize(
+    "w,h,ch", [(1, 1, 1), (5, 7, 1), (32, 24, 1), (17, 3, 3), (64, 64, 3)]
+)
+def test_roundtrip(w, h, ch):
+    import hashlib
+
+    # deterministic pseudo-random pixels
+    n = w * h * ch
+    seed = hashlib.sha256(f"{w}x{h}x{ch}".encode()).digest()
+    px = (seed * (n // 32 + 1))[:n]
+    dec = png_decode(png_encode(w, h, px, ch))
+    assert dec == (w, h, ch, px)
+
+
+def test_crc_corruption_rejected():
+    data = bytearray(_gray_png(2, 2, bytes([0, 1, 2, 0, 3, 4])))
+    data[20] ^= 0xFF  # flip a byte inside IHDR body
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(data))
+
+
+def test_interlaced_rejected():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7 flag
+    data = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(6)))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        png_decode(data)
+
+
+def test_not_a_png_rejected():
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"JFIF not a png")
+
+
+def test_spark_pipeline_decodes_real_pngs(spark):
+    """End-to-end: real PNG bytes through the Arrow mapInPandas decode
+    kernel — dims from IHDR, mean over inflate+unfiltered pixels."""
+    from metastore_spark import multimodal as mm
+
+    ids = [1, 2, 3, 9, 40]
+    rows = [
+        {
+            "media_id": i,
+            "content": mm.synth_png_bytes(i, 16 + i % 32, 16 + (i * 7) % 32),
+        }
+        for i in ids
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, content binary")
+    feats = {r["media_id"]: r for r in mm.decode_image_features(df).collect()}
+    for i in ids:
+        w, h = 16 + i % 32, 16 + (i * 7) % 32
+        px = mm.synth_pixels(i, w * h)
+        assert feats[i]["width"] == w and feats[i]["height"] == h
+        assert feats[i]["mean_intensity"] == pytest.approx(
+            sum(px) / len(px), abs=1e-12
+        )
+        # n_bytes is the ENCODED length — PNG, not raw payload
+        assert feats[i]["n_bytes"] == len(rows[ids.index(i)]["content"])
