@@ -86,11 +86,15 @@ HEADLINE = [
 # schedule/dispatch path. The codegen probe stays in the JSON for
 # history continuity.
 #
-# References pinned on the round-4 host (2026-08-14): jobs probe steady
-# state 1.75 s/10 jobs alongside a 40.4 s headline total. A future run
-# on a host with half the scheduler latency should therefore normalize
-# a ~20 s total back to ~40 s for apples-to-apples round comparisons.
-CALIB_REF_JOBS_SEC = 1.75
+# Reference pinned on the round-4 host (2026-08-14): jobs probe mean
+# ~1.0 s/10 jobs (with locality.wait=0) alongside a ~41 s headline
+# total — so round 4's normalized ≈ raw by construction, and a future
+# host with half the scheduler latency normalizes a ~20 s total back
+# to ~40 s for apples-to-apples round comparison. The probe itself
+# drifts ~40% within one run (start vs end), so normalized values are
+# a coarse cross-host corrector, not a precision metric; per-query
+# ratios within a run remain the stable signal.
+CALIB_REF_JOBS_SEC = 1.0
 CALIB_REF_SPARK_SEC = 0.374  # best-history codegen probe (ts=1786658170)
 
 
@@ -184,10 +188,10 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     # Normalize to the pinned reference host speed via the JOBS probe
-    # (scheduler-shaped — see CALIB_REF_JOBS_SEC). min(start, end): the
-    # probes bound this run's drift window; the lower one is closer to
-    # the host's uncontended speed.
-    calib_run = min(calib_jobs, calib_jobs_end)
+    # (scheduler-shaped — see CALIB_REF_JOBS_SEC). Mean of start/end:
+    # the probes bound this run's drift window and the queries ran
+    # across the whole of it.
+    calib_run = round((calib_jobs + calib_jobs_end) / 2, 3)
     value_normalized = round(total * (CALIB_REF_JOBS_SEC / calib_run), 3)
     result = {
         "metric": "headline_queries_total_runtime",
