@@ -85,6 +85,16 @@ def sessionize_stream(
     ``timeout_ms=None`` disables timeouts: only gap-closed sessions
     emit and open tails stay in state. The batch ``session_stats`` is
     the semantics oracle (tests/test_sessions.py).
+
+    Ordering: rows are sorted per micro-batch, and a row older than
+    the state's ``last_ts`` (cross-batch disorder / at-least-once
+    replay) folds into the CURRENT session without moving ``last_ts``
+    backward — deterministic and bounded, though a straggler that
+    batch semantics would place in an earlier (already-emitted,
+    append-mode-immutable) session stays in the current one. Sources
+    that feed batches in event-time order (time-partitioned files —
+    the layout write_events_by_day produces) match batch exactly;
+    tests/test_streaming.py pins both behaviors.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -121,6 +131,18 @@ def sessionize_stream(
             ts, v = int(r["ts"]), float(r["value"])
             if last_ts is None:
                 seq, start, n, val = seq + 1, ts, 1, v
+                last_ts = ts
+            elif ts < last_ts:
+                # Cross-batch disorder: within one micro-batch rows are
+                # sorted above, but a LATER batch can still deliver an
+                # earlier timestamp (multi-file sources, at-least-once
+                # replay). Fold the late row into the CURRENT session —
+                # last_ts must never move backward, or the next on-time
+                # row would measure its gap against the straggler and
+                # silently merge sessions the batch oracle splits.
+                n, val = n + 1, val + v
+                if start is not None and ts < start:
+                    start = ts
             elif ts - last_ts > gap:
                 out.append(
                     {
@@ -133,9 +155,10 @@ def sessionize_stream(
                     }
                 )
                 seq, start, n, val = seq + 1, ts, 1, v
+                last_ts = ts
             else:
                 n, val = n + 1, val + v
-            last_ts = ts
+                last_ts = ts
         state.update((last_ts, seq, start, n, val))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)

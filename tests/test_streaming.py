@@ -94,3 +94,212 @@ def test_stream_dedup(spark, stream_dir, tmp_path):
     ev.run_to_memory_sink(ev.deduped_events(stream), "dedup_events")
     n = spark.table("dedup_events").count()
     assert n == base.count()
+
+
+def _write_time_ordered_files(spark, src_df, dest, n_files=3, ts_col="ts"):
+    """Split rows into n_files contiguous event-time ranges and write
+    them as separate sequential appends — file mtimes line up with
+    event time, so maxFilesPerTrigger=1 delivers batches in order
+    (the shape a date-partitioned ingest produces)."""
+    import time as _time
+
+    rows = src_df.count()
+    bounds = src_df.selectExpr(
+        f"percentile_approx({ts_col}, array({', '.join(str((i + 1) / n_files) for i in range(n_files - 1))}), 10000) AS b"
+    ).first()["b"]
+    lo = None
+    for i in range(n_files):
+        hi = bounds[i] if i < n_files - 1 else None
+        part = src_df
+        if lo is not None:
+            part = part.filter(F.col(ts_col) > F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.col(ts_col) <= F.lit(hi))
+        part.coalesce(1).write.mode("append").parquet(dest)
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+        lo = hi
+    assert spark.read.parquet(dest).count() == rows
+    return dest
+
+
+def test_interval_join_multibatch_matches_batch(spark, stream_dir, tmp_path):
+    """Stream-stream interval join fed one file per micro-batch (>=3
+    time-ordered batches) must equal the batch join: rows near file
+    boundaries are the risk — a click evicted too early would drop
+    attribution pairs for purchases in the NEXT batch."""
+    src = _write_time_ordered_files(
+        spark, spark.read.parquet(stream_dir), str(tmp_path / "ij_src")
+    )
+
+    def sides(max_files):
+        purchases = (
+            ev.normalize_events(
+                ev.read_event_stream(spark, src, max_files_per_trigger=max_files)
+            )
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("event_time").alias("p_time"),
+            )
+            .withWatermark("p_time", "2 hours")
+        )
+        clicks = (
+            ev.normalize_events(
+                ev.read_event_stream(spark, src, max_files_per_trigger=max_files)
+            )
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("event_time").alias("c_time"),
+            )
+            .withWatermark("c_time", "2 hours")
+        )
+        return purchases.join(
+            clicks,
+            F.expr(
+                "p_user = c_user AND c_time >= p_time - INTERVAL 1 HOUR"
+                " AND c_time <= p_time"
+            ),
+        )
+
+    ev.run_to_memory_sink(sides(1), "ij_multibatch", output_mode="append")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("ij_multibatch").collect()
+    }
+
+    raw = spark.read.parquet(src)
+    b = raw.withColumn("event_time", ev.event_time_col(raw))
+    p = b.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id AS p_user", "event_time AS p_time"
+    )
+    c = b.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id AS c_user", "event_time AS c_time"
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            F.expr(
+                "p_user = c_user AND c_time >= p_time - INTERVAL 1 HOUR"
+                " AND c_time <= p_time"
+            ),
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
+def test_sessionize_multibatch_ordered_matches_batch(spark, tmp_path):
+    """Stateful sessionization fed one file per micro-batch, files in
+    event-time order: closed+flushed sessions must equal batch."""
+    import time
+
+    from metastore_spark.operators import sessions as ss
+
+    MIN = 60 * 10**9
+    rows = [
+        (1, 0 * MIN, 1.0),
+        (1, 10 * MIN, 2.0),
+        (1, 50 * MIN, 4.0),   # file 2: 40-min gap closes session 1
+        (1, 55 * MIN, 8.0),
+        (2, 20 * MIN, 1.0),
+        (2, 95 * MIN, 2.0),   # file 3: closes user 2's session 1
+    ]
+    timeline = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, value double"
+    )
+    src = str(tmp_path / "sess_src")
+    _write_time_ordered_files(spark, timeline, src)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ss.sessionize_stream(stream, timeout_ms=2000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_multibatch")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        want = {
+            (r["user_id"], r["session_seq"]): (r["n_events"], r["session_value"])
+            for r in ss.session_stats(timeline).collect()
+        }
+        deadline = time.time() + 90
+        got = {}
+        while time.time() < deadline:
+            got = {
+                (r["user_id"], r["session_seq"]): (
+                    r["n_events"],
+                    r["session_value"],
+                )
+                for r in spark.table("sessions_multibatch").collect()
+            }
+            if got == want:
+                break
+            time.sleep(2)
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_sessionize_late_row_folds_without_ts_regression(spark, tmp_path):
+    """Cross-batch disorder: a later FILE carrying an EARLIER timestamp
+    must fold into the current session (never move last_ts backward,
+    never crash, never split retroactively)."""
+    import time
+
+    from metastore_spark.operators import sessions as ss
+
+    MIN = 60 * 10**9
+    src = str(tmp_path / "late_src")
+    f1 = spark.createDataFrame(
+        [(1, 0 * MIN, 1.0), (1, 10 * MIN, 2.0)],
+        "user_id bigint, ts bigint, value double",
+    )
+    f2 = spark.createDataFrame(
+        [(1, 5 * MIN, 4.0), (1, 12 * MIN, 8.0)],  # 5min is LATE
+        "user_id bigint, ts bigint, value double",
+    )
+    f1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    f2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ss.sessionize_stream(stream, timeout_ms=2000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_late")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        want = {(1, 1): (4, 15.0, 0, 12 * MIN)}  # one session, all 4 rows
+        deadline = time.time() + 90
+        got = {}
+        while time.time() < deadline:
+            got = {
+                (r["user_id"], r["session_seq"]): (
+                    r["n_events"],
+                    r["session_value"],
+                    r["session_start"],
+                    r["session_end"],
+                )
+                for r in spark.table("sessions_late").collect()
+            }
+            if got == want:
+                break
+            time.sleep(2)
+        assert got == want
+    finally:
+        q.stop()
