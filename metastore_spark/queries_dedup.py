@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metastore_spark.dedup import ops as dd
@@ -664,4 +664,132 @@ def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
+# Shared 3-gram shingle explode + document-frequency cap, mirrored by
+# the containment oracle. The df cap is the scale guarantee: a
+# boilerplate shingle shared by millions of docs would otherwise emit
+# df^2 candidate pairs from one posting; capped postings bound pairs
+# per shingle at _CONTAIN_DF_CAP^2 (and a shingle that common carries
+# no dedup signal anyway — same reasoning as stopword removal).
+_CONTAIN_DF_CAP = 50
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3
+               THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 1),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             END) AS sset
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+    df AS (SELECT shingle FROM ex GROUP BY shingle
+           HAVING COUNT(*) <= {_CONTAIN_DF_CAP}),
+    kept AS (SELECT e.doc_id, e.shingle FROM ex e JOIN df USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN p.id_a ELSE p.id_b END
+             AS contained_id,
+           CASE WHEN sa.n_sh <= sb.n_sh THEN p.id_b ELSE p.id_a END
+             AS container_id,
+           p.n_shared,
+           CAST(LEAST(sa.n_sh, sb.n_sh) AS BIGINT) AS n_small,
+           ROUND(p.n_shared * 1.0 / LEAST(sa.n_sh, sb.n_sh), 4)
+             AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    WHERE p.n_shared >= 3
+      AND p.n_shared * 1.0 / LEAST(sa.n_sh, sb.n_sh) >= 0.9
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document containment: doc pairs where >=90% of the SMALLER
+    doc's 3-gram shingles appear in the larger — the quote / excerpt /
+    boilerplate-expansion duplication Jaccard misses (a doc fully
+    quoted inside a 10x-longer doc has Jaccard ~0.1 but containment
+    1.0). A first-class training-data op: contained docs add no novel
+    text to the corpus.
+
+    Candidate generation is a POSTING-LIST equi-join, not LSH: explode
+    distinct shingles, drop shingles with document frequency >
+    _CONTAIN_DF_CAP (boilerplate — each would emit df^2 pairs and
+    carries no signal), self-join on shingle, and count shared
+    shingles per pair directly in the aggregation — |A∩B| without ever
+    materializing token sets twice. One shuffle keyed by shingle to
+    form pairs, one keyed by pair to count, broadcast-join the per-doc
+    sizes. At 100 TB: pairs only exist for docs sharing a sub-cap
+    shingle; the cap bounds the blowup per posting, the same guarantee
+    the banded-minhash join makes per band bucket."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+    sset = F.expr(
+        "array_distinct(CASE WHEN size(_toks) < 3"
+        " THEN array(array_join(_toks, ' '))"
+        " ELSE transform(sequence(0, size(_toks) - 3), i ->"
+        "   concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])) END)"
+    )
+    ex = (
+        d.select("doc_id", toks.alias("_toks"))
+        .select("doc_id", F.explode(sset).alias("shingle"))
+    )
+    kept = (
+        ex.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df") <= _CONTAIN_DF_CAP)
+        .drop("df")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    small = F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
+    contain = F.col("n_shared") / small
+    a_is_small = F.col("sa.n_sh") <= F.col("sb.n_sh")
+    return (
+        pairs.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .filter((F.col("n_shared") >= 3) & (contain >= 0.9))
+        .select(
+            F.when(a_is_small, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+            F.when(a_is_small, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("container_id"),
+            "n_shared",
+            small.cast("bigint").alias("n_small"),
+            F.round(contain, 4).alias("containment"),
+        )
     )

@@ -836,3 +836,71 @@ def events_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "events_rolling_zscore",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+    ),
+    stats AS (
+      SELECT event_id, user_id, ts_us, value,
+             COUNT(*)    OVER w AS n_prev,
+             AVG(value)  OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sd
+      FROM e
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts_us, event_id
+        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT event_id, user_id, ts_us, value,
+           ROUND((value - mu) / sd, 4) + 0.0 AS zscore
+    FROM stats
+    WHERE n_prev >= 5 AND sd > 0
+      AND ABS(ROUND((value - mu) / sd, 4)) >= 2.5
+    """,
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score anomaly detection: each event scored
+    against the mean/stddev of its own user's previous <=10 events,
+    flagged when |z| >= 2.5 — the standard streaming-metrics outlier
+    gate, expressed as a bounded-frame window (no unbounded state).
+
+    Scale: one shuffle keyed by user_id; the frame is ROWS-bounded so
+    the window operator holds 10 rows per user, not the history. The
+    threshold compares the ROUNDED z on both engines — a float-last-bit
+    disagreement at the gate would otherwise flip membership. The
+    `+ 0.0` canonicalizes -0.0 (repo convention for signed rounds).
+    Ties in event time are broken by event_id so the frame is
+    deterministic under any partitioning."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", ts_us("ts").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    stats = e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        stats.filter((F.col("n_prev") >= 5) & (F.col("sd") > 0))
+        .filter(F.abs(z) >= 2.5)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "value",
+            (z + F.lit(0.0)).alias("zscore"),
+        )
+    )

@@ -680,3 +680,104 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         # repo-wide convention, see queries.py zscore/cov/delta)
         (F.round(ent, 4) + F.lit(0.0)).alias("char_entropy_bits"),
     )
+
+
+@query(
+    "docs_pii_scan",
+    oracle="""
+    WITH withpii AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                  THEN ' host 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                  ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+\\.[a-z]+')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS INT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(t, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS INT)
+             AS n_ips,
+           CAST(length(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '[a-z0-9]+@[a-z0-9.]+\\.[a-z]+', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g')
+           ) AS BIGINT) AS clean_len
+    FROM withpii
+    WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0
+    """,
+)
+def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction accounting — the scrub pass every
+    training-data pipeline runs before anything else. The fixture
+    corpus carries no real PII, so deterministic doc_id-derived PII is
+    injected first (the decode-oracle pattern: synthesize worker-side,
+    predict in SQL), then detected with dialect-portable character-class
+    regexes (no \\d/\\b — identical semantics in Java regex and RE2)
+    and redacted; `clean_len` proves the replacement ran, not just the
+    count. Pure codegen (regexp_count/regexp_replace JVM-side), map-only,
+    no shuffle; at 100 TB this is a scan-speed pass."""
+    email = r"[a-z0-9]+@[a-z0-9.]+\.[a-z]+"
+    phone = r"[0-9]{3}-[0-9]{4}"
+    ip = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email, "<EMAIL>"),
+            phone,
+            "<PHONE>",
+        ),
+        ip,
+        "<IP>",
+    )
+    return (
+        d.filter(
+            (F.col("doc_id") % 7 == 0)
+            | (F.col("doc_id") % 11 == 0)
+            | (F.col("doc_id") % 13 == 0)
+        )
+        .select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            F.regexp_count(F.col("t"), F.lit(email)).alias("n_emails"),
+            F.regexp_count(F.col("t"), F.lit(phone)).alias("n_phones"),
+            F.regexp_count(F.col("t"), F.lit(ip)).alias("n_ips"),
+            F.length(clean).cast("bigint").alias("clean_len"),
+        )
+    )

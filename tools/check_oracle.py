@@ -75,6 +75,17 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # CHECK_ORACLE_ROWS_ONLY: comma-separated query names whose ORACLE
+    # is skipped (Spark side still runs, rows-only) — used for
+    # large-SF sweeps where a handful of oracles are deliberately
+    # all-pairs SQL twins of pruned Spark paths: the O(n^2) oracle is
+    # only tractable at the driver's oracle SF (0.01), while the
+    # Spark side must still be exercised at scale.
+    rows_only = {
+        s
+        for s in os.environ.get("CHECK_ORACLE_ROWS_ONLY", "").split(",")
+        if s
+    }
     failed = []
     report: dict[str, dict] = {}
     for name, fn in qs.items():
@@ -100,10 +111,11 @@ def main() -> int:
             rec["err"] = f"spark error: {e}"
             failed.append(name)
             continue
-        if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(spark_rows)} rows, "
+        if name not in oracles or name in rows_only:
+            why = "rows-only" if name not in oracles else "oracle-skipped"
+            print(f"ok   {name}: {why} ({len(spark_rows)} rows, "
                   f"{time.time()-t0:.1f}s)")
-            rec["rows_match"] = "rows-only"
+            rec["rows_match"] = why
             continue
         try:
             rel = con.execute(oracles[name])
