@@ -72,6 +72,12 @@ HEADLINE = [
     "events_cdc_latest_state",
     "events_multires_rollup",
     "events_peak_concurrency",
+    # round 4 additions
+    "dedup_containment_pairs",
+    "docs_ngram_novelty",
+    "events_rolling_zscore",
+    "docs_pii_scan",
+    "multimodal_decode_features",
 ]
 
 

@@ -757,6 +757,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") <= _CONTAIN_DF_CAP)
         .drop("df")
+        # referenced 3x (pair join a/b + sizes): persist the capped
+        # posting stream once instead of re-scanning+re-windowing per
+        # reference. Query-scoped — the registry wrapper clears caches
+        # between queries; a persistent deployment would materialize
+        # this as a serving store like the minhash signatures.
+        .persist()
     )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.alias("a")

@@ -781,3 +781,73 @@ def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(clean).cast("bigint").alias("clean_len"),
         )
     )
+
+
+@query(
+    "docs_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, unnest(
+             list_distinct(CASE WHEN len(toks) < 3
+               THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks) - 1),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             END)) AS shingle
+      FROM toks
+    ),
+    first AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM ex GROUP BY shingle
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS novelty
+    FROM ex e JOIN first f USING (shingle)
+    GROUP BY e.doc_id
+    """,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty contribution per document: the fraction of a doc's
+    distinct 3-gram shingles whose FIRST corpus occurrence (by doc_id
+    order — ingest order in an append-only corpus) is this doc. The
+    data-curation signal behind 'does this source add anything new':
+    near-zero novelty marks recycled/boilerplate content even when no
+    single pair crosses a dedup threshold.
+
+    Two partial-agg shuffles, both scale-safe: MIN(doc_id) per shingle
+    combines map-side (the hot-shingle posting collapses to one row
+    per partition before the exchange — no df cap needed, unlike the
+    containment join), then one join keyed by shingle back to the
+    exploded stream and a per-doc rollup."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
+    sset = F.expr(
+        "array_distinct(CASE WHEN size(_toks) < 3"
+        " THEN array(array_join(_toks, ' '))"
+        " ELSE transform(sequence(0, size(_toks) - 3), i ->"
+        "   concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])) END)"
+    )
+    ex = d.select("doc_id", toks.alias("_toks")).select(
+        "doc_id", F.explode(sset).alias("shingle")
+    )
+    first = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        ex.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(novel / F.count(F.lit(1)), 4).alias("novelty"),
+        )
+    )
