@@ -113,3 +113,23 @@ def test_spark_pipeline_decodes_real_pngs(spark):
         )
         # n_bytes is the ENCODED length — PNG, not raw payload
         assert feats[i]["n_bytes"] == len(rows[ids.index(i)]["content"])
+
+
+def test_roundtrip_property():
+    """Hypothesis: any pixel buffer survives encode→decode for both
+    colour types and arbitrary small dims."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        ch=st.sampled_from([1, 3]),
+        data=st.binary(min_size=0, max_size=64),
+    )
+    def prop(w, h, ch, data):
+        n = w * h * ch
+        px = (data * (n // max(len(data), 1) + 1))[:n] if data else bytes(n)
+        assert png_decode(png_encode(w, h, px, ch)) == (w, h, ch, px)
+
+    prop()

@@ -62,6 +62,18 @@ def main() -> int:
             .master(f"local[{cpus}]")
             .getOrCreate()
         )
+    # CHECK_ORACLE_SPLIT_MB: scan split size override for large-SF
+    # sweeps. The shipped fixtures are SINGLE parquet files per table;
+    # at sf1 a ~100 MB file under the default 128 MB maxPartitionBytes
+    # scans as ONE partition and serializes the whole sweep. Real
+    # deployments read many files, so the engine default stays 128 MB
+    # — this is a fixture-shape corrective, runtime-settable.
+    split_mb = os.environ.get("CHECK_ORACLE_SPLIT_MB")
+    if split_mb:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            str(int(split_mb) * 1024 * 1024),
+        )
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
