@@ -436,41 +436,59 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join proportional to the candidate count, vs the oracle's
     n²/2 set intersections.
     """
-    d = _t(spark, sf_dir, "documents")
-    # sigs feed both sides of the banding self-join: cache, or the
-    # signature pipeline runs once per side
-    sigs = _served_minhash_sigs(spark, sf_dir, 64, 3, portable=False)
-    cands = dd.lsh_candidate_pairs(
-        sigs, "doc_id", "sig", bands=32, num_perm=64
-    ).cache()
-    # exact shingle sets ONLY for docs that appear in a candidate pair
-    # (at scale the candidate universe is a tiny fraction of the
-    # corpus; verifying never touches the rest), built from the
-    # codegen shingle stream — no interpreted lambdas
-    cand_ids = (
-        cands.select(F.col("id_a").alias("doc_id"))
-        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    ssets = (
-        dd.shingle_stream(
-            d.join(cand_ids, "doc_id", "left_semi"), "text", "doc_id", 3
+    import os
+
+    from metastore_spark import serve
+
+    def build() -> DataFrame:
+        d = _t(spark, sf_dir, "documents")
+        # sigs feed both sides of the banding self-join: cache, or the
+        # signature pipeline runs once per side
+        sigs = _served_minhash_sigs(spark, sf_dir, 64, 3, portable=False)
+        cands = dd.lsh_candidate_pairs(
+            sigs, "doc_id", "sig", bands=32, num_perm=64
+        ).cache()
+        # exact shingle sets ONLY for docs that appear in a candidate
+        # pair (at scale the candidate universe is a tiny fraction of
+        # the corpus; verifying never touches the rest), built from the
+        # codegen shingle stream — no interpreted lambdas
+        cand_ids = (
+            cands.select(F.col("id_a").alias("doc_id"))
+            .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+            .distinct()
         )
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sset"))
-        .cache()
-    )
-    a = ssets.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("sa"))
-    b = ssets.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("sb"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
-    jac = inter.cast("double") / union
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("_jac", jac)
-        .filter(F.col("_jac") >= 0.8)
-        .select("id_a", "id_b", F.round("_jac", 4).alias("jaccard"))
+        ssets = (
+            dd.shingle_stream(
+                d.join(cand_ids, "doc_id", "left_semi"), "text", "doc_id", 3
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sset"))
+            .cache()
+        )
+        a = ssets.select(
+            F.col("doc_id").alias("id_a"), F.col("sset").alias("sa")
+        )
+        b = ssets.select(
+            F.col("doc_id").alias("id_b"), F.col("sset").alias("sb")
+        )
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+        jac = inter.cast("double") / union
+        return (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("_jac", jac)
+            .filter(F.col("_jac") >= 0.8)
+            .select("id_a", "id_b", F.round("_jac", 4).alias("jaccard"))
+        )
+
+    # Verified pairs are an INGEST ARTIFACT, not a query: clusters and
+    # corpus-survivors both consume them, and a production pipeline
+    # materializes them once per corpus content (the BM25-index /
+    # minhash-signature precedent). serve.materialized fingerprints the
+    # source and rebuilds only when the corpus changes.
+    return serve.materialized(
+        spark, [os.path.join(sf_dir, "documents.parquet")], "jvpairs", build
     )
 
 
