@@ -237,10 +237,59 @@ def media_exact_dedup_keys(df: DataFrame) -> DataFrame:
     )
 
 
+def _decode_pixels(content: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, raw pixels) via the same magic
+    dispatch as _decode_one — PNG decodes for real, the synthetic
+    format's payload IS its 1-channel pixel buffer."""
+    from metastore_spark.codecs import PNG_MAGIC, png_decode
+
+    if content[: len(PNG_MAGIC)] == PNG_MAGIC:
+        return png_decode(content)
+    if content[: len(_MAGIC)] == _MAGIC:
+        width, height = struct.unpack_from("<II", content, len(_MAGIC))
+        return width, height, 1, content[len(_MAGIC) + 8 :]
+    raise NotImplementedError("unknown media format for resize")
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize kernel (round 4): decode (PNG via the stdlib codec,
+    synthetic via header parse), nearest-neighbor resample in numpy,
+    re-encode as PNG — binary in, binary out, Arrow-batched via
+    mapInPandas. The map-only plan shape is exactly what a PIL/ffmpeg
+    kernel uses at 100 TB; swapping the codec never touches the plan."""
+    from metastore_spark.codecs import png_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ys = (np.arange(height) * 1.0).astype("int64")
+        xs = (np.arange(width) * 1.0).astype("int64")
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                w0, h0, ch, px = _decode_pixels(bytes(content))
+                arr = np.frombuffer(px, dtype="uint8").reshape(h0, w0, ch)
+                yi = np.minimum((ys * h0) // height, h0 - 1)
+                xi = np.minimum((xs * w0) // width, w0 - 1)
+                res = arr[yi][:, xi]  # nearest-neighbor gather
+                out.append(png_encode(width, height, res.tobytes(), ch))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        run, "media_id bigint, content binary, width int, height int"
+    )
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize pipeline stub: real codecs absent → re-synthesize at the
-    target dims (deterministic). Demonstrates the map shape: binary in,
-    binary out, metadata updated, Arrow-batched."""
+    """Legacy resize stub (re-synthesize at target dims) — kept for the
+    synthetic-format tests; new code uses :func:`resize_media`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

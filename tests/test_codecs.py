@@ -133,3 +133,49 @@ def test_roundtrip_property():
         assert png_decode(png_encode(w, h, px, ch)) == (w, h, ch, px)
 
     prop()
+
+
+def test_resize_media_real_nearest_neighbor(spark):
+    """resize_media: decode real PNGs, nearest-neighbor to 8x6,
+    re-encode — output pixels must equal the numpy reference gather."""
+    import numpy as np
+
+    from metastore_spark import multimodal as mm
+    from metastore_spark.codecs import png_decode
+
+    ids = [3, 11]
+    rows = [
+        {"media_id": i, "content": mm.synth_png_bytes(i, 20, 14)}
+        for i in ids
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, content binary")
+    out = {
+        r["media_id"]: r for r in mm.resize_media(df, 8, 6).collect()
+    }
+    for i in ids:
+        r = out[i]
+        assert (r["width"], r["height"]) == (8, 6)
+        w, h, ch, px = png_decode(bytes(r["content"]))
+        assert (w, h, ch) == (8, 6, 1)
+        src = np.frombuffer(
+            mm.synth_pixels(i, 20 * 14), dtype="uint8"
+        ).reshape(14, 20)
+        yi = np.minimum((np.arange(6) * 14) // 6, 13)
+        xi = np.minimum((np.arange(8) * 20) // 8, 19)
+        ref = src[yi][:, xi]
+        assert np.frombuffer(px, dtype="uint8").reshape(6, 8).tolist() == ref.tolist()
+
+
+def test_resize_media_synthetic_format(spark):
+    """The synthetic format flows through the same real resize kernel
+    (its payload is its pixel buffer)."""
+    from metastore_spark import multimodal as mm
+    from metastore_spark.codecs import png_decode
+
+    df = spark.createDataFrame(
+        [{"media_id": 5, "content": mm.synth_image_bytes(5, 16, 16)}],
+        "media_id bigint, content binary",
+    )
+    r = mm.resize_media(df, 4, 4).first()
+    w, h, ch, px = png_decode(bytes(r["content"]))
+    assert (w, h, ch) == (4, 4, 1) and len(px) == 16
