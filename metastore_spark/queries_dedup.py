@@ -340,6 +340,14 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b.bucket + {-1, 0, +1} on the a side loses no qualifying pair while
     turning the lang-block quadratic join into an equi-join on
     (lang, bucket). JVM-side array_intersect/union does the verify.
+
+    Caveat (measured at sf1): token-SET similarity saturates on
+    low-entropy corpora — with a ~30-word vocabulary every long doc's
+    distinct-token set converges to the full vocabulary, so nearly
+    every pair qualifies and the OUTPUT itself is O(n^2) rows no
+    matter how the join is keyed. That is a property of the metric,
+    not the plan; shingle-based `dedup_jaccard_verified` is the
+    production path precisely because 3-gram sets don't saturate.
     """
     import math
 

@@ -57,8 +57,17 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         # 128 MiB scan splits: good balance of task count vs. per-task
-        # overhead for columnar parquet at large scale.
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # overhead for columnar parquet at large scale. Overridable via
+        # SPARK_GRAFT_SPLIT_MB for single-big-file fixtures (a ~100 MB
+        # sf1 file otherwise scans as ONE partition).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            str(
+                int(os.environ.get("SPARK_GRAFT_SPLIT_MB", "128"))
+                * 1024
+                * 1024
+            ),
+        )
         # Broadcast anything under 64 MiB — dimension tables (region,
         # nation, supplier, part at catalog scale) should never shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -98,10 +98,21 @@ def main() -> int:
         for s in os.environ.get("CHECK_ORACLE_ROWS_ONLY", "").split(",")
         if s
     }
+    # CHECK_ORACLE_SKIP: full skip (Spark side too), recorded as
+    # skipped — for queries whose OUTPUT is corpus-degenerate at the
+    # sweep SF (e.g. token-SET jaccard on a 30-word-vocab corpus:
+    # every pair qualifies, so the result itself is O(n^2) rows).
+    skip = {
+        s for s in os.environ.get("CHECK_ORACLE_SKIP", "").split(",") if s
+    }
     failed = []
     report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"skip {name}: CHECK_ORACLE_SKIP")
+            report[name] = {"skipped": True, "err": None}
             continue
         rec = {
             "rows_match": None,
