@@ -620,19 +620,21 @@ def emb_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def assign(cur: dict[int, list[int]]) -> DataFrame:
-        best_id = F.lit(-1)
-        best_d = F.lit(None).cast("bigint")
-        # sorted: ties break to the lowest cid, same as the oracle's
-        # row_number() ORDER BY dist, cid
+        # array-of-structs argmin (array_min on struct(dist, cid)) —
+        # each exact-integer distance evaluated once; a chained
+        # when-ladder would copy every prior distance subtree twice
+        # per step (2^k expression growth). struct min ties break to
+        # the lowest cid, same as the oracle's row_number() ORDER BY
+        # dist, cid.
+        cands = []
         for ci, c in sorted(cur.items()):
             d = None
             for i in range(dim):
                 t = F.element_at("qv", i + 1) - F.lit(c[i])
                 term = t * t
                 d = term if d is None else d + term
-            better = best_d.isNull() | (d < best_d)
-            best_id = F.when(better, F.lit(ci)).otherwise(best_id)
-            best_d = F.when(better, d).otherwise(best_d)
+            cands.append(F.struct(d.alias("d"), F.lit(ci).alias("ci")))
+        best_id = F.array_min(F.array(*cands))["ci"]
         return e.select("vec_id", "qv", best_id.alias("cid"))
 
     for it in range(2):
