@@ -134,12 +134,15 @@ def main() -> int:
             rec["err"] = f"spark error: {e}"
             failed.append(name)
             continue
+        t_spark = time.time() - t0
+        rec["spark_sec"] = round(t_spark, 1)
         if name not in oracles or name in rows_only:
             why = "rows-only" if name not in oracles else "oracle-skipped"
             print(f"ok   {name}: {why} ({len(spark_rows)} rows, "
                   f"{time.time()-t0:.1f}s)")
             rec["rows_match"] = why
             continue
+        t1 = time.time()
         try:
             rel = con.execute(oracles[name])
             duck_cols = [d[0].lower() for d in rel.description]
@@ -168,8 +171,10 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failed.append(name)
         else:
+            rec["oracle_sec"] = round(time.time() - t1, 1)
             print(f"ok   {name}: {len(spark_rows)} rows match "
-                  f"({time.time()-t0:.1f}s)")
+                  f"({time.time()-t0:.1f}s = spark {t_spark:.1f}s"
+                  f" + oracle {rec['oracle_sec']}s)")
     out_path = os.environ.get("CHECK_ORACLE_JSON")
     if out_path:
         import json
