@@ -831,3 +831,71 @@ def events_journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("p_transition"),
     )
+
+
+@query(
+    "events_top_value_per_type",
+    oracle="""
+    SELECT event_id, ts_us, user_id, event_type, value, rnk
+    FROM (
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY value DESC, event_id
+             ) AS rnk
+      FROM events
+    ) t WHERE rnk <= 5
+    """,
+)
+def events_top_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 events per type by value — via the bounded-memory
+    ``grouped_topk`` operator (operators/topk.py), NOT the naive
+    window: phase 1 keeps each scan partition's own top-5 per type in
+    an Arrow kernel, so the exchange carries ≤ partitions × types × 5
+    rows instead of the whole events table. Identical result to
+    ``row_number() <= 5`` (tie-break (value DESC, event_id) is unique);
+    at 100 TB the naive window shuffles 100 TB, this shuffles
+    kilobytes. `top_customers_per_nation` keeps the naive-window twin
+    shape for comparison."""
+    from metastore_spark.operators.topk import grouped_topk
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", ts_us("ts").alias("ts_us"), "user_id", "event_type", "value"
+    )
+    return grouped_topk(
+        e,
+        ["event_type"],
+        [("value", False), ("event_id", True)],
+        k=5,
+        rank_col="rnk",
+    )
+
+
+@query(
+    "docs_top_chars_per_source",
+    oracle="""
+    SELECT source, doc_id, n_chars, rnk
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id
+             ) AS rnk
+      FROM documents
+    ) t WHERE rnk <= 3
+    """,
+)
+def docs_top_chars_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest 3 documents per source via ``grouped_topk`` — the
+    per-source exemplar pick every curation dashboard needs, in the
+    partial-agg shape that never shuffles the corpus."""
+    from metastore_spark.operators.topk import grouped_topk
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return grouped_topk(
+        d,
+        ["source"],
+        [("n_chars", False), ("doc_id", True)],
+        k=3,
+        rank_col="rnk",
+    )

@@ -101,22 +101,30 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gate: min length + min stopword ratio — the standard
-    pre-training corpus filter shape, fully pushdown-friendly."""
+    pre-training corpus filter shape, fully pushdown-friendly.
+
+    Stopword counting is explode → conditional count with an `isin`
+    InSet (hash-set probe, whole-stage codegen) — ONE pass over the
+    token stream. The previous chained-array_remove counter rescanned
+    (and reallocated) every doc's token array once per stopword:
+    33 passes, measured 32s Spark-side at sf1 vs ~3s for this shape.
+    The added exchange is partial-aggregated to one row per doc
+    map-side, so shuffle volume is O(docs), not O(tokens). Docs whose
+    token array is empty drop out of the explode — identical to the
+    old null-ratio filter outcome."""
     d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
-    wtoks = ops.word_tokens(F.col("text"))
-    ratio = (
-        ops._count_occurrences(wtoks, ENGLISH_STOPWORDS).cast("double")
-        / F.size(wtoks)
+    toks = d.select(
+        "doc_id", "lang", F.explode(ops.word_tokens(F.col("text"))).alias("t")
+    )
+    agg = toks.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.count(F.when(F.col("t").isin(*ENGLISH_STOPWORDS), 1)).alias("_stop"),
     )
     return (
-        d.select(
-            "doc_id",
-            "lang",
-            F.size(wtoks).alias("n_words"),
-            ratio.alias("_ratio"),
+        agg.filter(
+            F.col("_stop").cast("double") / F.col("n_words") >= 0.05
         )
-        .filter(F.col("_ratio") >= 0.05)
-        .drop("_ratio")
+        .select("doc_id", "lang", F.col("n_words").cast("int"))
     )
 
 
@@ -250,17 +258,16 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_uniq"),
         F.max("cnt").alias("top_cnt"),
     )
-    bigrams = toks.filter(F.size("toks") >= 2).select(
+    # codegen bigram stream (slice + arrays_zip + explode — see
+    # dedup.ops.shingle_stream) instead of a per-position interpreted
+    # transform() lambda; ≥2-token docs have identical k=2 semantics
+    bigrams = dd.shingle_stream(
+        toks.filter(F.size("toks") >= 2),
+        "text",
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
-                ),
-            )
-        ).alias("g"),
-    )
+        k=2,
+        tokens_col="toks",
+    ).withColumnRenamed("shingle", "g")
     big = (
         bigrams.groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("cnt"))

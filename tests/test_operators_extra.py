@@ -129,3 +129,35 @@ def test_approx_distinct_within_rsd(spark):
         F.approx_count_distinct("uid", rsd=0.02).alias("a")
     ).first()["a"]
     assert abs(approx - 1000) / 1000 < 0.06  # 3×rsd margin
+
+
+def test_grouped_topk_equals_naive_window(spark):
+    from pyspark.sql import Window
+
+    from metastore_spark.operators.topk import grouped_topk
+
+    df = (
+        spark.range(0, 5000, numPartitions=8)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).alias("g"),
+            # non-injective score: forces tie-breaking through the
+            # unique id to matter
+            (F.col("id") * 37 % 101).alias("s"),
+        )
+    )
+    got = grouped_topk(df, ["g"], [("s", False), ("id", True)], k=4,
+                       rank_col="rnk")
+    w = Window.partitionBy("g").orderBy(F.desc("s"), F.asc("id"))
+    want = (
+        df.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 4)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_grouped_topk_single_row_groups(spark):
+    from metastore_spark.operators.topk import grouped_topk
+
+    df = spark.range(5).select(F.col("id"), F.col("id").alias("g"))
+    out = grouped_topk(df, ["g"], [("id", True)], k=3).collect()
+    assert len(out) == 5
