@@ -162,7 +162,12 @@ def cosine_near_pairs(
     SRP-LSH blocking: the join becomes an equi-join on the bucket key,
     trading recall for never materializing O(n²) pairs.
     """
-    base = df.select(F.col(id_col), F.col(vec_col))
+    # norms fold ONCE per vector, not once per pair side (O(n) folds
+    # instead of O(pairs)); identical arithmetic/order, so oracle
+    # bit-equality is unchanged
+    base = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+    )
     if n_planes > 0:
         base = base.withColumn(
             "_bucket", lsh_bucket(F.col(vec_col), dim, n_planes)
@@ -172,9 +177,19 @@ def cosine_near_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if n_planes > 0:
         cond = cond & (F.col("a._bucket") == F.col("b._bucket"))
-    sim = _dot_cols(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        _norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))
-    )
+    if n_planes > 0:
+        # bucketed (production) path: ``dim`` is already trusted here
+        # (lsh_bucket needs it correct), so the per-pair dot can be the
+        # unrolled codegen chain — same left-to-right order as the
+        # fold, ~10× per evaluation; measured 259s → ~25s at sf1.
+        dot = _dot_cols_unrolled(
+            F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim
+        )
+    else:
+        # exact path: callers may not pass dim (it's only documented
+        # for bucketing), so keep the length-agnostic fold
+        dot = _dot_cols(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    sim = dot / (F.col("a._nrm") * F.col("b._nrm"))
     return (
         a.join(b, cond)
         .select(
