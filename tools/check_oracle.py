@@ -107,6 +107,24 @@ def main() -> int:
     }
     failed = []
     report: dict[str, dict] = {}
+    out_path = os.environ.get("CHECK_ORACLE_JSON")
+
+    def _flush() -> None:
+        # incremental: a sweep that dies (OOM, stuck oracle, kill)
+        # keeps every completed record — at sf1 a single run is ~40
+        # minutes and partial evidence is still evidence
+        if not out_path:
+            return
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "ts": int(time.time()), "results": report},
+                fh,
+                indent=1,
+                default=str,
+            )
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -141,6 +159,7 @@ def main() -> int:
             print(f"ok   {name}: {why} ({len(spark_rows)} rows, "
                   f"{time.time()-t0:.1f}s)")
             rec["rows_match"] = why
+            _flush()
             continue
         t1 = time.time()
         try:
@@ -175,17 +194,8 @@ def main() -> int:
             print(f"ok   {name}: {len(spark_rows)} rows match "
                   f"({time.time()-t0:.1f}s = spark {t_spark:.1f}s"
                   f" + oracle {rec['oracle_sec']}s)")
-    out_path = os.environ.get("CHECK_ORACLE_JSON")
-    if out_path:
-        import json
-
-        with open(out_path, "w") as fh:
-            json.dump(
-                {"sf_dir": sf_dir, "ts": int(time.time()), "results": report},
-                fh,
-                indent=1,
-                default=str,
-            )
+        _flush()
+    _flush()
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 
