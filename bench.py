@@ -78,6 +78,12 @@ HEADLINE = [
     "events_rolling_zscore",
     "docs_pii_scan",
     "multimodal_decode_features",
+    "docs_langid",
+    "docs_char_entropy",
+    "emb_near_pairs_srp",
+    "ann_ivf_topk",
+    "events_top_value_per_type",
+    "docs_top_chars_per_source",
 ]
 
 
