@@ -116,10 +116,22 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB `quantile_cont`). At 100 TB swap for percentile_approx —
     kept exact here so the oracle pins real values."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    # one percentile(array(...)) aggregate, not three: Spark's exact
+    # percentile buffers the whole group per aggregate instance, so
+    # three scalar calls build (and sort) the buffer three times
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
+            ).alias("_q")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_q")[0], 4).alias("p50"),
+            F.round(F.col("_q")[1], 4).alias("p95"),
+            F.round(F.col("_q")[2], 4).alias("p99"),
+        )
     )
 
 
@@ -185,18 +197,25 @@ def lineitem_price_quantiles_approx(
     correctness contract, not a rows-only pass.
     """
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
-            "exact_p50"
-        ),
-        (
+    # single exact-percentile buffer (array form) + single sketch —
+    # the scalar form built the full per-group sort buffer once per
+    # referenced quantile (3×) and the sketch twice
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.49, 0.5, 0.51))"
+            ).alias("_q"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
+                "_a"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_q")[1], 4).alias("exact_p50"),
             (
-                F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-                >= F.expr("percentile(l_extendedprice, 0.49)")
-            )
-            & (
-                F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-                <= F.expr("percentile(l_extendedprice, 0.51)")
-            )
-        ).alias("approx_within_bounds"),
+                (F.col("_a") >= F.col("_q")[0])
+                & (F.col("_a") <= F.col("_q")[2])
+            ).alias("approx_within_bounds"),
+        )
     )
