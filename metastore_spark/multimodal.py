@@ -340,32 +340,60 @@ def audio_window_features(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         import numpy as np
 
         for pdf in batches:
-            out = {
+            cols: dict[str, list] = {
                 "asset_id": [],
                 "win_idx": [],
                 "rms": [],
                 "zero_crossings": [],
             }
             for aid, n in zip(pdf["asset_id"], pdf["n_samples"]):
-                s = np.asarray(synth_pcm(int(aid), int(n)), dtype="float64")
-                if len(s) < window:
+                n = int(n)
+                if n < window:
                     continue
-                nw = (len(s) - window) // hop + 1
-                for w in range(nw):
-                    seg = s[w * hop : w * hop + window]
-                    nonneg = seg >= 0
-                    out["asset_id"].append(int(aid))
-                    out["win_idx"].append(w)
-                    out["rms"].append(
-                        round(float(np.sqrt((seg * seg).mean())), 4)
-                    )
-                    out["zero_crossings"].append(
-                        int((nonneg[1:] != nonneg[:-1]).sum())
-                    )
-            yield pd.DataFrame(out)
+                # vectorized synth_pcm: same formula, C speed (the
+                # per-sample Python comprehension was ~50M interpreter
+                # ops per sf1 batch set)
+                b = np.frombuffer(
+                    hashlib.sha256(str(int(aid)).encode()).digest(),
+                    dtype=np.uint8,
+                ).astype(np.int64)
+                i = np.arange(n)
+                s = ((b[i % 32] * (1 + i // 32)) % 256 - 128).astype(
+                    "float64"
+                )
+                nw = (n - window) // hop + 1
+                idx = np.arange(nw)[:, None] * hop + np.arange(window)
+                segs = s[idx]  # (nw, window)
+                nonneg = segs >= 0
+                # per-row mean over `window` elements: same numpy
+                # sequential summation as the scalar (seg*seg).mean()
+                # per window, so the rounded values are unchanged
+                cols["asset_id"].append(np.full(nw, int(aid), dtype="int64"))
+                cols["win_idx"].append(np.arange(nw, dtype="int32"))
+                cols["rms"].append(
+                    np.round(np.sqrt((segs * segs).mean(axis=1)), 4)
+                )
+                cols["zero_crossings"].append(
+                    (nonneg[:, 1:] != nonneg[:, :-1]).sum(axis=1).astype("int32")
+                )
+            if cols["asset_id"]:
+                yield pd.DataFrame(
+                    {k: np.concatenate(v) for k, v in cols.items()}
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "asset_id": np.array([], dtype="int64"),
+                        "win_idx": np.array([], dtype="int32"),
+                        "rms": np.array([], dtype="float64"),
+                        "zero_crossings": np.array([], dtype="int32"),
+                    }
+                )
 
     return df.select("asset_id", "n_samples").mapInPandas(
         run, AUDIO_WINDOW_SCHEMA

@@ -45,6 +45,12 @@ def grouped_topk(
     unique per row (append an id) or rank ties are partition-dependent
     — the same requirement the naive window has with ``row_number``.
     ``rank_col`` adds the 1-based rank when set.
+
+    Order columns must be NON-NULL: pandas sorts NaN last
+    unconditionally while Spark's window sorts nulls first on ASC, so
+    a null key could survive phase 1 on one engine's rules and be
+    ranked by the other's. The kernel raises on null keys rather than
+    silently diverging.
     """
     schema = df.schema
     by = [c for c, _ in order_cols]
@@ -57,6 +63,12 @@ def grouped_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
+            if pdf[by].isna().any().any():
+                raise ValueError(
+                    "grouped_topk: null in order columns "
+                    f"{by} — null ordering differs between pandas and "
+                    "Spark windows; filter or coalesce first"
+                )
             # keep ≤ k rows per group seen so far in this partition;
             # concat-then-trim per batch keeps the buffer bounded by
             # groups-in-partition × k between batches
