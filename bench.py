@@ -84,6 +84,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "events_top_value_per_type",
     "docs_top_chars_per_source",
+    "orders_lineitem_bucketed_join",
 ]
 
 

@@ -301,3 +301,53 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name", F.round("s_acctbal", 2).alias("acctbal"))
         .orderBy("s_name")
     )
+
+
+@query(
+    "orders_lineitem_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_lineitem_bucketed_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fact⋈fact co-location layout: lineitem and orders bucketed
+    identically on orderkey (layout.ensure_bucketed_facts), so the
+    order-grain join runs bucket-local with ZERO exchange on either
+    side — at 100 TB this deletes the two biggest shuffles of every
+    order-grain query (neither fact can broadcast). Result is
+    layout-independent (the oracle joins the plain parquet);
+    tests/test_layout.py asserts the no-exchange plan property.
+    Falls back to the plain scans if the session can't host managed
+    tables (read-only cwd)."""
+    from metastore_spark import layout
+
+    try:
+        tbls = layout.ensure_bucketed_facts(
+            spark,
+            sf_dir,
+            [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+            buckets=16,
+        )
+        o = spark.table(tbls["orders"])
+        l = spark.table(tbls["lineitem"])
+    except Exception:
+        o = _t(spark, sf_dir, "orders")
+        l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

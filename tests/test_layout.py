@@ -20,6 +20,16 @@ def _explain(df) -> str:
     return buf.getvalue()
 
 
+def _explain_simple(df) -> str:
+    # simple mode keeps "Exchange hashpartitioning(...)" on one line —
+    # formatted mode splits node label and arguments, so substring
+    # checks against it silently pass
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
 def test_events_partition_pruning(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     path = str(tmp_path / "events_by_day")
@@ -58,7 +68,7 @@ def test_postings_bucketed_join_no_shuffle(spark, tmp_path):
         # the exchange.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         joined = spark.table("postings_a").join(spark.table("postings_b"), "term")
-        plan = _explain(joined)
+        plan = _explain_simple(joined)
         assert "SortMergeJoin" in plan
         # identical bucketing on both sides → no shuffle exchange
         assert "Exchange hashpartitioning" not in plan
@@ -148,3 +158,42 @@ def test_compact_parquet_small_files(spark, tmp_path):
     layout.compact_parquet(spark, src, dest2, target_mb=1, order_by=["id"])
     again = spark.read.parquet(dest2)
     assert again.count() == 50_000
+
+
+def test_fact_bucketed_join_no_shuffle(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    tbls = layout.ensure_bucketed_facts(
+        spark,
+        sf_dir,
+        [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+        buckets=4,
+    )
+    # idempotent: second call reuses the catalog entries
+    assert layout.ensure_bucketed_facts(
+        spark,
+        sf_dir,
+        [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+        buckets=4,
+    ) == tbls
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table(tbls["orders"])
+        l = spark.table(tbls["lineitem"])
+        joined = o.join(l, o.o_orderkey == l.l_orderkey)
+        plan = _explain_simple(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # same join over the plain parquet DOES exchange both sides
+        po = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        pl = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        plain = _explain_simple(po.join(pl, po.o_orderkey == pl.l_orderkey))
+        assert "Exchange hashpartitioning" in plain
+        # and the bucketed result is the plain result
+        assert joined.count() == po.join(
+            pl, po.o_orderkey == pl.l_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in tbls.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
