@@ -339,28 +339,39 @@ def events_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     cursor tuple predicate ((ts, id) strictly after the cursor in
     sort order) keeps pages exact across duplicate timestamps.
     Identical to page 3 of the OFFSET query — which is what the
-    oracle computes the cursor from."""
+    oracle computes the cursor from.
+
+    The cursor is COLLECTED (one row — parameter-sized, like every
+    scalar subquery in this repo) and inlined as literals rather than
+    broadcast-joined: with a join, the page predicate references the
+    broadcast side and can never reach the parquet scan
+    (``PushedFilters: []``); as literals on the RAW ``ts`` column it
+    pushes down, and row groups entirely after the cursor are skipped
+    by min/max stats — the difference between re-scanning the corpus
+    per page and touching only the page's neighborhood."""
+    from metastore_spark.ts import us_to_ts
+
     e = _t(spark, sf_dir, "events")
     us = ts_us("ts")
-    cursor = (
+    cur = (
         e.select(us.alias("c_ts"), F.col("event_id").alias("c_id"))
         .orderBy(F.desc("c_ts"), F.asc("c_id"))
         .offset(149)
         .limit(1)
-    )
-    after_cursor = (F.col("ts_us") < F.col("c_ts")) | (
-        (F.col("ts_us") == F.col("c_ts")) & (F.col("event_id") > F.col("c_id"))
+        .collect()
+    )[0]
+    c_ts_lit = us_to_ts(str(int(cur["c_ts"])))  # SQL-inlined integer literal
+    after_cursor = (F.col("ts") < c_ts_lit) | (
+        (F.col("ts") == c_ts_lit) & (F.col("event_id") > F.lit(cur["c_id"]))
     )
     return (
-        e.select(
+        e.filter(after_cursor)
+        .select(
             "event_id", us.alias("ts_us"), "event_type",
             F.round("value", 2).alias("value"),
         )
-        .crossJoin(F.broadcast(cursor))
-        .filter(after_cursor)
         .orderBy(F.desc("ts_us"), F.asc("event_id"))
         .limit(50)
-        .drop("c_ts", "c_id")
     )
 
 
