@@ -76,6 +76,7 @@ def query(
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__
         REGISTRY[name] = QueryDef(
             wrapped, oracle, validation_only=validation_only,
             scale_path=scale_path,

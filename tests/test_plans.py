@@ -210,3 +210,23 @@ def test_jaccard_pairs_join_keys_include_length_bucket(spark):
     # hash), not a nested-loop join degraded to lang-only blocking
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouped_topk_reduces_before_exchange(spark):
+    """Phase-1 MapInPandas must sit BELOW the window's exchange: the
+    shuffle then carries only per-partition survivors, which is the
+    operator's entire reason to exist."""
+    from pyspark.sql import functions as F
+
+    from metastore_spark.operators.topk import grouped_topk
+
+    df = spark.range(0, 1000, numPartitions=4).select(
+        F.col("id"), (F.col("id") % 5).alias("g")
+    )
+    out = grouped_topk(df, ["g"], [("id", True)], k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    mip = plan.index("MapInPandas")
+    ex = plan.index("Exchange hashpartitioning")
+    # executedPlan prints top-down: the exchange (upstream consumer of
+    # the kernel's output) appears BEFORE MapInPandas in the string
+    assert ex < mip, plan
