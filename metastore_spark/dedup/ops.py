@@ -202,21 +202,17 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_keys(
     df: DataFrame,
     id_col: str,
     sig_col: str = "sig",
     bands: int = 32,
     num_perm: int = 128,
 ) -> DataFrame:
-    """Band the signatures, bucket-join, emit candidate id pairs.
-
-    ``num_perm`` must be divisible by ``bands``; rows per band
-    r = num_perm/bands sets the similarity threshold ≈ (1/bands)^(1/r).
-
-    Scale: explode to (band_idx, band_hash) — one shuffle keyed by the
-    band hash; the self-join happens only inside buckets. Skewed
-    buckets (boilerplate) are handled by AQE skew-join splitting.
+    """(id, band_idx, band_hash) stream for LSH banding — the join key
+    both the batch self-join (`lsh_candidate_pairs`) and the streaming
+    delta×store join (`streaming/neardup.py`) bucket on. A pure
+    function of the signature, so both sides of any band join agree.
     """
     if num_perm % bands:
         raise ValueError(
@@ -224,7 +220,7 @@ def lsh_candidate_pairs(
             "silent truncation would shift the similarity threshold"
         )
     r = num_perm // bands
-    banded = df.select(
+    return df.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -243,6 +239,25 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    bands: int = 32,
+    num_perm: int = 128,
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate id pairs.
+
+    ``num_perm`` must be divisible by ``bands``; rows per band
+    r = num_perm/bands sets the similarity threshold ≈ (1/bands)^(1/r).
+
+    Scale: explode to (band_idx, band_hash) — one shuffle keyed by the
+    band hash; the self-join happens only inside buckets. Skewed
+    buckets (boilerplate) are handled by AQE skew-join splitting.
+    """
+    banded = band_keys(df, id_col, sig_col, bands, num_perm)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

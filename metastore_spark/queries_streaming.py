@@ -377,3 +377,48 @@ def events_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _neardup_oracle() -> str:
+    from metastore_spark.queries_dedup import _SHINGLE_PAIR_CTES
+
+    return f"""
+    WITH {_SHINGLE_PAIR_CTES}
+    SELECT d.doc_id, (f.id_b IS NOT NULL) AS dup_of_history
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT id_b FROM pairs) f ON d.doc_id = f.id_b
+    """
+
+
+@query("docs_stream_neardup_ingest", oracle=_neardup_oracle())
+def docs_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest end-to-end: the documents corpus
+    split into 4 parquet files drives micro-batched
+    (maxFilesPerTrigger=1) MinHash-LSH admission against an
+    accumulating cross-batch signature store, with retroactive,
+    generation-swapped labels (streaming/neardup.py). The final label
+    table must equal the batch truth — for every doc, whether ANY
+    lower-id document is a ≥0.8 exact-Jaccard near-dup — regardless
+    of how the feed was batched or ordered, because verified pairs
+    always flag their higher id, even across batches already emitted.
+    The oracle is the exhaustive exact pair join (LSH misses a
+    qualifying pair w.p. ~4e-15, the dedup_jaccard_verified bound)."""
+    import shutil
+    import tempfile
+
+    from metastore_spark.catalog import load_table
+    from metastore_spark.streaming.neardup import neardup_ingest_stream
+
+    src = tempfile.mkdtemp(prefix="nd_src_")
+    state = tempfile.mkdtemp(prefix="nd_state_")
+    try:
+        load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        final = neardup_ingest_stream(spark, src, state)
+        out = spark.read.parquet(final)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

@@ -303,3 +303,33 @@ def test_sessionize_late_row_folds_without_ts_regression(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_neardup_ingest_retroactive_flag(spark, tmp_path):
+    """A near-dup pair discovered in a LATER batch must flag the
+    higher id even though it was admitted earlier: doc 10 (batch 1)
+    gains dup_of_history=True when its lower-id twin doc 5 arrives in
+    batch 2."""
+    import time as _time
+
+    from metastore_spark.streaming.neardup import neardup_ingest_stream
+
+    text_dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_other = "one two three four five six seven eight nine ten"
+    src = str(tmp_path / "src")
+    cols = ["doc_id", "lang", "source", "text"]
+    spark.createDataFrame(
+        [(10, "en", "a", text_dup), (11, "en", "a", text_other)], cols
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # file-source batch order follows modification time
+    spark.createDataFrame(
+        [(5, "en", "b", text_dup)], cols
+    ).coalesce(1).write.mode("append").parquet(src)
+    final = neardup_ingest_stream(
+        spark, src, str(tmp_path / "state"), max_files_per_trigger=1
+    )
+    got = {
+        r["doc_id"]: r["dup_of_history"]
+        for r in spark.read.parquet(final).collect()
+    }
+    assert got == {5: False, 10: True, 11: False}
