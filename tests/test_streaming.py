@@ -333,3 +333,33 @@ def test_neardup_ingest_retroactive_flag(spark, tmp_path):
         for r in spark.read.parquet(final).collect()
     }
     assert got == {5: False, 10: True, 11: False}
+
+
+def test_neardup_ingest_resume_from_checkpoint(spark, tmp_path):
+    """Stopping after a drain and re-draining with the SAME state dir
+    must process only the new files (checkpoint) yet still converge to
+    the batch truth — the restart-resilience contract of the ingest."""
+    from metastore_spark.streaming.neardup import neardup_ingest_stream
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    cols = ["doc_id", "lang", "source", "text"]
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "en", "a", dup), (2, "en", "a", "unrelated words here only")],
+        cols,
+    ).coalesce(1).write.mode("append").parquet(src)
+    first = neardup_ingest_stream(spark, src, state)
+    assert {
+        r["doc_id"]: r["dup_of_history"]
+        for r in spark.read.parquet(first).collect()
+    } == {1: False, 2: False}
+    # second wave arrives after the first drain completed
+    spark.createDataFrame([(7, "en", "b", dup)], cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    second = neardup_ingest_stream(spark, src, state)
+    assert {
+        r["doc_id"]: r["dup_of_history"]
+        for r in spark.read.parquet(second).collect()
+    } == {1: False, 2: False, 7: True}
