@@ -257,10 +257,26 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup cluster count scales with the corpus (the paper keeps mean
+# cluster size roughly constant): k = max(8, ceil(n / 2500)). With
+# fixed k the per-cluster GEMM is (n/k)² — quadratic in corpus size
+# (measured 9s at sf1 → 131s at sf3); constant cluster size makes it
+# linear. At the oracle-checked small SFs the formula yields exactly
+# the historical k=8, so hashes are unchanged.
+SEMDEDUP_TARGET_CLUSTER = 2500
+
+
+def _semdedup_k(n: int) -> int:
+    return max(8, -(-n // SEMDEDUP_TARGET_CLUSTER))
+
+
 _SEMDEDUP_ORACLE = f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings
+      WHERE vec_id < (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 2500.0)
+                                              AS BIGINT))
+                      FROM embeddings)
     ),
     asg AS (
       SELECT vec_id, embedding, cid AS centroid_id FROM (
@@ -304,7 +320,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic sampled quantizer makes assignment, pairing, and the
     pruning decision pure SQL."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = sim.sampled_centroids(emb, k=8)
+    cents = sim.sampled_centroids(emb, k=_semdedup_k(emb.count()))
     # norms fold ONCE per vector pre-join (O(m) folds, not O(m²));
     # the per-pair work is then just the dot — same sequential
     # arithmetic, so oracle bit-equality is unchanged
@@ -669,7 +685,7 @@ def emb_semdedup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last bit, but the 4-dp round and the pytest equality pin
     (tests/test_similarity.py) hold the outputs identical."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = sim.sampled_centroids(emb, k=8)
+    cents = sim.sampled_centroids(emb, k=_semdedup_k(emb.count()))
     return sim.semdedup_prune(emb, cents, threshold=0.3).select(
         "vec_id",
         "centroid_id",
