@@ -202,6 +202,34 @@ def minhash_signatures(
     )
 
 
+def distinct_shingle_stream(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document DISTINCT k-gram shingles as a flat (id, shingle)
+    stream — dedup happens ROW-LOCALLY (``array_distinct`` before the
+    explode), so unlike ``shingle_stream().distinct()`` no extra
+    full-stream exchange is spent on it; consumers that group by
+    shingle (novelty, containment) then pay exactly one shuffle.
+    The per-position ``transform`` lambda is interpreted but its body
+    is two array indexes + a concat — measured equal to the codegen
+    stream at sf1, and the saved shuffle wins at scale. Short-doc
+    semantics match ``shingle_stream`` (whole text as the shingle).
+    """
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
+    )
+    sset = F.expr(
+        f"array_distinct(CASE WHEN size(_toks) < {k}"
+        " THEN array(array_join(_toks, ' '))"
+        f" ELSE transform(sequence(0, size(_toks) - {k}), i ->"
+        f"   concat_ws(' ', {', '.join(f'_toks[i+{j}]' for j in range(k))})"
+        " ) END)"
+    )
+    return df.select(F.col(id_col), toks.alias("_toks")).select(
+        F.col(id_col), F.explode(sset).alias("shingle")
+    )
+
+
 def band_keys(
     df: DataFrame,
     id_col: str,

@@ -111,6 +111,26 @@ def events_partitioned(
                 os.rename(tmp, dest)
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            # reclaim siblings orphaned by CRASHED builders (a dead
+            # process's .build-<pid>/.old-<pid> has no cleanup path and
+            # each holds a full-size copy); a day comfortably outlives
+            # any live build
+            import time as _time
+
+            parent = os.path.dirname(dest)
+            base = os.path.basename(dest)
+            for entry in os.listdir(parent):
+                if not (
+                    entry.startswith(f"{base}.build-")
+                    or entry.startswith(f"{base}.old-")
+                ):
+                    continue
+                victim = os.path.join(parent, entry)
+                try:
+                    if _time.time() - os.stat(victim).st_mtime > 86400:
+                        shutil.rmtree(victim, ignore_errors=True)
+                except OSError:
+                    pass
         return spark.read.parquet(dest), True
     except Exception:
         return flat(), False

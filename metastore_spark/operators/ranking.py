@@ -28,21 +28,31 @@ from pyspark.sql import functions as F
 # LRU-1 *per thread*: each global_rank call releases the SAME thread's
 # previous cache (repeat callers like bench best-of-3 otherwise
 # accumulate pinned copies until the executor store evicts under
-# pressure). Thread-local, because a process-global list lets two
+# pressure). Keyed per thread, because a process-global LRU-1 lets two
 # concurrent queries on one session unpersist each other's frame while
 # its consumer job is still running — the frame then silently
-# recomputes under a possibly different range-sample split.
-_TL = threading.local()
+# recomputes under a possibly different range-sample split. A plain
+# threading.local would leak one pinned frame per DEAD thread
+# (thread-per-request callers); the registry form lets every call also
+# release frames whose owner thread has exited.
+_LOCK = threading.Lock()
+_PERSISTED: dict[int, DataFrame] = {}
 
 
 def _evict_previous(part: DataFrame) -> None:
-    prev = getattr(_TL, "persisted", None)
-    if prev is not None:
+    me = threading.get_ident()
+    live = {t.ident for t in threading.enumerate()}
+    with _LOCK:
+        stale = [
+            tid for tid in _PERSISTED if tid == me or tid not in live
+        ]
+        victims = [_PERSISTED.pop(tid) for tid in stale]
+        _PERSISTED[me] = part
+    for prev in victims:
         try:
             prev.unpersist()
         except Exception:
             pass
-    _TL.persisted = part
 
 
 def global_rank(

@@ -766,17 +766,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle; the cap bounds the blowup per posting, the same guarantee
     the banded-minhash join makes per band bucket."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
-    sset = F.expr(
-        "array_distinct(CASE WHEN size(_toks) < 3"
-        " THEN array(array_join(_toks, ' '))"
-        " ELSE transform(sequence(0, size(_toks) - 3), i ->"
-        "   concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])) END)"
-    )
-    ex = (
-        d.select("doc_id", toks.alias("_toks"))
-        .select("doc_id", F.explode(sset).alias("shingle"))
-    )
+    ex = dd.distinct_shingle_stream(d, "text", "doc_id", 3)
     kept = (
         ex.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))

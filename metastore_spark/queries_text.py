@@ -840,16 +840,7 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment join), then one join keyed by shingle back to the
     exploded stream and a per-doc rollup."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')")
-    sset = F.expr(
-        "array_distinct(CASE WHEN size(_toks) < 3"
-        " THEN array(array_join(_toks, ' '))"
-        " ELSE transform(sequence(0, size(_toks) - 3), i ->"
-        "   concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])) END)"
-    )
-    ex = d.select("doc_id", toks.alias("_toks")).select(
-        "doc_id", F.explode(sset).alias("shingle")
-    )
+    ex = dd.distinct_shingle_stream(d, "text", "doc_id", 3)
     first = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)

@@ -31,11 +31,42 @@ _SERVE_ROOT = os.path.join(
 )
 # in-process handle cache: (appId, tag, fingerprint) -> DataFrame
 _CACHE: dict[tuple, DataFrame] = {}
-# superseded-fingerprint stores younger than this survive the prune: a
-# concurrent process that lazily opened the old store is still reading
-# it, and rmtree under a live reader fails its jobs. 30 min comfortably
-# outlives any single query.
+# Superseded-fingerprint stores survive until the REPLACEMENT store has
+# been in place this long: any reader of the old store necessarily
+# opened it before (or shortly after) the replacement appeared, so by
+# deletion time it has had the full window to drain. Keying retention
+# on the replacement's age — not the victim's own mtime — is what makes
+# this safe for a store that had been current for days before being
+# superseded (its own mtime is ancient the moment it's replaced).
 _PRUNE_AGE_SEC = 1800
+# A .build-<pid> tmp dir this old belongs to a crashed builder (no
+# build runs for a day); reclaim it or repeated crashes leak full-size
+# store copies indefinitely.
+_BUILD_ORPHAN_AGE_SEC = 86400
+
+
+def _prune_stale(tag: str, fp: str, current_path: str) -> None:
+    import time as _time
+
+    try:
+        current_age = _time.time() - os.stat(current_path).st_mtime
+    except OSError:
+        return
+    for entry in os.listdir(_SERVE_ROOT):
+        if not entry.startswith(f"{tag}-") or entry == f"{tag}-{fp}":
+            continue
+        victim = os.path.join(_SERVE_ROOT, entry)
+        try:
+            victim_age = _time.time() - os.stat(victim).st_mtime
+        except OSError:
+            continue
+        if ".build-" in entry:
+            # in-flight builds are sacred (rmtree kills the builder's
+            # rename) — unless abandoned by a crashed process
+            if victim_age > _BUILD_ORPHAN_AGE_SEC:
+                shutil.rmtree(victim, ignore_errors=True)
+        elif current_age > _PRUNE_AGE_SEC:
+            shutil.rmtree(victim, ignore_errors=True)
 
 
 def _fingerprint(sources: list[str]) -> str:
@@ -92,27 +123,12 @@ def materialized(
                 os.rename(tmp, path)
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-            # prune superseded fingerprints of this tag — but spare ANY
-            # in-flight build dir (any pid: rmtree'ing a concurrent
-            # process's .build-* kills its rename) and anything touched
-            # within _PRUNE_AGE_SEC (a superseded store another process
-            # opened lazily is still being read; age-based retention
-            # lets it drain before space is reclaimed).
-            import time as _time
-
-            for entry in os.listdir(_SERVE_ROOT):
-                if (
-                    entry.startswith(f"{tag}-")
-                    and entry != f"{tag}-{fp}"
-                    and ".build-" not in entry
-                ):
-                    victim = os.path.join(_SERVE_ROOT, entry)
-                    try:
-                        age = _time.time() - os.stat(victim).st_mtime
-                    except OSError:
-                        continue
-                    if age > _PRUNE_AGE_SEC:
-                        shutil.rmtree(victim, ignore_errors=True)
+        # prune on EVERY open (not just builds): retention is keyed on
+        # how long the current store has been in place, so superseded
+        # stores and orphaned build dirs are reclaimed by the first
+        # open that happens after the safety window, and a
+        # just-superseded store survives even if its own mtime is old.
+        _prune_stale(tag, fp, path)
         df = spark.read.parquet(path)
     except Exception:
         df = build()

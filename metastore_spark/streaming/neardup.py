@@ -40,16 +40,127 @@ from pyspark.sql import functions as F
 from metastore_spark.dedup import ops as dd
 
 
-def _latest_gen(root: str) -> int | None:
+def _all_gens(root: str) -> list[int]:
     if not os.path.isdir(root):
-        return None
-    gens = [
+        return []
+    return [
         int(d.split("=")[1])
         for d in os.listdir(root)
         if d.startswith("gen=")
         and os.path.exists(os.path.join(root, d, "_SUCCESS"))
     ]
+
+
+def _latest_gen(root: str) -> int | None:
+    gens = _all_gens(root)
     return max(gens) if gens else None
+
+
+def apply_neardup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    sig_store: str,
+    labels_root: str,
+    num_perm: int = 64,
+    bands: int = 32,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> None:
+    """One micro-batch of near-dup admission — module-level so tests
+    can REPLAY a batch directly and assert idempotence.
+
+    Replay-safe by construction (foreachBatch is at-least-once): the
+    signature delta overwrites a batch_id-keyed subdir, the labels
+    generation IS the batch_id and rebuilds from the newest generation
+    BELOW it (the same predecessor the first attempt saw), and the
+    merge dedups on doc_id — a crash between any write and the
+    checkpoint commit replays to the identical state.
+    """
+    batch = batch_df.select("doc_id", "lang", "source", "text")
+    sigs = dd.minhash_signatures(batch, "text", "doc_id", num_perm, k)
+    ssets = (
+        dd.shingle_stream(batch, "text", "doc_id", k)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sset"))
+    )
+    delta = sigs.join(ssets, "doc_id").persist()
+    prior = [
+        os.path.join(sig_store, d)
+        for d in (os.listdir(sig_store) if os.path.isdir(sig_store) else [])
+        if d.startswith("batch=") and d != f"batch={batch_id}"
+    ]
+    allsigs = (
+        spark.read.parquet(*prior).unionByName(delta) if prior else delta
+    )
+    # candidates: batch bands × (store ∪ batch) bands — never a
+    # store self-join; orientation (lo < hi) decides who is the
+    # duplicate, so arrival order never matters
+    ba = dd.band_keys(delta, "doc_id", "sig", bands, num_perm).alias("a")
+    bb = dd.band_keys(allsigs, "doc_id", "sig", bands, num_perm).alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("lo"),
+            F.greatest("a.doc_id", "b.doc_id").alias("hi"),
+        )
+        .distinct()
+    )
+    sl = allsigs.select(F.col("doc_id").alias("lo"), F.col("sset").alias("s_lo"))
+    sh = allsigs.select(F.col("doc_id").alias("hi"), F.col("sset").alias("s_hi"))
+    jac = F.size(F.array_intersect("s_lo", "s_hi")).cast(
+        "double"
+    ) / F.size(F.array_union("s_lo", "s_hi"))
+    flagged = (
+        cand.join(sl, "lo")
+        .join(sh, "hi")
+        .filter(jac >= threshold)
+        .select(F.col("hi").alias("doc_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    # predecessor = newest generation BELOW this batch id, so a
+    # replayed batch rebuilds from the same input it saw first time
+    gens = [
+        g
+        for g in (
+            _all_gens(labels_root) if os.path.isdir(labels_root) else []
+        )
+        if g < batch_id
+    ]
+    new_labels = batch.select("doc_id").withColumn(
+        "dup_of_history", F.lit(False)
+    )
+    labels = (
+        spark.read.parquet(
+            os.path.join(labels_root, f"gen={max(gens)}")
+        ).unionByName(new_labels)
+        if gens
+        else new_labels
+    )
+    merged = (
+        labels.join(flagged, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.col("dup_of_history") | F.coalesce("_dup", F.lit(False))
+            ).alias("dup_of_history")
+        )
+    )
+    merged.write.mode("overwrite").parquet(
+        os.path.join(labels_root, f"gen={batch_id}")
+    )
+    # write AFTER the label job consumed allsigs (overwrite of the
+    # batch-keyed subdir = replay-idempotent)
+    delta.write.mode("overwrite").parquet(
+        os.path.join(sig_store, f"batch={batch_id}")
+    )
+    delta.unpersist()
 
 
 def neardup_ingest_stream(
@@ -69,78 +180,10 @@ def neardup_ingest_stream(
     schema = spark.read.parquet(src_path).schema
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select("doc_id", "lang", "source", "text")
-        sigs = dd.minhash_signatures(batch, "text", "doc_id", num_perm, k)
-        ssets = (
-            dd.shingle_stream(batch, "text", "doc_id", k)
-            .groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("sset"))
+        apply_neardup_batch(
+            spark, batch_df, batch_id, sig_store, labels_root,
+            num_perm=num_perm, bands=bands, k=k, threshold=threshold,
         )
-        delta = sigs.join(ssets, "doc_id").persist()
-        have_store = os.path.isdir(sig_store)
-        allsigs = (
-            spark.read.parquet(sig_store).unionByName(delta)
-            if have_store
-            else delta
-        )
-        # candidates: batch bands × (store ∪ batch) bands — never a
-        # store self-join; orientation (lo < hi) decides who is the
-        # duplicate, so arrival order never matters
-        ba = dd.band_keys(delta, "doc_id", "sig", bands, num_perm).alias("a")
-        bb = dd.band_keys(allsigs, "doc_id", "sig", bands, num_perm).alias("b")
-        cand = (
-            ba.join(
-                bb,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .select(
-                F.least("a.doc_id", "b.doc_id").alias("lo"),
-                F.greatest("a.doc_id", "b.doc_id").alias("hi"),
-            )
-            .distinct()
-        )
-        sl = allsigs.select(F.col("doc_id").alias("lo"), F.col("sset").alias("s_lo"))
-        sh = allsigs.select(F.col("doc_id").alias("hi"), F.col("sset").alias("s_hi"))
-        jac = F.size(F.array_intersect("s_lo", "s_hi")).cast(
-            "double"
-        ) / F.size(F.array_union("s_lo", "s_hi"))
-        flagged = (
-            cand.join(sl, "lo")
-            .join(sh, "hi")
-            .filter(jac >= threshold)
-            .select(F.col("hi").alias("doc_id"))
-            .distinct()
-            .withColumn("_dup", F.lit(True))
-        )
-        prev_gen = _latest_gen(labels_root)
-        new_labels = batch.select("doc_id").withColumn(
-            "dup_of_history", F.lit(False)
-        )
-        labels = (
-            spark.read.parquet(
-                os.path.join(labels_root, f"gen={prev_gen}")
-            ).unionByName(new_labels)
-            if prev_gen is not None
-            else new_labels
-        )
-        merged = (
-            labels.join(flagged, "doc_id", "left")
-            .select(
-                "doc_id",
-                (F.col("dup_of_history") | F.coalesce("_dup", F.lit(False))).alias(
-                    "dup_of_history"
-                ),
-            )
-        )
-        nxt = 0 if prev_gen is None else prev_gen + 1
-        merged.write.mode("overwrite").parquet(
-            os.path.join(labels_root, f"gen={nxt}")
-        )
-        # append AFTER the join plans are executed (merged was written)
-        delta.write.mode("append").parquet(sig_store)
-        delta.unpersist()
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

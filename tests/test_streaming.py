@@ -363,3 +363,41 @@ def test_neardup_ingest_resume_from_checkpoint(spark, tmp_path):
         r["doc_id"]: r["dup_of_history"]
         for r in spark.read.parquet(second).collect()
     } == {1: False, 2: False, 7: True}
+
+
+def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying the LAST batch (crash
+    after its writes but before the checkpoint commit) must leave the
+    labels and the signature store byte-identical — no duplicate rows."""
+    from metastore_spark.streaming.neardup import apply_neardup_batch
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    cols = ["doc_id", "lang", "source", "text"]
+    sig_store = str(tmp_path / "sigs")
+    labels_root = str(tmp_path / "labels")
+    b0 = spark.createDataFrame(
+        [(1, "en", "a", dup), (2, "en", "a", "unrelated words only here")],
+        cols,
+    )
+    b1 = spark.createDataFrame([(7, "en", "b", dup)], cols)
+    apply_neardup_batch(spark, b0, 0, sig_store, labels_root)
+    apply_neardup_batch(spark, b1, 1, sig_store, labels_root)
+
+    def snapshot():
+        labels = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{labels_root}/gen=1").collect(),
+            )
+        )
+        store = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{sig_store}/batch=*").collect()
+        )
+        return labels, store
+
+    before = snapshot()
+    apply_neardup_batch(spark, b1, 1, sig_store, labels_root)  # replay
+    assert snapshot() == before
+    assert dict(before[0]) == {1: False, 2: False, 7: True}
+    assert before[1] == [1, 2, 7]

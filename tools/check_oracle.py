@@ -131,6 +131,7 @@ def main() -> int:
         if name in skip:
             print(f"skip {name}: CHECK_ORACLE_SKIP")
             report[name] = {"skipped": True, "err": None}
+            _flush()
             continue
         rec = {
             "rows_match": None,

@@ -44,9 +44,13 @@ DAY_US = 86_400_000_000
 
 
 def _rng(table: str, sf: float) -> np.random.Generator:
-    return np.random.default_rng(
-        abs(hash((table, round(sf * 1000)))) % (2**32)
-    )
+    # hashlib, NOT builtin hash(): str hashing is PYTHONHASHSEED-salted
+    # per process, which silently broke the "deterministic" contract —
+    # two runs produced different corpora
+    import hashlib
+
+    digest = hashlib.sha256(f"{table}|{round(sf * 1000)}".encode()).digest()
+    return np.random.default_rng(int.from_bytes(digest[:8], "little"))
 
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
