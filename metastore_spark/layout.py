@@ -370,3 +370,48 @@ def compact_parquet(
         for f in os.listdir(dest)
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     )
+
+
+def zorder_cell(a: Column, b: Column, a_shift: int, b_shift: int) -> Column:
+    """8-bit Z-order (Morton) cell id from two non-negative dims: the
+    top 4 bits of each dim (``dim >> shift``) bit-interleaved
+    (a→even, b→odd positions). A pure codegen expression — 8 shifts
+    and ORs — so the cell column costs nothing at scan speed.
+    """
+    ah = F.shiftright(a.cast("bigint"), a_shift)
+    bh = F.shiftright(b.cast("bigint"), b_shift)
+    cell = F.lit(0).cast("bigint")
+    for i in range(4):
+        # bitwiseOR, not `|` — PySpark's | is boolean OR
+        cell = cell.bitwiseOR(
+            F.shiftleft(F.shiftright(ah, i) % 2, 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(bh, i) % 2, 2 * i + 1))
+    return cell
+
+
+def zcells_for_box(
+    a_lo: int, a_hi: int, b_lo: int, b_hi: int, a_shift: int, b_shift: int
+) -> list[int]:
+    """Driver-side Z-order range decomposition: the exact set of cells
+    a query rectangle intersects — parameter-sized (≤256 cells), the
+    classic 'z-ranges of a box' computation every Z-ordered store
+    (Delta OPTIMIZE ZORDER, HBase salting schemes) performs at query
+    planning time."""
+    cells = []
+    for ah in range(a_lo >> a_shift, (a_hi >> a_shift) + 1):
+        for bh in range(b_lo >> b_shift, (b_hi >> b_shift) + 1):
+            c = 0
+            for i in range(4):
+                c |= ((ah >> i) & 1) << (2 * i)
+                c |= ((bh >> i) & 1) << (2 * i + 1)
+            cells.append(c)
+    return sorted(set(cells))
+
+
+def zorder_shifts(a_max: int, b_max: int) -> tuple[int, int]:
+    """Per-dim shifts putting each dim's top 4 OCCUPIED bits into the
+    cell: derived from data stats, so build and probe agree by
+    construction (both recompute from the same source)."""
+    a_bits = max(4, (int(a_max)).bit_length())
+    b_bits = max(4, (int(b_max)).bit_length())
+    return a_bits - 4, b_bits - 4

@@ -114,3 +114,74 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") / F.col("n"), 4).alias("share"),
         )
     )
+
+
+@query(
+    "events_type_cms_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+           true AS cms_within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_type_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point estimates validated in-query — the third
+    member of the sketch family (HLL distinct counts, Misra-Gries
+    heavy hitters, CMS frequencies; Cormode & Muthukrishnan 2005).
+
+    The sketch is built as a plain DataFrame aggregation, which makes
+    its mergeability explicit: every row explodes into d (hash_row,
+    bucket) updates, and a partial-agg groupBy yields the d×w count
+    table — the exchange carries at most d×w rows per partition
+    regardless of input size, exactly how a 100 TB sketch build
+    behaves. Estimation is a broadcast join of each key\'s d buckets
+    against the table, MIN over rows. CMS guarantees estimate ∈
+    [exact, exact + εN] w.p. 1−δ (ε = e/w, δ = e^-d); the oracle pins
+    the exact counts AND that the bound held — the recall-gate
+    pattern every inherently-approximate operator here uses.
+    """
+    W, D = 2048, 5
+    e = _t(spark, sf_dir, "events")
+    total = e.count()  # scalar N for the εN bound — parameter-sized
+    eps_n = int(2.718281828 * total / W) + 1
+
+    def buckets(col):
+        return [
+            F.struct(
+                F.lit(i).alias("hrow"),
+                F.pmod(F.xxhash64(col, F.lit(i)), F.lit(W)).alias("bucket"),
+            )
+            for i in range(D)
+        ]
+
+    table = (
+        e.select(F.explode(F.array(*buckets(F.col("event_type")))).alias("u"))
+        .groupBy(F.col("u.hrow").alias("hrow"), F.col("u.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.select(
+        "event_type",
+        "exact_cnt",
+        F.explode(F.array(*buckets(F.col("event_type")))).alias("u"),
+    ).select(
+        "event_type",
+        "exact_cnt",
+        F.col("u.hrow").alias("hrow"),
+        F.col("u.bucket").alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(table), ["hrow", "bucket"])
+        .groupBy("event_type", "exact_cnt")
+        .agg(F.min("cnt").alias("_est"))
+    )
+    return est.select(
+        "event_type",
+        "exact_cnt",
+        (
+            (F.col("_est") >= F.col("exact_cnt"))
+            & (F.col("_est") <= F.col("exact_cnt") + F.lit(eps_n))
+        ).alias("cms_within_bound"),
+    )

@@ -915,3 +915,84 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (z + F.lit(0.0)).alias("zscore"),
         )
     )
+
+
+@query(
+    "events_zorder_box_pruned",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+             ROUND(value, 2) AS value,
+             epoch_us(ts) // 86400000000 AS aday
+      FROM events
+    ),
+    b AS (SELECT MIN(aday) AS d0 FROM d)
+    SELECT event_id, ts_us, user_id, event_type, value
+    FROM d, b
+    WHERE user_id BETWEEN 100 AND 300
+      AND (aday - d0) BETWEEN 10 AND 20
+    """,
+)
+def events_zorder_box_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional pruning via a Z-ORDERED layout — the Delta
+    OPTIMIZE ZORDER idea as a first-class operator: events are stored
+    partitioned by an 8-bit Morton cell interleaving the top bits of
+    (user_id, day), so a rectangle predicate on BOTH dimensions
+    becomes directory pruning (neither dim alone could prune a layout
+    partitioned on the other). The query decomposes its box into the
+    exact intersecting cell set driver-side (parameter-sized,
+    layout.zcells_for_box) and pushes `zcell IN (...)` — asserted as
+    PartitionFilters in tests/test_layout.py — plus the residual
+    exact-range filters. Bit widths derive from corpus stats
+    (layout.zorder_shifts), so build and probe agree by construction.
+    At 100 TB: a per-user time-slice query touches
+    |user cells| × |day cells| directories instead of the corpus."""
+    import os
+
+    from metastore_spark import layout, serve
+    from metastore_spark.ts import ts_us
+
+    e = _t(spark, sf_dir, "events")
+    us = ts_us("ts")
+    day_us = F.lit(86400000000)
+    aday_expr = ((us - F.pmod(us, day_us)) / day_us).cast("bigint")
+    # corpus stats for the bit widths — one parameter-sized agg; build
+    # and probe recompute identically from the same source
+    stats = e.select(
+        F.min(aday_expr).alias("d0"),
+        F.max(aday_expr).alias("d1"),
+        F.max("user_id").alias("u1"),
+    ).collect()[0]
+    d0, d1, u1 = int(stats["d0"]), int(stats["d1"]), int(stats["u1"])
+    u_shift, d_shift = layout.zorder_shifts(u1, d1 - d0)
+
+    def build() -> DataFrame:
+        aday = aday_expr
+        return e.select(
+            "event_id",
+            us.alias("ts_us"),
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            (aday - F.lit(d0)).alias("rel_day"),
+        ).withColumn(
+            "zcell",
+            layout.zorder_cell(
+                F.col("user_id"), F.col("rel_day"), u_shift, d_shift
+            ),
+        )
+
+    store = serve.materialized(
+        spark,
+        [os.path.join(sf_dir, "events.parquet")],
+        "zbox8",
+        build,
+        partition_by=["zcell"],
+    )
+    cells = layout.zcells_for_box(100, 300, 10, 20, u_shift, d_shift)
+    return (
+        store.filter(F.col("zcell").isin(cells))
+        .filter(F.col("user_id").between(100, 300))
+        .filter(F.col("rel_day").between(10, 20))
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
+    )

@@ -197,3 +197,28 @@ def test_fact_bucketed_join_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in tbls.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_zorder_box_prunes_partitions(spark):
+    """The Z-cell decomposition must reach the scan as PartitionFilters
+    and the pruned scan must touch strictly fewer files than the store
+    holds — the multi-dim pruning the layout exists for."""
+    import __spark_entry__ as entry
+
+    # sf0.01: the query box (user 100-300) is empty at sf0.001
+    df = entry.queries()["events_zorder_box_pruned"](
+        spark, "/root/testdata/sf0.01"
+    )
+    plan = _explain(df)
+    assert "PartitionFilters" in plan and "zcell" in plan
+    assert len(df.collect()) > 0
+    # physical evidence from THIS query execution's scan metrics
+    # (inputFiles() lists the relation pre-pruning and proves nothing)
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    read_dirs = int(scan.metrics().apply("numPartitions").value())
+    from metastore_spark import serve
+
+    stores = [k for k in serve._CACHE if k[1] == "zbox8"]
+    assert stores, "zbox8 store should be cached in-process"
+    total_dirs = serve._CACHE[stores[0]].select("zcell").distinct().count()
+    assert 0 < read_dirs < total_dirs, (read_dirs, total_dirs)
