@@ -89,6 +89,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "events_top_value_per_type",
     "docs_top_chars_per_source",
+    "q11_important_parts",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

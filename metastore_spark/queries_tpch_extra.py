@@ -351,3 +351,59 @@ def orders_lineitem_bucketed_join(
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS v
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(v, 2) AS part_value
+    FROM pv
+    WHERE v > (SELECT SUM(v) * 0.001 FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock) restated on this catalog: with no
+    partsupp table, "inventory value" is the revenue each part moved
+    through NATION_5's suppliers, and a part is "important" when its
+    value exceeds 0.1% of the nation's total. Keeps Q11's distinctive
+    stress — a scalar aggregate subquery consumed by HAVING — as a
+    1-row broadcast crossJoin over the SAME per-part aggregate frame
+    the output reads (computed once, reused for both the threshold
+    scalar and the filtered emit; both engines derive the threshold
+    as SUM over the group sums so the summation structure matches).
+    The fact shuffles once on l_partkey; supplier+nation broadcast.
+    Completes the 22/22 classic TPC-H suite in the registry
+    (reference analogue: the envelope/summary aggregates its ES
+    queries delegate, /root/reference/metastore/models.py:146)."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
+    )
+    pv = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("val").alias("v"))
+    )
+    pv.persist()
+    thr = pv.agg((F.sum("v") * F.lit(0.001)).alias("thr"))
+    return (
+        pv.crossJoin(F.broadcast(thr))
+        .filter(F.col("v") > F.col("thr"))
+        .select("l_partkey", F.round("v", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
