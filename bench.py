@@ -90,6 +90,8 @@ HEADLINE = [
     "events_top_value_per_type",
     "docs_top_chars_per_source",
     "q11_important_parts",
+    "docs_bigram_surprisal",
+    "docs_quality_score",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

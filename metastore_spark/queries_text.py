@@ -854,3 +854,151 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel / F.count(F.lit(1)), 4).alias("novelty"),
         )
     )
+
+
+@query(
+    "docs_bigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    bigs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_zip(w[1:length(w)-1], w[2:length(w)]),
+               p -> p[1] || ' ' || p[2])) AS big
+      FROM tok WHERE length(w) >= 2
+    ),
+    fb AS (SELECT big, COUNT(*) AS cnt_b FROM bigs GROUP BY big),
+    fc AS (SELECT split_part(big, ' ', 1) AS w1, SUM(cnt_b) AS cnt_c
+           FROM fb GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)             AS n_bigrams,
+           ROUND(AVG(ln(cnt_b / cnt_c)), 4)     AS avg_logprob
+    FROM bigs
+    JOIN fb USING (big)
+    JOIN fc ON split_part(big, ' ', 1) = fc.w1
+    GROUP BY doc_id
+    """,
+)
+def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency: per-doc mean log P(w2|w1) under the corpus's
+    own bigram distribution — one model order above
+    `docs_unigram_logprob`, and the shape every KenLM-style perplexity
+    filter reduces to (count table + conditional probability + per-doc
+    mean). Docs with <2 tokens have no bigrams and drop out on both
+    engines.
+
+    Scale shape: bigrams come from zip_with over two slices of the
+    token array (codegen, no positional self-join); the bigram count
+    table is a partial-agg groupBy. Unlike the unigram vocabulary the
+    bigram table is NOT broadcast — it grows with corpus diversity, so
+    the stream↔counts join stays a shuffle equi-join for AQE to plan
+    (it broadcasts it anyway while the table is small). The context
+    (w1) counts are derived from the bigram table itself — unigram-
+    vocabulary-sized, safe to broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", ops.word_tokens(F.col("text")).alias("w")
+    ).filter(F.size("w") >= 2)
+    bigs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("big"),
+    )
+    fb = bigs.groupBy("big").agg(F.count(F.lit(1)).alias("cnt_b"))
+    fc = (
+        fb.select(F.expr("split_part(big, ' ', 1)").alias("w1"), "cnt_b")
+        .groupBy("w1")
+        .agg(F.sum("cnt_b").alias("cnt_c"))
+    )
+    return (
+        bigs.join(fb, "big")
+        .withColumn("w1", F.expr("split_part(big, ' ', 1)"))
+        .join(F.broadcast(fc), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("cnt_b") / F.col("cnt_c"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "docs_quality_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS t
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             COUNT(*)                                            AS n_tokens,
+             SUM(length(t))                                      AS sum_len,
+             SUM(CASE WHEN t IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END) AS n_stop,
+             SUM(CASE WHEN regexp_matches(t, '^[0-9]+$') THEN 1 ELSE 0 END)
+                                                                 AS n_num
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-(
+             -3.0
+             + 0.35 * ln(1.0 + n_tokens)
+             + 0.25 * (sum_len * 1.0 / n_tokens)
+             + 6.0  * (n_stop * 1.0 / n_tokens)
+             - 2.5  * (n_num * 1.0 / n_tokens)))), 4) AS quality_score,
+           ROUND(1.0 / (1.0 + exp(-(
+             -3.0
+             + 0.35 * ln(1.0 + n_tokens)
+             + 0.25 * (sum_len * 1.0 / n_tokens)
+             + 6.0  * (n_stop * 1.0 / n_tokens)
+             - 2.5  * (n_num * 1.0 / n_tokens)))), 4) >= 0.5 AS is_quality
+    FROM f
+    """,
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a fixed-weight logistic model
+    (fasttext-classifier stand-in) scored as a pure codegen
+    expression — the inference pass of a learned quality filter,
+    with features (log length, mean token length, stopword ratio,
+    numeric-token ratio) computed in ONE explode/partial-agg pass
+    over the token stream (same one-pass shape docs_quality_filter
+    uses). The decision bit thresholds the ROUNDED score so both
+    engines take the identical branch. A real pipeline swaps the
+    literal weights for a trained model's — the plan is unchanged,
+    and at 100 TB it stays one scan + one O(docs) partial-agg
+    shuffle, nothing model-sized to ship."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(ops.word_tokens(F.col("text"))).alias("t")
+    )
+    f = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("t")).alias("sum_len"),
+        F.count(F.when(F.col("t").isin(*ENGLISH_STOPWORDS), 1)).alias("n_stop"),
+        F.count(F.when(F.col("t").rlike("^[0-9]+$"), 1)).alias("n_num"),
+    )
+    z = (
+        F.lit(-3.0)
+        + 0.35 * F.log(1.0 + F.col("n_tokens"))
+        + 0.25 * (F.col("sum_len") * 1.0 / F.col("n_tokens"))
+        + 6.0 * (F.col("n_stop") * 1.0 / F.col("n_tokens"))
+        - 2.5 * (F.col("n_num") * 1.0 / F.col("n_tokens"))
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-z)), 4)
+    return f.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("is_quality"),
+    )
