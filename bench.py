@@ -92,6 +92,7 @@ HEADLINE = [
     "q11_important_parts",
     "docs_bigram_surprisal",
     "docs_quality_score",
+    "search_eval_ndcg",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

@@ -300,3 +300,156 @@ def search_bool_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+# --- ranking evaluation -----------------------------------------------------
+
+# Three eval queries over the corpus vocabulary; graded pseudo-
+# relevance = total occurrences of the query's terms in the document,
+# capped at 7 — computed independently of the ranker being scored.
+# (Occurrence-graded, not containment-graded: with a small vocabulary
+# nearly every doc contains all three terms, which would make every
+# ranking's NDCG equal 1.0 — the cap bounds the 2^rel gain.)
+_EVAL_QS = ((1, "spark join stream"), (2, "hash merge sort"), (3, "window filter batch"))
+
+
+def _ndcg_oracle() -> str:
+    """DuckDB replica of NDCG@10: per eval query, the full BM25
+    pipeline (same CTEs as search_bm25_docs), rank by the rounded
+    score with doc_id tie-break, DCG@10 with ln-based log2, ideal DCG
+    from the relevance-sorted prefix."""
+    ctes, selects = [], []
+    for qid, q in _EVAL_QS:
+        terms = q.split()
+        terms_sql = ", ".join(f"'{t}'" for t in terms)
+        relexpr = (
+            "LEAST(7, len(list_filter(toks, "
+            f"t -> t IN ({terms_sql}))))"
+        )
+        ctes.append(f"""
+    post_{qid} AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM flat
+      WHERE term IN ({terms_sql}) GROUP BY doc_id, term),
+    dfreq_{qid} AS (SELECT term, COUNT(*) AS df FROM post_{qid} GROUP BY term),
+    scored_{qid} AS (
+      SELECT p.doc_id,
+             SUM( ln(1 + (nd - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ) AS s
+      FROM post_{qid} p JOIN dfreq_{qid} USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats GROUP BY p.doc_id),
+    ranked_{qid} AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(s, 4) DESC, doc_id) AS rnk
+      FROM scored_{qid} QUALIFY rnk <= 10),
+    rel_{qid} AS (SELECT doc_id, {relexpr} AS rel FROM tok),
+    dcg_{qid} AS (
+      SELECT SUM((POW(2.0, rel) - 1) / (ln(rnk + 1.0) / ln(2.0))) AS dcg
+      FROM ranked_{qid} JOIN rel_{qid} USING (doc_id)),
+    ideal_{qid} AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rn
+      FROM rel_{qid} WHERE rel > 0 QUALIFY rn <= 10),
+    idcg_{qid} AS (
+      SELECT SUM((POW(2.0, rel) - 1) / (ln(rn + 1.0) / ln(2.0))) AS idcg
+      FROM ideal_{qid})""")
+        selects.append(
+            f"SELECT {qid} AS query_id, '{q}' AS query,"
+            f" ROUND(dcg / idcg, 4) AS ndcg10"
+            f" FROM dcg_{qid} CROSS JOIN idcg_{qid}"
+        )
+    body = ",".join(ctes)
+    union = "\n    UNION ALL ".join(selects)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         t -> t <> '' AND t NOT IN ({_STOPS_SQL})) AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (SELECT AVG(len(toks)) AS avgdl, COUNT(*) AS nd FROM tok),
+    flat AS (SELECT doc_id, unnest(toks) AS term FROM tok),{body}
+    SELECT * FROM ({union}) ORDER BY query_id
+    """
+
+
+@query("search_eval_ndcg", oracle=_ndcg_oracle())
+def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-quality evaluation: NDCG@10 of the BM25 ranker against
+    graded pseudo-relevance labels (capped query-term occurrence
+    count, computed from the corpus independently of the ranker) for a panel
+    of eval queries — the offline relevance-eval loop every search
+    deployment runs next to the index itself (the reference leaves
+    ranking quality to ES and never measures it; this closes that
+    gap). The ranking reuses the SERVED index (steady-state read), so
+    the eval measures exactly what production serves.
+
+    Scale shape: per query, top-10 is TakeOrderedAndProject (global
+    sort-limit, no full-sort shuffle), the DCG join broadcasts the
+    10-row prefix against the relevance frame, and the ideal prefix
+    is the same sort-limit on the labels. ALL panel queries' labels
+    come from ONE persisted tokenization pass (doc_id + one small int
+    per query — O(docs) rows); the stopword filter the oracle's tok
+    CTE applies is skipped because occurrence counts of non-stopword
+    eval terms are unaffected by it. The panel unions fixed-size
+    rows."""
+    import math
+
+    from pyspark.sql import Window
+
+    idx = _index_for(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    from metastore_spark.search.analysis import _TOKEN_SPLIT
+
+    toks_col = F.split(F.lower(F.col("text")), _TOKEN_SPLIT)
+    rel_cols = []
+    for qid, q in _EVAL_QS:
+        rel_col = None
+        for t in q.split():
+            # occurrences of t = length drop after removing t —
+            # codegen'd builtins, one array scan per term
+            c = F.size(toks_col) - F.size(F.array_remove(toks_col, t))
+            rel_col = c if rel_col is None else rel_col + c
+        rel_cols.append(F.least(F.lit(7), rel_col).alias(f"rel_{qid}"))
+    relall = d.select("doc_id", *rel_cols)
+    relall.persist()
+    out = None
+    ln2 = math.log(2.0)
+    for qid, q in _EVAL_QS:
+        rel = relall.select("doc_id", F.col(f"rel_{qid}").alias("rel"))
+        scores = bm25_scores(idx, q, {"text": 1.0}, stem=False)
+        top = (
+            scores.select("doc_id", F.round("score", 4).alias("s"))
+            .orderBy(F.desc("s"), F.asc("doc_id"))
+            .limit(10)
+        )
+        w = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+        ranked = top.withColumn("rnk", F.row_number().over(w))
+        gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / (
+            F.log(F.col("rnk") + 1.0) / F.lit(ln2)
+        )
+        dcg = (
+            rel.join(F.broadcast(ranked), "doc_id")
+            .agg(F.sum(gain).alias("dcg"))
+        )
+        wi = Window.orderBy(F.desc("rel"), F.asc("doc_id"))
+        ideal = (
+            rel.filter(F.col("rel") > 0)
+            .orderBy(F.desc("rel"), F.asc("doc_id"))
+            .limit(10)
+            .withColumn("rn", F.row_number().over(wi))
+        )
+        igain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / (
+            F.log(F.col("rn") + 1.0) / F.lit(ln2)
+        )
+        idcg = ideal.agg(F.sum(igain).alias("idcg"))
+        per = (
+            dcg.crossJoin(F.broadcast(idcg))
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.lit(q).alias("query"),
+                F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg10"),
+            )
+        )
+        out = per if out is None else out.unionAll(per)
+    return out.orderBy("query_id")
