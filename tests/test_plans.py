@@ -230,3 +230,45 @@ def test_grouped_topk_reduces_before_exchange(spark):
     # executedPlan prints top-down: the exchange (upstream consumer of
     # the kernel's output) appears BEFORE MapInPandas in the string
     assert ex < mip, plan
+
+
+def test_q11_threshold_is_broadcast_scalar(spark):
+    """Q11's HAVING threshold must be a 1-row broadcast join over the
+    reused per-part aggregate, with the dims broadcast — never a
+    fact-fact shuffle join or a cartesian over the fact."""
+    plan = _plan(spark, "q11_important_parts")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier/nation dim joins
+    # the scalar threshold is a broadcast nested-loop over ONE row
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bigram_counts_partial_agg_and_broadcast_context(spark):
+    """Bigram count table: partial-agg before its exchange; the
+    unigram-sized context table is broadcast."""
+    import metastore_spark.queries_text  # noqa: F401
+
+    plan = _plan(spark, "docs_bigram_surprisal")
+    assert plan.count("HashAggregate") >= 4  # fb, fc, per-doc (partial+final)
+    assert "BroadcastHashJoin" in plan  # fc join
+
+
+def test_quality_score_single_pass(spark):
+    """The classifier features come from ONE explode pass and ONE
+    O(docs) partial-agg shuffle — no joins at all."""
+    import metastore_spark.queries_text  # noqa: F401
+
+    plan = _plan(spark, "docs_quality_score")
+    assert "Join" not in plan
+    assert "explode" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ndcg_topk_is_sort_limit(spark):
+    """Every top-10 prefix in the NDCG eval must be a distributed
+    sort-limit (TakeOrderedAndProject), not a global sort."""
+    import metastore_spark.queries_search  # noqa: F401
+
+    plan = _plan(spark, "search_eval_ndcg")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
