@@ -691,3 +691,101 @@ def emb_semdedup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_id",
         (F.col("max_sim_to_keeper") + F.lit(0.0)).alias("max_sim_to_keeper"),
     )
+
+
+def _pca_oracle(dim: int = 64, s1: int = 10**7, s2: int = 10**9) -> str:
+    """Unrolled mirror of integer power iteration. fdiv(a, d) =
+    (a - posmod(a, d)) // d is EXACT floor division for signed a
+    (the subtraction makes a divisible, so truncating and floor
+    division agree) — the signed-value counterpart of the all-
+    positive `div` dodge the kmeans oracle uses."""
+
+    def fdiv(a: str, d: int) -> str:
+        return f"CAST(({a} - (({a} % {d}) + {d}) % {d}) // {d} AS BIGINT)"
+
+    fdiv_n = (
+        "CAST((g - ((g % n.n) + n.n) % n.n) // n.n AS BIGINT)"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+    g AS (
+      SELECT t1.range AS i, t2.range AS j,
+             CAST(SUM(qv[t1.range + 1] * qv[t2.range + 1]) AS BIGINT) AS g
+      FROM q CROSS JOIN range({dim}) t1 CROSS JOIN range({dim}) t2
+      GROUP BY 1, 2
+    ),
+    c AS (SELECT i, j, {fdiv_n} AS c FROM g CROSS JOIN n),
+    v1 AS (SELECT i, CAST(SUM(c) AS BIGINT) AS v1 FROM c GROUP BY i),
+    v1s AS (SELECT i, {fdiv('v1', 10**7)} AS v FROM v1),
+    v2 AS (
+      SELECT c.i AS i, CAST(SUM(c.c * v1s.v) AS BIGINT) AS v2
+      FROM c JOIN v1s ON c.j = v1s.i GROUP BY c.i
+    ),
+    v2s AS (SELECT i, {fdiv('v2', 10**9)} AS v FROM v2)
+    SELECT q.vec_id,
+           CAST(SUM(q.qv[v2s.i + 1] * v2s.v) AS BIGINT) AS pc1_score
+    FROM q CROSS JOIN v2s
+    GROUP BY q.vec_id
+    """
+
+
+@query("emb_pca_power_projection", oracle=_pca_oracle())
+def emb_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA eigen-solve + projection: two power-iteration
+    steps on the (uncentered) second-moment matrix, in EXACT integer
+    arithmetic end to end, then every vector scored against the
+    resulting top singular direction — the missing middle of the PCA
+    story between `emb_covariance` (sufficient statistics) and any
+    whitening/projection consumer.
+
+    Cross-engine exactness: vectors quantize to signed int64
+    (floor(x·1e6 + 0.5)); the Gram matrix reduces as per-partition
+    numpy int64 GEMMs (exact — any summation order agrees); the
+    iteration normalizes by floor division at fixed literal scales
+    (1e7, 1e9 — sized so the worst-case |score| stays inside int64
+    even on an adversarial corpus), where fdiv(a,d) =
+    (a − pmod(a,d)) div d is exact floor division for SIGNED values
+    (subtraction makes a divisible; truncating == floor on
+    divisibles), mirroring DuckDB's `//`. Per-cell normalization by
+    N makes every later magnitude scale-factor-invariant.
+
+    Scale shape: the only distributed work is one Gram pass
+    (exchange carries O(partitions × dim²) ints) and one map-only
+    projection scan with the 64 direction components folded in as
+    literals (the kmeans-assign pattern). The driver holds dim²
+    ints — parameters, like the PQ codebooks."""
+    dim, s1, s2 = 64, 10**7, 10**9
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))"
+        ).alias("qv"),
+    )
+    parts = sim.int_gram_partials(e, dim=dim)
+    G = [[0] * dim for _ in range(dim)]
+    N = 0
+    for flat, pn in parts:
+        N += pn
+        for i in range(dim):
+            row = G[i]
+            base = i * dim
+            for j in range(dim):
+                row[j] += flat[base + j]
+    # Python // IS floor division — identical to the oracle's fdiv.
+    C = [[g // N for g in row] for row in G]
+    v1 = [sum(row) for row in C]
+    v1s = [v // s1 for v in v1]
+    v2 = [sum(C[i][j] * v1s[j] for j in range(dim)) for i in range(dim)]
+    v2s = [v // s2 for v in v2]
+    score = None
+    for i, w in enumerate(v2s):
+        term = F.element_at("qv", i + 1) * F.lit(int(w))
+        score = term if score is None else score + term
+    return e.select("vec_id", score.cast("bigint").alias("pc1_score"))

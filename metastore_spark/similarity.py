@@ -729,3 +729,36 @@ def gram_matrix(
         F.sum("si").alias("sx_i"),
         F.sum("n").alias("n"),
     )
+
+
+def int_gram_partials(
+    df: DataFrame, dim: int, vec_col: str = "qv"
+) -> list[tuple[list[int], int]]:
+    """Integer Gram partials: one (flattened dim×dim int64 GEMM, row
+    count) pair PER PARTITION, collected to the driver and reduced
+    with arbitrary-precision Python ints. The collect is
+    O(partitions × dim²) — sufficient statistics, never vectors —
+    the same contract as gram_matrix, in exact integer arithmetic
+    (per-element products bounded ≈3.4e11, per-partition sums ≪2⁶³,
+    so the numpy int64 GEMM is exact and equals any other summation
+    order)."""
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[vec_col]])
+            acc += m.T @ m
+            n += len(m)
+        if n:
+            yield pd.DataFrame({"g": [acc.flatten().tolist()], "n": [n]})
+
+    rows = df.select(vec_col).mapInPandas(
+        partial, "g array<long>, n long"
+    ).collect()
+    return [([int(x) for x in r["g"]], int(r["n"])) for r in rows]
