@@ -93,6 +93,7 @@ HEADLINE = [
     "docs_bigram_surprisal",
     "docs_quality_score",
     "search_eval_ndcg",
+    "emb_pca_power_projection",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

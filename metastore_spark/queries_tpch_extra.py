@@ -358,29 +358,36 @@ def orders_lineitem_bucketed_join(
     oracle="""
     WITH pv AS (
       SELECT l_partkey,
-             SUM(l_extendedprice * (1 - l_discount)) AS v
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_5'
       GROUP BY l_partkey
     )
-    SELECT l_partkey, ROUND(v, 2) AS part_value
+    SELECT l_partkey, ROUND(v / 100.0, 2) AS part_value
     FROM pv
-    WHERE v > (SELECT SUM(v) * 0.001 FROM pv)
-    ORDER BY part_value DESC, l_partkey
+    WHERE v * 1.0 > (SELECT SUM(v) * 2.0 / COUNT(*) FROM pv)
+    ORDER BY v DESC, l_partkey
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock) restated on this catalog: with no
     partsupp table, "inventory value" is the revenue each part moved
     through NATION_5's suppliers, and a part is "important" when its
-    value exceeds 0.1% of the nation's total. Keeps Q11's distinctive
-    stress — a scalar aggregate subquery consumed by HAVING — as a
-    1-row broadcast crossJoin over the SAME per-part aggregate frame
-    the output reads (computed once, reused for both the threshold
-    scalar and the filtered emit; both engines derive the threshold
-    as SUM over the group sums so the summation structure matches).
+    value exceeds 2× the nation's average part value (TPC-H scales
+    its fraction by 1/SF for exactly this reason — a FIXED share of
+    total selects nothing once the part count grows; the avg-multiple
+    form is scale-invariant, ~9% selective at sf0.01 through sf1).
+    Keeps Q11's distinctive stress — a scalar aggregate subquery
+    consumed by HAVING — as a 1-row broadcast crossJoin over the SAME
+    per-part aggregate frame the output reads (computed once, reused
+    for both the threshold scalar and the filtered emit). Per-part
+    revenue accumulates as EXACT integer cents (floor(val·100 + 0.5)
+    per line), so the aggregate is summation-order-independent — at
+    sf1 the double-sum form hit last-cent ROUND flips on a handful of
+    the 139k parts; integer cents can't.
     The fact shuffles once on l_partkey; supplier+nation broadcast.
     Completes the 22/22 classic TPC-H suite in the registry
     (reference analogue: the envelope/summary aggregates its ES
@@ -392,7 +399,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+            + 0.5
+        ).cast("bigint").alias("val"),
     )
     pv = (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -400,10 +410,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("val").alias("v"))
     )
     pv.persist()
-    thr = pv.agg((F.sum("v") * F.lit(0.001)).alias("thr"))
+    thr = pv.agg(
+        (F.sum("v") * F.lit(2.0) / F.count(F.lit(1))).alias("thr")
+    )
     return (
         pv.crossJoin(F.broadcast(thr))
-        .filter(F.col("v") > F.col("thr"))
-        .select("l_partkey", F.round("v", 2).alias("part_value"))
-        .orderBy(F.desc("part_value"), "l_partkey")
+        .filter(F.col("v") * 1.0 > F.col("thr"))
+        .select("l_partkey", F.round(F.col("v") / 100.0, 2).alias("part_value"))
+        .orderBy(F.desc("v"), "l_partkey")
     )
