@@ -88,13 +88,19 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
     wsrc = Window.partitionBy("src")
+    # |V|²-bounded frames: coalesce to ONE partition so each of the 8
+    # iterations schedules 1 task per stage instead of 32 empties —
+    # the iteration loop is scheduler-bound, not data-bound, at any
+    # graph size that fits a nation-level rollup. (A billion-edge
+    # graph would instead keep E partitioned and this coalesce out.)
     norm = edges.select(
         "src", "dst", (F.col("w") / F.sum("w").over(wsrc)).alias("wn")
-    ).persist()
+    ).coalesce(1).persist()
     nodes = (
         norm.select(F.col("src").alias("n"))
         .union(norm.select(F.col("dst").alias("n")))
         .distinct()
+        .coalesce(1)
         .persist()
     )
     n_nodes = float(nodes.count())
