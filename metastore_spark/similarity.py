@@ -177,11 +177,40 @@ def cosine_near_pairs(
     precision (hash-verified at sf0.01 AND the full sf1 corpus).
     """
     if n_planes > 0:
-        bucketed = df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+        # Bucket signatures in a vectorized Arrow kernel, NOT the
+        # unrolled codegen expression: the 8×64-term chain costs
+        # seconds of Janino compilation on every invocation (the rows
+        # themselves are cheap). The kernel accumulates dimension-by-
+        # dimension left-to-right from 0.0 — the IDENTICAL summation
+        # order as ``_dot_lit_unrolled`` (and DuckDB's
+        # list_dot_product), so every sign bit, and hence every
+        # bucket, is bit-equal to the expression form and the oracle.
+        planes = _hyperplanes(dim, n_planes)
+        base = df.select(F.col(id_col), F.col(vec_col))
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        bucket_schema = StructType(
+            list(base.schema.fields) + [StructField("_bucket", LongType())]
         )
+
+        def add_bucket(batches):
+            import numpy as np
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(
+                    [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+                )
+                bucket = np.zeros(len(m), dtype=np.int64)
+                for j, p in enumerate(planes):
+                    acc = np.zeros(len(m), dtype="float64")
+                    for i in range(dim):
+                        acc = acc + m[:, i] * p[i]
+                    bucket += (acc >= 0.0).astype(np.int64) << j
+                yield pdf.assign(_bucket=bucket)
+
+        bucketed = base.mapInPandas(add_bucket, bucket_schema)
         out_schema = "id_a bigint, id_b bigint, cos_sim double"
 
         def bucket_pairs(pdf):
