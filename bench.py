@@ -94,6 +94,8 @@ HEADLINE = [
     "docs_quality_score",
     "search_eval_ndcg",
     "emb_pca_power_projection",
+    "events_attribution_last_touch",
+    "customers_rfm_segments",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

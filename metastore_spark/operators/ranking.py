@@ -14,45 +14,21 @@ is computable with the classic two-phase prefix sum:
 
 At 1000 executors this is one range exchange + one map, vs. the
 single-reducer sort the naive window degrades to.
+
+The ranked result is EAGERLY materialized (localCheckpoint) before the
+range frame is released: the offsets map is frozen at call time from
+one specific range-sample, so any lazy recomputation under a re-sampled
+exchange would silently corrupt ranks. Chained calls (RFM ranks three
+metrics in one query) and concurrent callers on one session are both
+safe by construction — each call owns its materialization and pins
+nothing shared. The checkpoint is the same O(rows) write a shuffle
+stage pays; its storage is reclaimed when the frame is dropped.
 """
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-# The range-partitioned frame must stay cached between the counts job
-# and the consumer's job(s) — but not for the session's lifetime.
-# LRU-1 *per thread*: each global_rank call releases the SAME thread's
-# previous cache (repeat callers like bench best-of-3 otherwise
-# accumulate pinned copies until the executor store evicts under
-# pressure). Keyed per thread, because a process-global LRU-1 lets two
-# concurrent queries on one session unpersist each other's frame while
-# its consumer job is still running — the frame then silently
-# recomputes under a possibly different range-sample split. A plain
-# threading.local would leak one pinned frame per DEAD thread
-# (thread-per-request callers); the registry form lets every call also
-# release frames whose owner thread has exited.
-_LOCK = threading.Lock()
-_PERSISTED: dict[int, DataFrame] = {}
-
-
-def _evict_previous(part: DataFrame) -> None:
-    me = threading.get_ident()
-    live = {t.ident for t in threading.enumerate()}
-    with _LOCK:
-        stale = [
-            tid for tid in _PERSISTED if tid == me or tid not in live
-        ]
-        victims = [_PERSISTED.pop(tid) for tid in stale]
-        _PERSISTED[me] = part
-    for prev in victims:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
 
 
 def global_rank(
@@ -65,42 +41,54 @@ def global_rank(
 
     Assumes the key tuple is unique per row (callers append a unique
     tiebreaker — the same requirement deterministic NTILE has anyway),
-    so row_number == rank == the unique sort position.
+    so row_number == rank == the unique sort position. The returned
+    frame is materialized: consumers (including repeated actions and
+    later re-rankings of the same frame) read frozen rank values.
     """
     n_part = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    # persist: the counts job and the ranking job must see the SAME
-    # range assignment (the range exchange samples split points; an
-    # unpersisted recompute could re-sample differently)
+    # persist: the counts job and the materialization job must see the
+    # SAME range assignment (the range exchange samples split points;
+    # an unpersisted recompute could re-sample differently)
     part = (
         df.repartitionByRange(int(n_part), *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    _evict_previous(part)
-    # phase 1: per-partition counts — parameter-sized driver fetch
-    counts = dict(
-        (r["_pid"], r["cnt"])
-        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, running = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = running
-        running += counts[pid]
-    # phase 2: local row_number + broadcast offset; the when-chain is
-    # O(#partitions) literals — constant-folded, no join, no shuffle
-    off: Column = F.lit(0)
-    expr = None
-    for pid, o in offsets.items():
-        cond = F.col("_pid") == pid
-        expr = F.when(cond, o) if expr is None else expr.when(cond, o)
-    if expr is not None:
-        off = expr.otherwise(F.lit(0))
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return part.withColumn(
-        rank_col, (F.row_number().over(w) + off).cast("bigint")
-    ).drop("_pid")
+    try:
+        # phase 1: per-partition counts — parameter-sized driver fetch
+        counts = dict(
+            (r["_pid"], r["cnt"])
+            for r in part.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        offsets, running = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = running
+            running += counts[pid]
+        # phase 2: local row_number + broadcast offset; the when-chain
+        # is O(#partitions) literals — constant-folded, no join, no
+        # shuffle
+        off: Column = F.lit(0)
+        expr = None
+        for pid, o in offsets.items():
+            cond = F.col("_pid") == pid
+            expr = F.when(cond, o) if expr is None else expr.when(cond, o)
+        if expr is not None:
+            off = expr.otherwise(F.lit(0))
+        w = Window.partitionBy("_pid").orderBy(*order_cols)
+        ranked = (
+            part.withColumn(
+                rank_col, (F.row_number().over(w) + off).cast("bigint")
+            )
+            .drop("_pid")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        part.unpersist()
+    return ranked
 
 
 def ntile_from_rank(rank: Column, n_rows: int, k: int) -> Column:

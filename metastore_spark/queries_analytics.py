@@ -223,7 +223,7 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("o_totalprice").alias("total_spend"))
     )
     ranked = global_rank(spend, ["total_spend", "c_custkey"], "rank")
-    n = ranked.count()  # persisted by global_rank — count reuses it
+    n = ranked.count()  # materialized by global_rank — count reads the checkpoint
     return (
         ranked.withColumn("decile", ntile_from_rank(F.col("rank"), n, 10))
         .groupBy("decile")
@@ -898,4 +898,87 @@ def docs_top_chars_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("n_chars", False), ("doc_id", True)],
         k=3,
         rank_col="rnk",
+    )
+
+
+@query(
+    "customers_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ),
+    b AS (
+      SELECT cents,
+             NTILE(4) OVER (ORDER BY last_order, c_custkey) AS r_bucket,
+             NTILE(4) OVER (ORDER BY freq, c_custkey)       AS f_bucket,
+             NTILE(4) OVER (ORDER BY cents, c_custkey)      AS m_bucket
+      FROM base
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           CAST(COUNT(*) AS BIGINT)       AS n_customers,
+           ROUND(SUM(cents) / 100.0, 2)   AS segment_value
+    FROM b
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile-bucket every customer on
+    Recency (last order date), Frequency (order count), and Monetary
+    (lifetime spend, exact integer cents), then roll up the 4×4×4
+    segment grid — the classic CRM slicing, composed from the
+    distributed exact-NTILE operator.
+
+    Each of the three bucketings is a `global_rank` pass
+    (range-repartition + per-partition row_number + cumulative
+    offsets — NO single-partition window, the customer_spend_deciles
+    shape ×3) with a custkey tiebreak making every assignment
+    deterministic; monetary ranks on order-independent integer cents
+    so no two engines can disagree about near-equal spends. The
+    final rollup is a ≤64-group partial agg."""
+    from metastore_spark.operators.ranking import global_rank, ntile_from_rank
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    ranked = global_rank(base, ["last_order", "c_custkey"], "r_rank")
+    n = ranked.count()  # materialized by global_rank — count reads the checkpoint
+    ranked = ranked.withColumn(
+        "r_bucket", ntile_from_rank(F.col("r_rank"), n, 4)
+    )
+    ranked = global_rank(ranked, ["freq", "c_custkey"], "f_rank")
+    ranked = ranked.withColumn(
+        "f_bucket", ntile_from_rank(F.col("f_rank"), n, 4)
+    )
+    ranked = global_rank(ranked, ["cents", "c_custkey"], "m_rank")
+    ranked = ranked.withColumn(
+        "m_bucket", ntile_from_rank(F.col("m_rank"), n, 4)
+    )
+    return (
+        ranked.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("cents") / 100.0, 2).alias("segment_value"),
+        )
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
     )

@@ -996,3 +996,98 @@ def events_zorder_box_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rel_day").between(10, 20))
         .select("event_id", "ts_us", "user_id", "event_type", "value")
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, epoch_us(ts) AS us, user_id, event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    seq AS (
+      SELECT event_id, us, event_type, cents,
+             last_value(CASE WHEN event_type <> 'purchase' THEN us END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_us,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_type
+      FROM ev
+    )
+    SELECT COALESCE(CASE WHEN touch_us >= us - 604800000000
+                         THEN touch_type END, 'none') AS channel,
+           CAST(COUNT(*) AS BIGINT)                   AS n_purchases,
+           ROUND(SUM(cents) / 100.0, 2)               AS attributed_value
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: every purchase credits the user's most
+    recent preceding click or view within a 7-day lookback ('none'
+    when the trail is cold) — the last-touch model every growth team
+    starts with, as one carry-forward window pass.
+
+    Shape: ONE shuffle (partitionBy user_id), then a running
+    ignorenulls `last` over (ts, event_id) carries the latest touch
+    onto each purchase row — no self-join, no per-purchase probe.
+    Revenue accumulates as exact integer cents (summation-order-
+    independent — the q11 lesson); the lookback compares epoch
+    micros, timezone-proof. Purchases at the exact timestamp of a
+    touch attribute deterministically via the event_id tie-break.
+    At 100 TB the user partition is the natural key: the window
+    never crosses users, so the pass scales with the per-user
+    history, not the corpus."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .select(
+            "event_id",
+            ts_us("ts").alias("us"),
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type") != "purchase"
+    seq = ev.select(
+        "event_type",
+        "cents",
+        F.last(F.when(is_touch, F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        "us",
+    )
+    channel = F.coalesce(
+        F.when(
+            F.col("touch_us") >= F.col("us") - F.lit(604800000000),
+            F.col("touch_type"),
+        ),
+        F.lit("none"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("cents") / 100.0, 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

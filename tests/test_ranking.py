@@ -43,10 +43,10 @@ def test_global_rank_is_exact_sort_position(spark):
 
 
 def test_global_rank_concurrent_calls_do_not_evict_each_other(spark):
-    """Two threads ranking concurrently on one session: the per-thread
-    LRU-1 cache must not let one call unpersist the other's
-    range-partitioned frame mid-consumption (the old module-global
-    list did exactly that)."""
+    """Two threads ranking concurrently on one session must each get
+    exact ranks: every call eagerly materializes its own result, so
+    no shared cache exists for one call to evict from another (the
+    old module-global persisted-frame list did exactly that)."""
     import threading
 
     results = {}
@@ -76,3 +76,26 @@ def test_global_rank_concurrent_calls_do_not_evict_each_other(spark):
     for tag in ("a", "b"):
         for expected, (_, _, got) in enumerate(results[tag], start=1):
             assert got == expected, (tag, expected, got)
+
+
+def test_global_rank_chained_calls_stay_frozen(spark):
+    """Re-ranking an already-ranked frame on a second metric must not
+    corrupt the first rank column: before eager materialization, the
+    second call's range exchange lazily recomputed the first ranks
+    under a re-sampled split against frozen offsets (caught at sf1 by
+    customers_rfm_segments — 68 'quartile' combos out of a possible
+    64)."""
+    df = spark.range(5000).select(
+        (F.col("id") * 37 % 4999).alias("a"),
+        (F.col("id") * 53 % 4997).alias("b"),
+        F.col("id").alias("tid"),
+    )
+    r1 = global_rank(df, ["a", "tid"], "rank_a", num_partitions=7)
+    r2 = global_rank(r1, ["b", "tid"], "rank_b", num_partitions=7)
+    rows = r2.collect()
+    by_a = sorted((r["a"], r["tid"], r["rank_a"]) for r in rows)
+    for expected, (_, _, got) in enumerate(by_a, start=1):
+        assert got == expected
+    by_b = sorted((r["b"], r["tid"], r["rank_b"]) for r in rows)
+    for expected, (_, _, got) in enumerate(by_b, start=1):
+        assert got == expected
