@@ -96,6 +96,7 @@ HEADLINE = [
     "emb_pca_power_projection",
     "events_attribution_last_touch",
     "customers_rfm_segments",
+    "events_user_hll_registers",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

@@ -185,3 +185,151 @@ def events_type_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_est") <= F.col("exact_cnt") + F.lit(eps_n))
         ).alias("cms_within_bound"),
     )
+
+
+# --- portable HyperLogLog (explicit registers) ------------------------------
+
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P  # 1024 registers
+# Flajolet et al. 2007 bias constant, precomputed ONCE in Python and
+# injected as the identical literal into both engines.
+_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
+
+
+def _hll_est_sql(used: str = "used", spow: str = "spow") -> str:
+    """Estimate from (register count, sum of 2^-r): raw HLL with the
+    small-range linear-counting correction, identical structure on
+    both engines."""
+    zeros = f"({_HLL_M} - {used})"
+    raw = f"({_HLL_A_LIT} / ({spow} + {zeros}))"
+    return (
+        f"CASE WHEN {zeros} > 0 AND {raw} <= {2.5 * _HLL_M!r} "
+        f"THEN {_HLL_M}.0 * ln({_HLL_M}.0 / {zeros}) ELSE {raw} END"
+    )
+
+
+_HLL_A_LIT = repr(_HLL_ALPHA_M2)
+
+
+def _hll_oracle() -> str:
+    from metastore_spark.queries_dedup import _ph60
+
+    est = _hll_est_sql()
+    return f"""
+    WITH hsh AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id,
+             {_ph60("user_id::VARCHAR")} AS h
+      FROM events
+    ),
+    rho AS (
+      SELECT d, h % {_HLL_M} AS bucket,
+             CASE WHEN h // {_HLL_M} = 0 THEN 51
+                  ELSE 51 - length(to_base(CAST(h // {_HLL_M} AS BIGINT), 2))
+                  END AS rho
+      FROM hsh
+    ),
+    regs AS (SELECT d, bucket, MAX(rho) AS r FROM rho GROUP BY 1, 2),
+    day_est AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS used,
+             SUM(POW(2.0, -r)) AS spow
+      FROM regs GROUP BY 1
+    ),
+    day_exact AS (
+      SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM hsh GROUP BY 1
+    ),
+    tot_regs AS (SELECT bucket, MAX(r) AS r FROM regs GROUP BY 1),
+    tot_est AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS used, SUM(POW(2.0, -r)) AS spow
+      FROM tot_regs
+    ),
+    tot_exact AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM hsh
+    )
+    SELECT CAST(d AS VARCHAR) AS scope, ROUND({est}, 4) AS hll_estimate,
+           exact_users
+    FROM day_est JOIN day_exact USING (d)
+    UNION ALL
+    SELECT 'total' AS scope, ROUND({est}, 4) AS hll_estimate, exact_users
+    FROM tot_est CROSS JOIN tot_exact
+    ORDER BY scope
+    """
+
+
+@query("events_user_hll_registers", oracle=_hll_oracle())
+def events_user_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent HyperLogLog: per-day distinct-user sketches as an
+    EXPLICIT 1024-register table (p=10), merged into a corpus sketch
+    by per-bucket MAX — the mergeability that makes HLL the sketch of
+    choice for stratified rollups (day→week→all without rescanning
+    raw data). Unlike `events_user_approx_distinct` (Spark's opaque
+    HLL, bounded-error oracle), every register — and therefore every
+    estimate — is value-hash-oracled: the hash is portable_hash60,
+    bucket/rank are integer ops (rank via base-2 digit count), and
+    the Flajolet bias constant is one shared literal, so both engines
+    produce the identical estimate to 4dp, linear-counting branch and
+    all. Exact per-scope distincts ride along as the accuracy
+    reference.
+
+    Scale shape: raw events reduce to O(days × 1024) register rows in
+    one partial-agg shuffle; the corpus merge reads registers, never
+    events. At 100 TB the register table is the serving artifact —
+    the same trade the bloom/Misra-Gries operators make."""
+    from metastore_spark.dedup.ops import portable_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    hsh = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        "user_id",
+        portable_hash60(F.col("user_id").cast("string")).alias("h"),
+    )
+    w = F.expr(f"h div {_HLL_M}")
+    rho = F.when(w == 0, F.lit(51)).otherwise(
+        F.lit(51) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    buck = hsh.select(
+        "d", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho")
+    )
+    regs = buck.groupBy("d", "bucket").agg(F.max("rho").alias("r"))
+    regs.persist()
+
+    def est_col(used, spow):
+        zeros = F.lit(float(_HLL_M)) - used.cast("double")
+        raw = F.lit(_HLL_ALPHA_M2) / (spow + zeros)
+        return F.when(
+            (zeros > 0) & (raw <= F.lit(2.5 * _HLL_M)),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
+        ).otherwise(raw)
+
+    day_est = regs.groupBy("d").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("spow"),
+    )
+    day_exact = hsh.groupBy("d").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    per_day = day_est.join(day_exact, "d").select(
+        F.col("d").cast("string").alias("scope"),
+        F.round(est_col(F.col("used"), F.col("spow")), 4).alias(
+            "hll_estimate"
+        ),
+        "exact_users",
+    )
+    tot_est = (
+        regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .agg(
+            F.count(F.lit(1)).alias("used"),
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("spow"),
+        )
+    )
+    tot_exact = hsh.agg(F.countDistinct("user_id").alias("exact_users"))
+    total = tot_est.crossJoin(F.broadcast(tot_exact)).select(
+        F.lit("total").alias("scope"),
+        F.round(est_col(F.col("used"), F.col("spow")), 4).alias(
+            "hll_estimate"
+        ),
+        "exact_users",
+    )
+    return per_day.unionAll(total).orderBy("scope")
