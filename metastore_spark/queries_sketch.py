@@ -189,11 +189,11 @@ def events_type_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- portable HyperLogLog (explicit registers) ------------------------------
 
-_HLL_P = 10
-_HLL_M = 1 << _HLL_P  # 1024 registers
-# Flajolet et al. 2007 bias constant, precomputed ONCE in Python and
-# injected as the identical literal into both engines.
-_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
+# Constants live in operators/hll.py (shared with the streaming
+# register-maintenance path); the SQL mirrors below inject them as
+# identical literals.
+from metastore_spark.operators.hll import ALPHA_M2 as _HLL_ALPHA_M2
+from metastore_spark.operators.hll import M as _HLL_M
 
 
 def _hll_est_sql(used: str = "used", spow: str = "spow") -> str:
@@ -276,60 +276,23 @@ def events_user_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partial-agg shuffle; the corpus merge reads registers, never
     events. At 100 TB the register table is the serving artifact —
     the same trade the bloom/Misra-Gries operators make."""
-    from metastore_spark.dedup.ops import portable_hash60
+    from metastore_spark.operators import hll
 
     ev = _t(spark, sf_dir, "events")
-    hsh = ev.select(
-        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
-        "user_id",
-        portable_hash60(F.col("user_id").cast("string")).alias("h"),
-    )
-    w = F.expr(f"h div {_HLL_M}")
-    rho = F.when(w == 0, F.lit(51)).otherwise(
-        F.lit(51) - F.length(F.conv(w.cast("string"), 10, 2))
-    )
-    buck = hsh.select(
-        "d", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho")
-    )
-    regs = buck.groupBy("d", "bucket").agg(F.max("rho").alias("r"))
+    regs = hll.day_registers(ev, "ts", "user_id")
     regs.persist()
-
-    def est_col(used, spow):
-        zeros = F.lit(float(_HLL_M)) - used.cast("double")
-        raw = F.lit(_HLL_ALPHA_M2) / (spow + zeros)
-        return F.when(
-            (zeros > 0) & (raw <= F.lit(2.5 * _HLL_M)),
-            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
-        ).otherwise(raw)
-
-    day_est = regs.groupBy("d").agg(
-        F.count(F.lit(1)).alias("used"),
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("spow"),
-    )
-    day_exact = hsh.groupBy("d").agg(
+    est = hll.scope_estimates(regs).drop("used")
+    day_exact = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts")))
+        .cast("string")
+        .alias("scope")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    tot_exact = ev.agg(
         F.countDistinct("user_id").alias("exact_users")
+    ).select(F.lit("total").alias("scope"), "exact_users")
+    exact = day_exact.unionAll(tot_exact)
+    return (
+        est.join(exact, "scope")
+        .select("scope", "hll_estimate", "exact_users")
+        .orderBy("scope")
     )
-    per_day = day_est.join(day_exact, "d").select(
-        F.col("d").cast("string").alias("scope"),
-        F.round(est_col(F.col("used"), F.col("spow")), 4).alias(
-            "hll_estimate"
-        ),
-        "exact_users",
-    )
-    tot_est = (
-        regs.groupBy("bucket")
-        .agg(F.max("r").alias("r"))
-        .agg(
-            F.count(F.lit(1)).alias("used"),
-            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("spow"),
-        )
-    )
-    tot_exact = hsh.agg(F.countDistinct("user_id").alias("exact_users"))
-    total = tot_est.crossJoin(F.broadcast(tot_exact)).select(
-        F.lit("total").alias("scope"),
-        F.round(est_col(F.col("used"), F.col("spow")), 4).alias(
-            "hll_estimate"
-        ),
-        "exact_users",
-    )
-    return per_day.unionAll(total).orderBy("scope")

@@ -422,3 +422,78 @@ def docs_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _stream_hll_oracle() -> str:
+    from metastore_spark.queries_dedup import _ph60
+    from metastore_spark.queries_sketch import _HLL_M, _hll_est_sql
+
+    est = _hll_est_sql()
+    return f"""
+    WITH hsh AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id,
+             {_ph60("user_id::VARCHAR")} AS h
+      FROM events
+    ),
+    rho AS (
+      SELECT d, h % {_HLL_M} AS bucket,
+             CASE WHEN h // {_HLL_M} = 0 THEN 51
+                  ELSE 51 - length(to_base(CAST(h // {_HLL_M} AS BIGINT), 2))
+                  END AS rho
+      FROM hsh
+    ),
+    regs AS (SELECT d, bucket, MAX(rho) AS r FROM rho GROUP BY 1, 2),
+    day_est AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS used,
+             SUM(POW(2.0, -r)) AS spow
+      FROM regs GROUP BY 1
+    ),
+    tot_regs AS (SELECT bucket, MAX(r) AS r FROM regs GROUP BY 1),
+    tot_est AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS used, SUM(POW(2.0, -r)) AS spow
+      FROM tot_regs
+    )
+    SELECT CAST(d AS VARCHAR) AS scope, ROUND({est}, 4) AS hll_estimate,
+           used
+    FROM day_est
+    UNION ALL
+    SELECT 'total' AS scope, ROUND({est}, 4) AS hll_estimate, used
+    FROM tot_est
+    ORDER BY scope
+    """
+
+
+@query("events_stream_hll_ingest", oracle=_stream_hll_oracle())
+def events_stream_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count sketch maintenance: the events corpus
+    split into 4 parquet files drives micro-batched
+    (maxFilesPerTrigger=1) HLL register updates against a
+    generation-swapped cross-batch store (streaming/hll.py). The
+    drained registers' estimates must equal the batch register
+    computation over the raw corpus — the register MAX is
+    associative/commutative/idempotent, so the result is independent
+    of batching, ordering, and at-least-once replay (replay rebuilds
+    from the same below-id predecessor generation; pytest replays a
+    batch to assert it). The oracle recomputes the full register
+    table and both estimate scopes in SQL."""
+    import shutil
+    import tempfile
+
+    from metastore_spark.catalog import load_table
+    from metastore_spark.operators import hll
+    from metastore_spark.streaming.hll import hll_ingest_stream
+
+    src = tempfile.mkdtemp(prefix="hll_src_")
+    state = tempfile.mkdtemp(prefix="hll_state_")
+    try:
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        final = hll_ingest_stream(spark, src, state)
+        regs = spark.read.parquet(final)
+        out = hll.scope_estimates(regs).orderBy("scope")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

@@ -401,3 +401,49 @@ def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
     assert snapshot() == before
     assert dict(before[0]) == {1: False, 2: False, 7: True}
     assert before[1] == [1, 2, 7]
+
+
+def test_hll_batch_replay_and_batching_invariance(spark, tmp_path):
+    """HLL register maintenance must converge to the same registers
+    (a) when the LAST batch replays (at-least-once foreachBatch), and
+    (b) regardless of how rows were split across batches — both
+    consequences of the per-bucket MAX merge."""
+    import datetime as dt
+
+    from metastore_spark.operators import hll
+    from metastore_spark.streaming.hll import apply_hll_batch
+
+    cols = ["ts", "user_id"]
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t1 = dt.datetime(2024, 1, 2, 10, 0, 0)
+    rows = [(t0, u) for u in range(40)] + [(t1, u) for u in range(20, 60)]
+    root_a = str(tmp_path / "a")
+    b0 = spark.createDataFrame(rows[:30], cols)
+    b1 = spark.createDataFrame(rows[30:], cols)
+    apply_hll_batch(spark, b0, 0, root_a)
+    apply_hll_batch(spark, b1, 1, root_a)
+
+    def regs(root, gen):
+        return sorted(
+            (str(r["d"]), r["bucket"], r["r"])
+            for r in spark.read.parquet(f"{root}/gen={gen}").collect()
+        )
+
+    before = regs(root_a, 1)
+    apply_hll_batch(spark, b1, 1, root_a)  # replay the last batch
+    assert regs(root_a, 1) == before
+
+    # different batching of the same rows → identical final registers,
+    # and both equal the single-pass batch computation
+    root_b = str(tmp_path / "b")
+    apply_hll_batch(spark, spark.createDataFrame(rows[:5], cols), 0, root_b)
+    apply_hll_batch(spark, spark.createDataFrame(rows[5:70], cols), 1, root_b)
+    apply_hll_batch(spark, spark.createDataFrame(rows[70:], cols), 2, root_b)
+    assert regs(root_b, 2) == before
+    batch_regs = sorted(
+        (str(r["d"]), r["bucket"], r["r"])
+        for r in hll.day_registers(
+            spark.createDataFrame(rows, cols)
+        ).collect()
+    )
+    assert batch_regs == before
