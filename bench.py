@@ -97,6 +97,7 @@ HEADLINE = [
     "events_attribution_last_touch",
     "customers_rfm_segments",
     "events_user_hll_registers",
+    "nation_revenue_ses_forecast",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

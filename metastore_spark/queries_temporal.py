@@ -1091,3 +1091,87 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "nation_revenue_ses_forecast",
+    oracle="""
+    WITH mrev AS (
+      SELECT n_name, date_trunc('month', o_orderdate) AS mon,
+             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS BIGINT) AS n_months,
+             list(cents::DOUBLE ORDER BY mon) AS ys
+      FROM mrev GROUP BY 1
+    )
+    SELECT n_name,
+           n_months,
+           ROUND(ys[length(ys)] / 100.0, 2) AS last_month_revenue,
+           ROUND(list_reduce(ys, (acc, x) -> 0.3 * x + 0.7 * acc)
+                 / 100.0, 4) AS ses_forecast
+    FROM series
+    ORDER BY n_name
+    """,
+)
+def nation_revenue_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series forecasting: simple exponential smoothing (α=0.3)
+    of each nation's monthly order revenue; the smoothed level after
+    the last observed month IS the one-step-ahead forecast — the
+    model every demand-planning pipeline starts from (Holt/Winters
+    add trend/season terms to the same fold).
+
+    Cross-engine exactness: monthly revenue aggregates as integer
+    cents; the smoothing recurrence s_i = α·y_i + (1−α)·s_{i−1} runs
+    as a SEQUENTIAL left fold over the month-ordered series on BOTH
+    engines (Spark `aggregate` seeded with y_1 over the tail, DuckDB
+    `list_reduce`) — bit-identical doubles, no pow() weight whose
+    last ulp could differ between libms.
+
+    Scale shape: one shuffle to (nation, month) — partial-agg, output
+    |nations|×|months| — then one shuffle to nation with a ≤months
+    array per group. The fold is per-series sequential (as any
+    recurrence must be); parallelism comes from the series count,
+    which is the right axis at 100 TB (forecast millions of SKUs, not
+    one series faster)."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    mrev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name", "mon")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    series = mrev.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(mon, cents))),"
+            " p -> cast(p.cents as double))"
+        ).alias("ys"),
+    )
+    ses = F.aggregate(
+        F.expr("slice(ys, 2, size(ys) - 1)"),
+        F.element_at("ys", 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return series.select(
+        "n_name",
+        "n_months",
+        F.round(F.element_at("ys", F.size("ys")) / 100.0, 2).alias(
+            "last_month_revenue"
+        ),
+        F.round(ses / 100.0, 4).alias("ses_forecast"),
+    ).orderBy("n_name")
