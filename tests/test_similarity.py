@@ -119,3 +119,41 @@ def test_pq_topk_recall(spark):
     ).collect()
     assert pq_rows[0]["vec_id"] == 0
     assert len(exact & {r["vec_id"] for r in pq_rows}) >= 7
+
+
+def test_int_gram_partials_exact(spark):
+    """Partition-wise int64 GEMM partials must reduce to the exact
+    arbitrary-precision Gram matrix regardless of partitioning — the
+    contract emb_pca_power_projection's power iteration relies on."""
+    from pyspark.sql import functions as F
+
+    from metastore_spark import similarity as sim
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(100)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> "
+                "cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))"
+            ).alias("qv"),
+        )
+    )
+    rows = [[int(x) for x in r["qv"]] for r in e.collect()]
+    dim = 64
+    expected = [
+        [sum(v[i] * v[j] for v in rows) for j in range(dim)]
+        for i in range(dim)
+    ]
+    for nparts in (1, 7):
+        parts = sim.int_gram_partials(e.repartition(nparts), dim=dim)
+        got = [[0] * dim for _ in range(dim)]
+        n = 0
+        for flat, pn in parts:
+            n += pn
+            for i in range(dim):
+                for j in range(dim):
+                    got[i][j] += flat[i * dim + j]
+        assert n == len(rows)
+        assert got == expected
