@@ -98,6 +98,7 @@ HEADLINE = [
     "customers_rfm_segments",
     "events_user_hll_registers",
     "nation_revenue_ses_forecast",
+    "docs_perplexity_buckets",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

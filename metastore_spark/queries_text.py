@@ -1002,3 +1002,88 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("quality_score"),
         (score >= 0.5).alias("is_quality"),
     )
+
+
+@query(
+    "docs_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM freq),
+    lp AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT)       AS n_tokens,
+             ROUND(AVG(ln(cnt / total)), 4) AS lp4
+      FROM tok JOIN freq USING (tok) CROSS JOIN tot
+      GROUP BY doc_id
+    ),
+    b AS (
+      SELECT n_tokens, lp4,
+             NTILE(3) OVER (ORDER BY lp4, doc_id) AS t
+      FROM lp
+    )
+    SELECT CASE t WHEN 3 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END          AS bucket,
+           CAST(COUNT(*) AS BIGINT)        AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)   AS total_tokens,
+           ROUND(AVG(lp4), 4)              AS avg_logprob
+    FROM b
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus bucketing: tercile every document on its
+    unigram-LM fluency score into head / middle / tail (head = most
+    fluent, the slice CCNet keeps preferentially; tail = the
+    perplexity outliers a mixture down-weights) — the standard
+    quality-stratification step between LM scoring and mixture
+    sampling (Wenzek et al. 2020, public method).
+
+    The tercile ranks on the ROUNDED 4dp score with a doc_id
+    tiebreak: the rounded value is the cross-engine-stable quantity
+    (raw double means differ in the last ulp between engines, which
+    could flip a boundary assignment), and the ranking itself is the
+    distributed exact-NTILE operator — no single-partition window, so
+    the stratification scales with the corpus."""
+    from metastore_spark.operators.ranking import global_rank, ntile_from_rank
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(ops.word_tokens(F.col("text"))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    lp = (
+        tok.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.col("total"))), 4
+            ).alias("lp4"),
+        )
+    )
+    ranked = global_rank(lp, ["lp4", "doc_id"], "rnk")
+    n = ranked.count()  # materialized by global_rank — reads the checkpoint
+    tercile = ntile_from_rank(F.col("rnk"), n, 3)
+    bucket = (
+        F.when(tercile == 3, "head")
+        .when(tercile == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("lp4"), 4).alias("avg_logprob"),
+        )
+        .orderBy("bucket")
+    )
