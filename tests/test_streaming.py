@@ -447,3 +447,39 @@ def test_hll_batch_replay_and_batching_invariance(spark, tmp_path):
         ).collect()
     )
     assert batch_regs == before
+
+
+def test_hll_ingest_resume_from_checkpoint(spark, tmp_path):
+    """Re-draining with the SAME state dir after new files arrive must
+    process only the delta (checkpoint) and still produce registers
+    equal to the single-pass batch computation over everything."""
+    import datetime as dt
+
+    from metastore_spark.operators import hll
+    from metastore_spark.streaming.hll import hll_ingest_stream
+
+    cols = ["ts", "user_id"]
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t1 = dt.datetime(2024, 1, 2, 10, 0, 0)
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    wave1 = [(t0, u) for u in range(30)]
+    spark.createDataFrame(wave1, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    hll_ingest_stream(spark, src, state)
+    wave2 = [(t1, u) for u in range(10, 50)]
+    spark.createDataFrame(wave2, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    final = hll_ingest_stream(spark, src, state)
+
+    def norm(df):
+        return sorted(
+            (str(r["d"]), r["bucket"], r["r"]) for r in df.collect()
+        )
+
+    batch_truth = hll.day_registers(
+        spark.createDataFrame(wave1 + wave2, cols)
+    )
+    assert norm(spark.read.parquet(final)) == norm(batch_truth)
