@@ -99,6 +99,7 @@ HEADLINE = [
     "events_user_hll_registers",
     "nation_revenue_ses_forecast",
     "docs_perplexity_buckets",
+    "events_time_to_convert",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

@@ -1175,3 +1175,60 @@ def nation_revenue_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(ses / 100.0, 4).alias("ses_forecast"),
     ).orderBy("n_name")
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS sus
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS pus
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.sus
+      GROUP BY 1
+    ),
+    d AS (
+      SELECT (p.pus - s.sus) / 1000000.0 AS delta_s
+      FROM p JOIN s USING (user_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)              AS n_converted,
+           ROUND(quantile_cont(delta_s, 0.5), 4)  AS p50_seconds,
+           ROUND(quantile_cont(delta_s, 0.9), 4)  AS p90_seconds,
+           ROUND(quantile_cont(delta_s, 0.99), 4) AS p99_seconds
+    FROM d
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel timing: for every user, first signup → first subsequent
+    purchase; the latency distribution (p50/p90/p99) is the number a
+    growth team actually tracks on top of the conversion count the
+    plain funnel gives. Deltas are integer epoch-micros (exact
+    MIN-aggregates both sides) scaled once to seconds; percentiles
+    are the exact interpolated form (== DuckDB quantile_cont) in ONE
+    buffer — at 100 TB swap percentile_approx, same plan. Two
+    partial-agg shuffles on user_id + one 1-row rollup."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ts_us("ts")).alias("sus"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", ts_us("ts").alias("pus"))
+        .join(s, "user_id")
+        .filter(F.col("pus") >= F.col("sus"))
+        .groupBy("user_id")
+        .agg(F.min("pus").alias("pus"), F.first("sus").alias("sus"))
+    )
+    d = p.select(((F.col("pus") - F.col("sus")) / 1000000.0).alias("delta_s"))
+    pct = F.expr("percentile(delta_s, array(0.5, 0.9, 0.99))")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(pct[0], 4).alias("p50_seconds"),
+        F.round(pct[1], 4).alias("p90_seconds"),
+        F.round(pct[2], 4).alias("p99_seconds"),
+    )
