@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metastore_spark.search.analysis import analyze_udf
@@ -415,3 +415,70 @@ def zorder_shifts(a_max: int, b_max: int) -> tuple[int, int]:
     a_bits = max(4, (int(a_max)).bit_length())
     b_bits = max(4, (int(b_max)).bit_length())
     return a_bits - 4, b_bits - 4
+
+
+def rewrite_cells(
+    spark: SparkSession,
+    store_path: str,
+    cells: list[int],
+    keep: Column,
+) -> dict[str, int]:
+    """Targeted row deletion on a ``zcell``-partitioned store: rewrite
+    ONLY the cell directories the driver-side range decomposition
+    names, keeping rows where ``keep`` holds. Everything outside the
+    named cells is untouched on disk (asserted by mtime in
+    tests/test_layout.py) — at 100 TB this is the difference between
+    a full-table rewrite and touching a few hundred partitions.
+
+    Each cell swaps atomically (write tmp → rename), the same
+    discipline as serve.materialized; a crash mid-loop leaves every
+    cell either old or fully rewritten, never mixed. Returns
+    {"cells_rewritten": n, "rows_dropped": n}.
+    """
+    import shutil
+
+    rewritten = dropped = 0
+    for c in cells:
+        d = os.path.join(store_path, f"zcell={c}")
+        if not os.path.isdir(d):
+            continue
+        df = spark.read.parquet(d)
+        before = df.count()
+        kept = df.filter(keep)
+        after = kept.count()
+        if after == before:
+            continue  # nothing to drop — leave the cell untouched
+        tmp = f"{d}.rewrite-{os.getpid()}"
+        kept.write.mode("overwrite").parquet(tmp)
+        old = f"{d}.old-{os.getpid()}"
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old, ignore_errors=True)
+        rewritten += 1
+        dropped += before - after
+    return {"cells_rewritten": rewritten, "rows_dropped": dropped}
+
+
+def forget_user(
+    spark: SparkSession,
+    store_path: str,
+    user_id: int,
+    u_shift: int,
+    d_shift: int,
+    rel_day_max: int,
+    user_col: str = "user_id",
+) -> dict[str, int]:
+    """GDPR-style erasure on the Z-ordered store: a user's rows can
+    only live in the cells whose user-range contains them, so the
+    driver decomposes the (user, all-days) line into its cell set
+    (zcells_for_box — parameter-sized) and rewrites just those.
+    The layout that made box scans cheap makes targeted deletion
+    cheap for the same reason — the clustering key bounds where any
+    user's data can physically be.
+    """
+    cells = zcells_for_box(
+        user_id, user_id, 0, rel_day_max, u_shift, d_shift
+    )
+    return rewrite_cells(
+        spark, store_path, cells, F.col(user_col) != user_id
+    )

@@ -222,3 +222,50 @@ def test_zorder_box_prunes_partitions(spark):
     assert stores, "zbox8 store should be cached in-process"
     total_dirs = serve._CACHE[stores[0]].select("zcell").distinct().count()
     assert 0 < read_dirs < total_dirs, (read_dirs, total_dirs)
+
+
+def test_forget_user_rewrites_only_intersecting_cells(spark, tmp_path):
+    """GDPR erasure on the Z-ordered store: only the cell dirs whose
+    user-range contains the target may be rewritten; every other cell
+    must be byte-untouched (mtime check), and the surviving store
+    must equal a full filter of the original."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from metastore_spark import layout
+
+    store = str(tmp_path / "zstore")
+    df = spark.range(4000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 200).alias("user_id"),
+        (F.col("id") % 30).alias("rel_day"),
+    )
+    u_shift, d_shift = layout.zorder_shifts(199, 29)
+    df.withColumn(
+        "zcell",
+        layout.zorder_cell(
+            F.col("user_id"), F.col("rel_day"), u_shift, d_shift
+        ),
+    ).write.partitionBy("zcell").parquet(store)
+    target = 57
+    victim_cells = set(
+        layout.zcells_for_box(target, target, 0, 29, u_shift, d_shift)
+    )
+    mtimes_before = {
+        d: os.path.getmtime(os.path.join(store, d))
+        for d in os.listdir(store)
+        if d.startswith("zcell=")
+    }
+    stats = layout.forget_user(
+        spark, store, target, u_shift, d_shift, rel_day_max=29
+    )
+    assert stats["rows_dropped"] == 20  # 4000 ids, id%200==57 → 20 rows
+    assert stats["cells_rewritten"] >= 1
+    survivors = spark.read.parquet(store)
+    assert survivors.filter(F.col("user_id") == target).count() == 0
+    assert survivors.count() == 4000 - 20
+    for d, mt in mtimes_before.items():
+        cell = int(d.split("=")[1])
+        if cell not in victim_cells:
+            assert os.path.getmtime(os.path.join(store, d)) == mt, d
