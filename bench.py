@@ -100,6 +100,7 @@ HEADLINE = [
     "nation_revenue_ses_forecast",
     "docs_perplexity_buckets",
     "events_time_to_convert",
+    "docs_corpus_datasheet",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

@@ -1087,3 +1087,102 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "docs_corpus_datasheet",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    fc AS (SELECT fp, COUNT(*) AS c FROM base GROUP BY fp),
+    feat AS (
+      SELECT b.doc_id, b.source, b.lang,
+             len(b.toks) AS n_tokens,
+             ROUND(len(list_filter(b.toks, t -> t IN ({_STOPLIST_SQL})))
+                   * 1.0 / len(b.toks), 4) AS stop_ratio,
+             (fc.c > 1) AS is_dup
+      FROM base b JOIN fc ON b.fp = fc.fp
+      WHERE len(b.toks) > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                       AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)                  AS total_tokens,
+           ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4)                     AS pct_en,
+           ROUND(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4)                     AS dup_rate,
+           ROUND(AVG(stop_ratio), 4)                      AS mean_stop_ratio
+    FROM feat
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def docs_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet: the per-source summary a data card publishes
+    — volume (docs, tokens), language share, exact-duplicate rate
+    (global fingerprint collisions attributed per source), and the
+    stopword-ratio fluency proxy — composed from the engine's own
+    fingerprint/tokenizer primitives in three light scans (metadata +
+    fingerprint counts + one explode token pass) and O(docs)
+    partial-agg shuffles. The per-source rollup is the number a mixture designer
+    reads before weighting sources; every column is value-hash
+    oracled."""
+    d = _t(spark, sf_dir, "documents")
+    # token stats in ONE explode/partial-agg pass (InSet probe, whole-
+    # stage codegen) — a filter() HOF lambda here would re-run an
+    # interpreted isin per token (the docs_quality_filter lesson)
+    tokstats = (
+        d.select(
+            "doc_id", F.explode(ops.word_tokens(F.col("text"))).alias("t")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(
+                F.when(F.col("t").isin(*ENGLISH_STOPWORDS), 1)
+            ).alias("n_stop"),
+        )
+    )
+    base = d.select(
+        "doc_id", "source", "lang", ops.fingerprint(F.col("text")).alias("fp")
+    )
+    fc = (
+        d.select(ops.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    feat = base.join(fc, "fp").join(tokstats, "doc_id").select(
+        "source",
+        "lang",
+        "n_tokens",
+        F.round(
+            F.col("n_stop") * 1.0 / F.col("n_tokens"), 4
+        ).alias("stop_ratio"),
+        (F.col("c") > 1).alias("is_dup"),
+    )
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pct_en"),
+            F.round(
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_rate"),
+            F.round(F.avg("stop_ratio"), 4).alias("mean_stop_ratio"),
+        )
+        .orderBy("source")
+    )
