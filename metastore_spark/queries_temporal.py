@@ -1058,39 +1058,9 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
         )
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    is_touch = F.col("event_type") != "purchase"
-    seq = ev.select(
-        "event_type",
-        "cents",
-        F.last(F.when(is_touch, F.col("us")), ignorenulls=True)
-        .over(w)
-        .alias("touch_us"),
-        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
-        .over(w)
-        .alias("touch_type"),
-        "us",
-    )
-    channel = F.coalesce(
-        F.when(
-            F.col("touch_us") >= F.col("us") - F.lit(604800000000),
-            F.col("touch_type"),
-        ),
-        F.lit("none"),
-    )
-    return (
-        seq.filter(F.col("event_type") == "purchase")
-        .groupBy(channel.alias("channel"))
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.round(F.sum("cents") / 100.0, 2).alias("attributed_value"),
-        )
-        .orderBy("channel")
-    )
+    from metastore_spark.operators.attribution import last_touch_channels
+
+    return last_touch_channels(ev)
 
 
 @query(

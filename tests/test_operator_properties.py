@@ -136,3 +136,63 @@ def test_range_join_matches_reference(spark, points, intervals):
         if s <= t < s + w
     }
     assert got == want
+
+
+ev_s = st.lists(
+    st.tuples(
+        st.integers(0, 2),            # user
+        st.integers(0, 30),           # us (tiny domain → ties)
+        st.sampled_from(["click", "view", "purchase"]),
+        st.integers(0, 500),          # cents
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(events=ev_s)
+def test_last_touch_attribution_matches_reference(spark, events):
+    from collections import defaultdict
+
+    from metastore_spark.operators.attribution import last_touch_channels
+
+    LOOKBACK = 10
+    rows = [
+        (i, us, u, ty, c) for i, (u, us, ty, c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, us bigint, user_id bigint, "
+        "event_type string, cents bigint"
+    )
+    got = {
+        r["channel"]: (r["n_purchases"], r["attributed_value"])
+        for r in last_touch_channels(df, lookback_us=LOOKBACK).collect()
+    }
+    # pure-python reference: per user, sort by (us, event_id), carry
+    # the last non-purchase forward
+    ref = defaultdict(lambda: [0, 0])
+    by_user = defaultdict(list)
+    for eid, us, u, ty, c in rows:
+        by_user[u].append((us, eid, ty, c))
+    for u, evs in by_user.items():
+        last = None  # (us, type)
+        for us, eid, ty, c in sorted(evs):
+            if ty != "purchase":
+                last = (us, ty)
+            else:
+                ch = (
+                    last[1]
+                    if last is not None and last[0] >= us - LOOKBACK
+                    else "none"
+                )
+                ref[ch][0] += 1
+                ref[ch][1] += c
+    expected = {
+        ch: (n, round(cents / 100.0, 2)) for ch, (n, cents) in ref.items()
+    }
+    assert got == expected
