@@ -1202,3 +1202,77 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct[1], 4).alias("p90_seconds"),
         F.round(pct[2], 4).alias("p99_seconds"),
     )
+
+
+@query(
+    "events_forget_user_pruned",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    WHERE user_id <> 137
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_forget_user_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end targeted erasure: build the Z-ordered (user, day)
+    cell store, run layout.forget_user(137) — which rewrites ONLY the
+    cells that user's range intersects (driver-side decomposition,
+    per-cell atomic swap; untouched-dir mtimes pytest-asserted in
+    tests/test_layout.py) — then aggregate the surviving store. The
+    oracle is the semantic contract: the store after erasure must
+    equal a full filter of the raw corpus. The store is built in a
+    process-private tempdir each run (erasure mutates it, so it must
+    not share the serving store other queries read)."""
+    import shutil
+    import tempfile
+
+    from metastore_spark import layout
+    from metastore_spark.ts import ts_us
+
+    e = _t(spark, sf_dir, "events")
+    us = ts_us("ts")
+    day_us = F.lit(86400000000)
+    aday = ((us - F.pmod(us, day_us)) / day_us).cast("bigint")
+    stats = e.select(
+        F.min(aday).alias("d0"),
+        F.max(aday).alias("d1"),
+        F.max("user_id").alias("u1"),
+    ).collect()[0]
+    d0, d1, u1 = int(stats["d0"]), int(stats["d1"]), int(stats["u1"])
+    u_shift, d_shift = layout.zorder_shifts(u1, d1 - d0)
+    store = tempfile.mkdtemp(prefix="forget_store_")
+    try:
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100.0 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+            (aday - F.lit(d0)).alias("rel_day"),
+        ).withColumn(
+            "zcell",
+            layout.zorder_cell(
+                F.col("user_id"), F.col("rel_day"), u_shift, d_shift
+            ),
+        ).write.mode("overwrite").partitionBy("zcell").parquet(store)
+        layout.forget_user(
+            spark, store, 137, u_shift, d_shift, rel_day_max=d1 - d0
+        )
+        out = (
+            spark.read.parquet(store)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("total_cents"),
+            )
+            .orderBy("event_type")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
