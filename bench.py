@@ -101,6 +101,7 @@ HEADLINE = [
     "docs_perplexity_buckets",
     "events_time_to_convert",
     "docs_corpus_datasheet",
+    "parts_market_basket",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

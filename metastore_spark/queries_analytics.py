@@ -982,3 +982,97 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_bucket", "f_bucket", "m_bucket")
     )
+
+
+@query(
+    "parts_market_basket",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM baskets),
+    items AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM baskets GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS cnt_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, cnt_ab,
+           ROUND(cnt_ab * 1.0 * n.n_orders / (ia.cnt * ib.cnt), 4) AS lift
+    FROM pairs
+    JOIN items ia ON ia.l_partkey = part_a
+    JOIN items ib ON ib.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 30
+    """,
+)
+def parts_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs that co-occur in
+    orders more than independence predicts (lift = P(ab)/(P(a)P(b))),
+    min support 2 baskets, top-30 by lift — the classic
+    frequently-bought-together query, the 2-itemset core of
+    Apriori/FP-growth. (Support is deliberately low: the part catalog
+    grows with SF, so pair co-occurrence thins — an absolute support
+    of 3 already selects ZERO pairs at sf1, the q11 threshold lesson
+    again; production would set support as a fraction of baskets per
+    category.)
+
+    Scale shape: baskets dedupe with one shuffle on (order, part);
+    the pair join is keyed by ORDER (co-partitioned self-join), so
+    candidate pairs are bounded by basket_size² per order — never a
+    catalog-wide cross of parts; item counts are vocabulary-sized and
+    broadcast; lift arithmetic is exact integers until one final
+    division, so both engines order pairs identically. Top-30 is a
+    sort-limit (TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    baskets.persist()
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    items = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= 2)
+    )
+    ia = items.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    ib = items.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "cnt_ab",
+            F.round(
+                F.col("cnt_ab") * 1.0 * F.lit(n_orders)
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(30)
+    )
