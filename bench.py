@@ -102,6 +102,7 @@ HEADLINE = [
     "events_time_to_convert",
     "docs_corpus_datasheet",
     "parts_market_basket",
+    "events_value_quantile_sketch",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

@@ -296,3 +296,137 @@ def events_user_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("scope", "hll_estimate", "exact_users")
         .orderBy("scope")
     )
+
+
+@query(
+    "events_value_quantile_sketch",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    bk AS (
+      SELECT d,
+             CASE WHEN cents < 64 THEN cents
+                  ELSE 64 + (length(to_base(cents, 2)) - 7) * 8
+                       + ((cents >> (length(to_base(cents, 2)) - 4)) & 7)
+             END AS b
+      FROM e
+    ),
+    regs AS (SELECT d, b, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM bk GROUP BY 1, 2),
+    tot AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS cnt FROM regs GROUP BY 1),
+    cum AS (
+      SELECT b, SUM(cnt) OVER (ORDER BY b) AS run FROM tot
+    ),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM tot),
+    q AS (
+      SELECT
+        (SELECT MIN(b) FROM cum, n WHERE run >= CAST(ceil(0.50 * n) AS BIGINT)) AS b50,
+        (SELECT MIN(b) FROM cum, n WHERE run >= CAST(ceil(0.95 * n) AS BIGINT)) AS b95,
+        (SELECT MIN(b) FROM cum, n WHERE run >= CAST(ceil(0.99 * n) AS BIGINT)) AS b99
+    ),
+    lb AS (
+      SELECT
+        CASE WHEN b50 < 64 THEN b50
+             ELSE (8 + (b50 - 64) % 8) * CAST(POW(2, (b50 - 64) // 8 + 3) AS BIGINT)
+        END AS lb50,
+        CASE WHEN b95 < 64 THEN b95
+             ELSE (8 + (b95 - 64) % 8) * CAST(POW(2, (b95 - 64) // 8 + 3) AS BIGINT)
+        END AS lb95,
+        CASE WHEN b99 < 64 THEN b99
+             ELSE (8 + (b99 - 64) % 8) * CAST(POW(2, (b99 - 64) // 8 + 3) AS BIGINT)
+        END AS lb99
+      FROM q
+    )
+    SELECT n.n AS n_events,
+           ROUND(lb50 / 100.0, 2) AS p50_est,
+           ROUND(lb95 / 100.0, 2) AS p95_est,
+           ROUND(lb99 / 100.0, 2) AS p99_est,
+           (SELECT ROUND(quantile_cont(cents, 0.50) / 100.0, 4) FROM e) AS p50_exact,
+           (SELECT ROUND(quantile_cont(cents, 0.95) / 100.0, 4) FROM e) AS p95_exact,
+           (SELECT ROUND(quantile_cont(cents, 0.99) / 100.0, 4) FROM e) AS p99_exact
+    FROM lb CROSS JOIN n
+    """,
+)
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: per-day integer log-bucket
+    histograms (values < 64 cents exact, above that the top bit plus
+    3 sub-bits — ≤ 12.5% relative bucket width) SUM-merged into a
+    corpus histogram, then p50/p95/p99 read off the cumulative counts
+    — the HLL-register story applied to quantiles: the day sketches
+    are the serving artifact, merging is associative, raw data is
+    never rescanned. Every bucket id and lower bound is exact integer
+    arithmetic (bit length via base-2 digit count — no float log
+    whose last ulp could flip a bucket), so both engines' estimates
+    hash-match; exact interpolated percentiles ride along as the
+    accuracy reference.
+
+    Scale shape: one partial-agg shuffle to O(days × buckets) rows;
+    quantile extraction runs on the ≤ ~150-row merged histogram."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    e = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        cents.alias("cents"),
+    )
+    e.persist()
+    blen = "length(conv(cast(cents as string), 10, 2))"
+    b = F.when(F.col("cents") < 64, F.col("cents")).otherwise(
+        F.expr(
+            f"64 + ({blen} - 7) * 8"
+            f" + (shiftright(cents, {blen} - 4) & 7)"
+        )
+    )
+    regs = (
+        e.select("d", b.alias("b"))
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # merge the day sketches; the merged histogram is parameter-sized
+    # (≤ ~150 buckets) — quantile extraction happens driver-side in
+    # exact Python ints, the same trade as the PQ/IVF codebooks
+    hist = sorted(
+        (int(r["b"]), int(r["cnt"]))
+        for r in regs.groupBy("b").agg(F.sum("cnt").alias("cnt")).collect()
+    )
+    n = sum(c for _, c in hist)
+
+    import math
+
+    def bucket_lb(bk: int) -> int:
+        if bk < 64:
+            return bk
+        k = bk - 64
+        return (8 + k % 8) << (k // 8 + 3)
+
+    def est(frac: float) -> float:
+        target = int(math.ceil(frac * n))
+        run = 0
+        for bk, c in hist:
+            run += c
+            if run >= target:
+                return round(bucket_lb(bk) / 100.0, 2)
+        return float(bucket_lb(hist[-1][0]) if hist else 0)
+
+    exact = e.agg(
+        F.round(F.expr("percentile(cents, 0.50)") / 100.0, 4).alias(
+            "p50_exact"
+        ),
+        F.round(F.expr("percentile(cents, 0.95)") / 100.0, 4).alias(
+            "p95_exact"
+        ),
+        F.round(F.expr("percentile(cents, 0.99)") / 100.0, 4).alias(
+            "p99_exact"
+        ),
+    )
+    return exact.select(
+        F.lit(n).cast("bigint").alias("n_events"),
+        F.lit(est(0.50)).alias("p50_est"),
+        F.lit(est(0.95)).alias("p95_est"),
+        F.lit(est(0.99)).alias("p99_est"),
+        "p50_exact",
+        "p95_exact",
+        "p99_exact",
+    )
