@@ -103,6 +103,7 @@ HEADLINE = [
     "docs_corpus_datasheet",
     "parts_market_basket",
     "events_value_quantile_sketch",
+    "events_ab_test_zscore",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

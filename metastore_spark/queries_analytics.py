@@ -1076,3 +1076,109 @@ def parts_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(30)
     )
+
+
+def _ph60_sql(col: str) -> str:
+    return (
+        "list_sum(list_transform(range(1,16), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({col}), i, 1)) - 1)::BIGINT"
+        " * (1::BIGINT << (4*(15-i)))))"
+    )
+
+
+@query(
+    "events_ab_test_zscore",
+    oracle=f"""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             {_ph60_sql("user_id::VARCHAR")} % 2 AS variant
+      FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT a.variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_converted
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n_users END)      AS n0,
+        MAX(CASE WHEN variant = 0 THEN n_converted END)  AS c0,
+        MAX(CASE WHEN variant = 1 THEN n_users END)      AS n1,
+        MAX(CASE WHEN variant = 1 THEN n_converted END)  AS c1
+      FROM cells
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND(c0 * 1.0 / n0, 4) AS rate0,
+           ROUND(c1 * 1.0 / n1, 4) AS rate1,
+           ROUND(
+             (c1 * 1.0 / n1 - c0 * 1.0 / n0)
+             / sqrt( ((c0 + c1) * 1.0 / (n0 + n1))
+                     * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
+                     * (1.0 / n0 + 1.0 / n1) ),
+             4) AS zscore
+    FROM wide
+    """,
+)
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: users deterministically hash-assigned
+    to two variants (portable_hash60 % 2 — the same stable bucketing
+    a production experimentation system uses, and exactly mirrorable
+    in SQL), per-variant conversion-to-purchase rates, and the
+    two-proportion pooled z-statistic — the significance number an
+    A/B dashboard prints. Every input to the z formula is an exact
+    integer (distinct-user and converter counts), so both engines
+    compute the identical statistic to 4dp.
+
+    Scale shape: assignment is one distinct on user (partial-agg),
+    conversion the same on purchase events, one broadcast-able join,
+    then a 2-row → 1-row fold. Nothing scales with event volume
+    except the two distinct passes."""
+    from metastore_spark.dedup.ops import portable_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        F.pmod(portable_hash60(F.col("user_id").cast("string")), F.lit(2))
+        .alias("variant"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    cells = (
+        assign.join(F.broadcast(conv), "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("n_converted"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0") * 1.0 / F.col("n0")
+    p1 = F.col("c1") * 1.0 / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 4).alias("rate0"),
+        F.round(p1, 4).alias("rate1"),
+        F.round(z, 4).alias("zscore"),
+    )
