@@ -104,6 +104,8 @@ HEADLINE = [
     "parts_market_basket",
     "events_value_quantile_sketch",
     "events_ab_test_zscore",
+    "docs_mixture_temperature_weights",
+    "orders_cohort_ltv_curve",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

@@ -1182,3 +1182,89 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 4).alias("rate1"),
         F.round(z, 4).alias("zscore"),
     )
+
+
+@query(
+    "orders_cohort_ltv_curve",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             date_trunc('month', o_orderdate) AS mon,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cohort AS (
+      SELECT o_custkey, MIN(mon) AS cohort_mon FROM o GROUP BY 1
+    ),
+    cell AS (
+      SELECT c.cohort_mon,
+             CAST(datediff('month', c.cohort_mon, o.mon) AS BIGINT) AS age,
+             CAST(SUM(o.cents) AS BIGINT) AS cents
+      FROM o JOIN cohort c ON o.o_custkey = c.o_custkey
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_mon, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM cohort GROUP BY 1
+    )
+    SELECT CAST(CAST(cell.cohort_mon AS DATE) AS VARCHAR) AS cohort_month,
+           age,
+           CAST(SUM(cents) OVER (
+                  PARTITION BY cell.cohort_mon ORDER BY age
+                ) // s.n_customers AS BIGINT)
+             AS cum_cents_per_customer
+    FROM cell JOIN sizes s ON s.cohort_mon = cell.cohort_mon
+    WHERE age <= 6
+    ORDER BY cohort_month, age
+    """,
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by first-order month, then
+    cumulative revenue per cohort member by cohort age (months since
+    acquisition, first 7 points) — the payback-period chart every
+    subscription/commerce business draws next to retention. Revenue
+    stays exact integer cents END TO END — the first draft's
+    ROUND(x, 4) on a ~3e5-magnitude double hit a decimal-half ulp
+    boundary at sf0.001 (large magnitudes make boundary collisions
+    likely: ulp grows with the value); integer floor-div per
+    customer can't — the cohort assignment is a MIN partial-agg, and the
+    running total is a window over the |cohorts|×|ages| aggregate —
+    never over raw orders. The age cutoff bounds output size at any
+    SF."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("mon").alias("cohort_mon"))
+    cell = (
+        o.join(cohort, "o_custkey")
+        .groupBy(
+            "cohort_mon",
+            F.months_between(F.col("mon"), F.col("cohort_mon"))
+            .cast("bigint")
+            .alias("age"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    sizes = cohort.groupBy("cohort_mon").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return (
+        cell.join(F.broadcast(sizes), "cohort_mon")
+        .filter(F.col("age") <= 6)
+        .select(
+            F.col("cohort_mon").cast("date").cast("string").alias(
+                "cohort_month"
+            ),
+            "age",
+            F.expr("sum(cents) over (partition by cohort_mon"
+                   " order by age rows between unbounded preceding"
+                   " and current row) div n_customers")
+            .cast("bigint")
+            .alias("cum_cents_per_customer"),
+        )
+        .orderBy("cohort_month", "age")
+    )

@@ -220,3 +220,67 @@ def docs_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 90, "train").otherwise("val").alias("split"),
         F.col("cluster_id").isNotNull().alias("grouped"),
     )
+
+
+@query(
+    "docs_mixture_temperature_weights",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT source, n_docs,
+             n_docs * 1.0 / (SELECT SUM(n_docs) FROM src) AS p_raw,
+             POW(n_docs * 1.0 / (SELECT SUM(n_docs) FROM src), 0.7) AS p_temp
+      FROM src
+    )
+    SELECT source, n_docs,
+           ROUND(p_raw, 6) AS p_raw,
+           ROUND(p_temp / (SELECT SUM(p_temp) FROM p), 6) AS p_sample,
+           ROUND((p_temp / (SELECT SUM(p_temp) FROM p)) / p_raw, 4)
+             AS upsample_factor
+    FROM p
+    ORDER BY source
+    """,
+)
+def docs_mixture_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled mixture weights: per-source sampling
+    probability p_s ∝ (n_s/N)^α with α=0.7 — the exponential-
+    smoothing rebalance multilingual/ multi-source LLM training uses
+    (XLM-R's sampling formula; public method) so small sources are
+    upsampled without letting them dominate. Emits raw share,
+    temperature share, and the upsample factor a data loader applies.
+
+    Scale shape: one partial-agg groupBy to |sources| rows; the
+    normalizers are 1-row broadcast scalars over that tiny frame.
+    The pow() operates on identical doubles both engines (exact
+    integer counts in, one division), and outputs round to 6/4dp."""
+    d = _t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    src.persist()
+    tot = src.agg(F.sum("n_docs").alias("n_total"))
+    p = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") * 1.0 / F.col("n_total")).alias("p_raw"),
+        F.pow(F.col("n_docs") * 1.0 / F.col("n_total"), 0.7).alias(
+            "p_temp"
+        ),
+    )
+    z = p.agg(F.sum("p_temp").alias("z"))
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            F.round("p_raw", 6).alias("p_raw"),
+            F.round(F.col("p_temp") / F.col("z"), 6).alias("p_sample"),
+            F.round(
+                (F.col("p_temp") / F.col("z")) / F.col("p_raw"), 4
+            ).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )
