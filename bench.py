@@ -106,6 +106,7 @@ HEADLINE = [
     "events_ab_test_zscore",
     "docs_mixture_temperature_weights",
     "orders_cohort_ltv_curve",
+    "events_purchase_prior_state",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

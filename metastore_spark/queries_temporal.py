@@ -1276,3 +1276,86 @@ def events_forget_user_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+@query(
+    "events_purchase_prior_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_state
+      FROM events
+    ),
+    intervals AS (
+      SELECT user_id, state,
+             ts_us AS valid_from,
+             LEAD(ts_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+             ) AS valid_to
+      FROM ordered
+      WHERE prev_state IS NULL OR prev_state <> state
+    ),
+    purchases AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT i.state AS prior_state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM purchases p
+    JOIN intervals i
+      ON p.user_id = i.user_id
+     AND i.valid_from <= p.ts_us - 1
+     AND (i.valid_to > p.ts_us - 1 OR i.valid_to IS NULL)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_purchase_prior_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join — the feature-store correctness
+    primitive: each purchase is joined to the SCD2 state interval
+    that was valid the MICROSECOND BEFORE it happened (ts−1), so the
+    feature can never leak the event it predicts. Composes the SCD2
+    derivation with an interval probe: equi-join on user_id with a
+    residual [valid_from, valid_to) range predicate — the shuffle key
+    is the user, the per-user interval list is change-log-sized, and
+    exactly one interval matches each purchase. A purchase that IS
+    the user's first event has no prior interval and drops on both
+    engines. Output is the prior-state rollup a conversion analysis
+    reads."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        ts_us("ts").alias("ts_us"),
+        "event_id",
+    ).withColumn("prev_state", F.lag("state").over(w))
+    intervals = (
+        ordered.filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("state"))
+        )
+        .select(
+            "user_id",
+            "state",
+            F.col("ts_us").alias("valid_from"),
+            F.lead("ts_us").over(w).alias("valid_to"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", ts_us("ts").alias("p_us")
+    )
+    probe = F.col("p_us") - 1
+    return (
+        purchases.join(
+            intervals,
+            (purchases.user_id == intervals.user_id)
+            & (F.col("valid_from") <= probe)
+            & ((F.col("valid_to") > probe) | F.col("valid_to").isNull()),
+        )
+        .groupBy(F.col("state").alias("prior_state"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("prior_state")
+    )
