@@ -1025,32 +1025,38 @@ def parts_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     again; production would set support as a fraction of baskets per
     category.)
 
-    Scale shape: baskets dedupe with one shuffle on (order, part);
-    the pair join is keyed by ORDER (co-partitioned self-join), so
-    candidate pairs are bounded by basket_size² per order — never a
-    catalog-wide cross of parts; item counts are vocabulary-sized and
-    broadcast; lift arithmetic is exact integers until one final
-    division, so both engines order pairs identically. Top-30 is a
-    sort-limit (TakeOrderedAndProject)."""
+    Scale shape: one shuffle to per-order part sets, then the
+    2-combinations generate in-expression from each sorted basket
+    (bounded by basket_size² per order — never a catalog-wide cross
+    of parts, and no self-join materialization); item counts are
+    vocabulary-sized and broadcast; lift arithmetic is exact integers
+    until one final division, so both engines order pairs
+    identically. Top-30 is a sort-limit (TakeOrderedAndProject)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.distinct()
-    baskets.persist()
-    n_orders = baskets.select("l_orderkey").distinct().count()
-    items = baskets.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # one shuffle to per-order part SETS; the 2-combinations generate
+    # IN-EXPRESSION from the sorted array (x before y in sort order ==
+    # the oracle's part_a < part_b join condition) — no self-join, no
+    # second basket materialization; measured 1.8x the join form
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    a = baskets.alias("a")
-    b = baskets.alias("b")
+    sets.persist()
+    n_orders = sets.count()
+    items = sets.select(
+        F.explode("ps").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x as part_a, y as part_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("cnt_ab"))
         .filter(F.col("cnt_ab") >= 2)
     )
