@@ -430,13 +430,21 @@ def rewrite_cells(
     tests/test_layout.py) — at 100 TB this is the difference between
     a full-table rewrite and touching a few hundred partitions.
 
-    Each cell swaps atomically (write tmp → rename), the same
-    discipline as serve.materialized; a crash mid-loop leaves every
-    cell either old or fully rewritten, never mixed. Returns
+    Scratch dirs live OUTSIDE the store (a sibling `.rewrite` dir):
+    partition discovery must never see a half-swapped `zcell=5.old`
+    entry — it would parse as a zcell VALUE, widen the partition
+    column to string (breaking integer cell-pruning filters), and
+    serve the dropped rows right back. The swap is two renames with
+    the OLD cell leaving the store first, so the worst a crash leaves
+    is a temporarily missing cell (re-runnable; the evacuated rows
+    wait in scratch for inspection) — never resurrected data and
+    never a corrupted partition schema. Returns
     {"cells_rewritten": n, "rows_dropped": n}.
     """
     import shutil
 
+    scratch = f"{store_path.rstrip('/')}.rewrite-{os.getpid()}"
+    os.makedirs(scratch, exist_ok=True)
     rewritten = dropped = 0
     for c in cells:
         d = os.path.join(store_path, f"zcell={c}")
@@ -448,14 +456,14 @@ def rewrite_cells(
         after = kept.count()
         if after == before:
             continue  # nothing to drop — leave the cell untouched
-        tmp = f"{d}.rewrite-{os.getpid()}"
+        tmp = os.path.join(scratch, f"new-{c}")
         kept.write.mode("overwrite").parquet(tmp)
-        old = f"{d}.old-{os.getpid()}"
-        os.rename(d, old)
+        old = os.path.join(scratch, f"old-{c}")
+        os.rename(d, old)  # evacuate FIRST — store never shows .old
         os.rename(tmp, d)
-        shutil.rmtree(old, ignore_errors=True)
         rewritten += 1
         dropped += before - after
+    shutil.rmtree(scratch, ignore_errors=True)
     return {"cells_rewritten": rewritten, "rows_dropped": dropped}
 
 

@@ -1085,11 +1085,10 @@ def parts_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ph60_sql(col: str) -> str:
-    return (
-        "list_sum(list_transform(range(1,16), i -> "
-        f"(strpos('0123456789abcdef', substr(md5({col}), i, 1)) - 1)::BIGINT"
-        " * (1::BIGINT << (4*(15-i)))))"
-    )
+    # single source of truth for the portable-hash SQL mirror
+    from metastore_spark.queries_dedup import _ph60
+
+    return _ph60(col)
 
 
 @query(

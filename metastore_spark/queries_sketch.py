@@ -408,7 +408,12 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             run += c
             if run >= target:
                 return round(bucket_lb(bk) / 100.0, 2)
-        return float(bucket_lb(hist[-1][0]) if hist else 0)
+        # unreachable for 0 < frac <= 1 on a non-empty histogram
+        # (target <= n); keep the degenerate paths consistent with the
+        # in-loop scaling and with the oracle's NULL on empty input
+        if not hist:
+            return None
+        return round(bucket_lb(hist[-1][0]) / 100.0, 2)
 
     exact = e.agg(
         F.round(F.expr("percentile(cents, 0.50)") / 100.0, 4).alias(

@@ -353,13 +353,21 @@ def events_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     us = ts_us("ts")
-    cur = (
+    cur_rows = (
         e.select(us.alias("c_ts"), F.col("event_id").alias("c_id"))
         .orderBy(F.desc("c_ts"), F.asc("c_id"))
         .offset(149)
         .limit(1)
         .collect()
-    )[0]
+    )
+    if not cur_rows:
+        # corpus smaller than the cursor offset → empty page, same as
+        # the pre-literal implementation's graceful degradation
+        return e.select(
+            "event_id", us.alias("ts_us"), "event_type",
+            F.round("value", 2).alias("value"),
+        ).limit(0)
+    cur = cur_rows[0]
     c_ts_lit = us_to_ts(str(int(cur["c_ts"])))  # SQL-inlined integer literal
     after_cursor = (F.col("ts") < c_ts_lit) | (
         (F.col("ts") == c_ts_lit) & (F.col("event_id") > F.lit(cur["c_id"]))

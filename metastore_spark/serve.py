@@ -45,7 +45,12 @@ _PRUNE_AGE_SEC = 1800
 _BUILD_ORPHAN_AGE_SEC = 86400
 
 
-def _prune_stale(tag: str, fp: str, current_path: str) -> None:
+def _prune_stale(prefix: str, current: str, current_path: str) -> None:
+    """Reclaim superseded stores under ``prefix`` — which scopes to ONE
+    (tag, source-set) pair: two corpora sharing a tag (sf0.01 and sf1
+    signature stores, say) have different source keys and therefore
+    different prefixes, so neither can ever prune the other's LIVE
+    store (they are siblings, not supersessions)."""
     import time as _time
 
     try:
@@ -53,7 +58,7 @@ def _prune_stale(tag: str, fp: str, current_path: str) -> None:
     except OSError:
         return
     for entry in os.listdir(_SERVE_ROOT):
-        if not entry.startswith(f"{tag}-") or entry == f"{tag}-{fp}":
+        if not entry.startswith(prefix) or entry == current:
             continue
         victim = os.path.join(_SERVE_ROOT, entry)
         try:
@@ -105,10 +110,15 @@ def materialized(
     unwritable — correctness never depends on the cache.
     """
     fp = _fingerprint(sources)
-    key = (spark.sparkContext.applicationId, tag, fp)
+    # source-path key: scopes the store NAME (and the prune prefix) to
+    # this source set, so corpora sharing a tag coexist
+    srckey = hashlib.md5(
+        "|".join(os.path.abspath(s) for s in sources).encode()
+    ).hexdigest()[:8]
+    key = (spark.sparkContext.applicationId, tag, srckey, fp)
     if key in _CACHE:
         return _CACHE[key]
-    path = os.path.join(_SERVE_ROOT, f"{tag}-{fp}")
+    path = os.path.join(_SERVE_ROOT, f"{tag}-{srckey}-{fp}")
     try:
         if not os.path.exists(os.path.join(path, "_DONE")):
             os.makedirs(_SERVE_ROOT, exist_ok=True)
@@ -128,7 +138,7 @@ def materialized(
         # stores and orphaned build dirs are reclaimed by the first
         # open that happens after the safety window, and a
         # just-superseded store survives even if its own mtime is old.
-        _prune_stale(tag, fp, path)
+        _prune_stale(f"{tag}-{srckey}-", f"{tag}-{srckey}-{fp}", path)
         df = spark.read.parquet(path)
     except Exception:
         df = build()

@@ -423,11 +423,17 @@ def ivf_assign(
     # growth — measured 155s for one sf1 IVF build). array_max
     # evaluates each cosine exactly once; ties break to the lowest
     # centroid id via the negated-index field, same as the ladder's
-    # strict-> comparison. nanvl floors a zero-norm NaN sim to the
-    # ladder's -2.0 sentinel (NaN sorts GREATEST in array_max).
+    # strict-> comparison. A zero-norm vector's 0/0 sim comes back
+    # NULL (Spark non-ANSI divide), NOT NaN — coalesce (not just
+    # nanvl) floors it to the ladder's -2.0 sentinel, otherwise every
+    # struct carries s=NULL and array_max degrades to comparing the
+    # index field, silently assigning centroid 0.
     cands = [
         F.struct(
-            F.nanvl(cosine_sim_lit(F.col(vec_col), c), F.lit(-2.0)).alias("s"),
+            F.coalesce(
+                F.nanvl(cosine_sim_lit(F.col(vec_col), c), F.lit(-2.0)),
+                F.lit(-2.0),
+            ).alias("s"),
             F.lit(-ci).alias("ni"),
         )
         for ci, c in enumerate(centroids)
