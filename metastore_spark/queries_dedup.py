@@ -815,3 +815,58 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(contain, 4).alias("containment"),
         )
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(u, v) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: the near-dup cluster SIZE distribution —
+    how many clusters of each size, how many documents they hold, and
+    how many rows a keep-one-per-cluster policy removes. This is the
+    number a corpus owner reads before running the dedup (the
+    survivors query applies it); 'n_removable' summed over the table
+    IS the dedup's yield. Reuses the verified-pair component labels
+    (LSH-pruned candidate path), so the extra cost over clustering is
+    two O(clusters) aggregations."""
+    clusters = dedup_clusters_verified(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            F.sum(F.col("cluster_size") - 1).alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
