@@ -434,36 +434,60 @@ def rewrite_cells(
     partition discovery must never see a half-swapped `zcell=5.old`
     entry — it would parse as a zcell VALUE, widen the partition
     column to string (breaking integer cell-pruning filters), and
-    serve the dropped rows right back. The swap is two renames with
-    the OLD cell leaving the store first, so the worst a crash leaves
-    is a temporarily missing cell (re-runnable; the evacuated rows
-    wait in scratch for inspection) — never resurrected data and
-    never a corrupted partition schema. Returns
+    serve the dropped rows right back. Each cell's evacuated copy is
+    deleted immediately after its swap (retention and peak disk stay
+    one cell, not the whole rewrite), and the only crash window — a
+    kill between the two renames, leaving the cell missing from the
+    store — is self-healing: the next rewrite_cells on this store
+    restores any evacuated cell found in leftover scratch dirs before
+    doing new work. Erased rows are deleted-or-restored, never
+    resurrected into discovery and never silently retained. Returns
     {"cells_rewritten": n, "rows_dropped": n}.
     """
+    import glob as _glob
     import shutil
+
+    # recover from any prior crashed rewrite: restore evacuated cells
+    # whose swap never completed, then clear the dead scratch
+    for stale in _glob.glob(f"{store_path.rstrip('/')}.rewrite-*"):
+        for entry in os.listdir(stale):
+            if not entry.startswith("old-"):
+                continue
+            cell_dir = os.path.join(
+                store_path, f"zcell={entry[len('old-'):]}"
+            )
+            if not os.path.isdir(cell_dir):
+                os.rename(os.path.join(stale, entry), cell_dir)
+        shutil.rmtree(stale, ignore_errors=True)
 
     scratch = f"{store_path.rstrip('/')}.rewrite-{os.getpid()}"
     os.makedirs(scratch, exist_ok=True)
     rewritten = dropped = 0
-    for c in cells:
-        d = os.path.join(store_path, f"zcell={c}")
-        if not os.path.isdir(d):
-            continue
-        df = spark.read.parquet(d)
-        before = df.count()
-        kept = df.filter(keep)
-        after = kept.count()
-        if after == before:
-            continue  # nothing to drop — leave the cell untouched
-        tmp = os.path.join(scratch, f"new-{c}")
-        kept.write.mode("overwrite").parquet(tmp)
-        old = os.path.join(scratch, f"old-{c}")
-        os.rename(d, old)  # evacuate FIRST — store never shows .old
-        os.rename(tmp, d)
-        rewritten += 1
-        dropped += before - after
-    shutil.rmtree(scratch, ignore_errors=True)
+    try:
+        for c in cells:
+            d = os.path.join(store_path, f"zcell={c}")
+            if not os.path.isdir(d):
+                continue
+            df = spark.read.parquet(d)
+            before = df.count()
+            kept = df.filter(keep)
+            after = kept.count()
+            if after == before:
+                continue  # nothing to drop — leave the cell untouched
+            tmp = os.path.join(scratch, f"new-{c}")
+            kept.write.mode("overwrite").parquet(tmp)
+            old = os.path.join(scratch, f"old-{c}")
+            os.rename(d, old)  # evacuate FIRST — store never shows .old
+            try:
+                os.rename(tmp, d)
+            except BaseException:
+                os.rename(old, d)  # put the cell back before scratch dies
+                raise
+            shutil.rmtree(old, ignore_errors=True)  # bound retention NOW
+            rewritten += 1
+            dropped += before - after
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
     return {"cells_rewritten": rewritten, "rows_dropped": dropped}
 
 

@@ -428,9 +428,11 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact.select(
         F.lit(n).cast("bigint").alias("n_events"),
-        F.lit(est(0.50)).alias("p50_est"),
-        F.lit(est(0.95)).alias("p95_est"),
-        F.lit(est(0.99)).alias("p99_est"),
+        # cast: a None estimate (empty corpus) must stay a NULL DOUBLE,
+        # not a void column (schema mismatch vs the oracle; unwritable)
+        F.lit(est(0.50)).cast("double").alias("p50_est"),
+        F.lit(est(0.95)).cast("double").alias("p95_est"),
+        F.lit(est(0.99)).cast("double").alias("p99_est"),
         "p50_exact",
         "p95_exact",
         "p99_exact",

@@ -29,7 +29,7 @@ _SERVE_ROOT = os.path.join(
     "spark-warehouse",
     "serve",
 )
-# in-process handle cache: (appId, tag, fingerprint) -> DataFrame
+# in-process handle cache: (appId, tag, srckey, fingerprint) -> DataFrame
 _CACHE: dict[tuple, DataFrame] = {}
 # Superseded-fingerprint stores survive until the REPLACEMENT store has
 # been in place this long: any reader of the old store necessarily
@@ -74,6 +74,27 @@ def _prune_stale(prefix: str, current: str, current_path: str) -> None:
             shutil.rmtree(victim, ignore_errors=True)
 
 
+def _prune_legacy(tag: str, current_path: str) -> None:
+    """Reclaim stores written under the pre-srckey name format
+    ``{tag}-<fp16>`` (plus their .build orphans): no current code can
+    ever address them again, so they are dead full-size copies — the
+    same migration sweep queries_search runs for its legacy tag
+    format. Age-gated on the current store like _prune_stale."""
+    import re as _re
+    import time as _time
+
+    try:
+        current_age = _time.time() - os.stat(current_path).st_mtime
+    except OSError:
+        return
+    if current_age <= _PRUNE_AGE_SEC:
+        return
+    legacy = _re.compile(rf"^{_re.escape(tag)}-[0-9a-f]{{16}}(\.build-\d+)?$")
+    for entry in os.listdir(_SERVE_ROOT):
+        if legacy.match(entry):
+            shutil.rmtree(os.path.join(_SERVE_ROOT, entry), ignore_errors=True)
+
+
 def _fingerprint(sources: list[str]) -> str:
     parts = []
     for src in sources:
@@ -112,8 +133,11 @@ def materialized(
     fp = _fingerprint(sources)
     # source-path key: scopes the store NAME (and the prune prefix) to
     # this source set, so corpora sharing a tag coexist
+    # realpath, not abspath: symlinked or CWD-relative spellings of
+    # one corpus must map to ONE store (duplicates would never
+    # supersede each other under per-prefix pruning)
     srckey = hashlib.md5(
-        "|".join(os.path.abspath(s) for s in sources).encode()
+        "|".join(os.path.realpath(s) for s in sources).encode()
     ).hexdigest()[:8]
     key = (spark.sparkContext.applicationId, tag, srckey, fp)
     if key in _CACHE:
@@ -139,6 +163,7 @@ def materialized(
         # open that happens after the safety window, and a
         # just-superseded store survives even if its own mtime is old.
         _prune_stale(f"{tag}-{srckey}-", f"{tag}-{srckey}-{fp}", path)
+        _prune_legacy(tag, path)
         df = spark.read.parquet(path)
     except Exception:
         df = build()

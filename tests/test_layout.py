@@ -269,3 +269,46 @@ def test_forget_user_rewrites_only_intersecting_cells(spark, tmp_path):
         cell = int(d.split("=")[1])
         if cell not in victim_cells:
             assert os.path.getmtime(os.path.join(store, d)) == mt, d
+
+
+def test_rewrite_cells_recovers_crashed_swap(spark, tmp_path):
+    """A kill between the two swap renames leaves a cell evacuated to
+    scratch and missing from the store; the next rewrite_cells must
+    restore it before doing new work (self-healing, no silent data
+    gap, no retained erased rows)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from metastore_spark import layout
+
+    store = str(tmp_path / "zstore")
+    df = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10).alias("user_id"),
+        (F.col("id") % 4).alias("zcell"),
+    )
+    df.write.partitionBy("zcell").parquet(store)
+    # simulate the crash window: cell 2 evacuated to a dead pid's
+    # scratch, never swapped back in
+    dead_scratch = f"{store}.rewrite-99999"
+    os.makedirs(dead_scratch)
+    os.rename(
+        os.path.join(store, "zcell=2"), os.path.join(dead_scratch, "old-2")
+    )
+    assert spark.read.parquet(store).count() == 225  # 3 of 4 cells
+    # ids with id%4==0 AND id%10==4: id ≡ 4 (mod 20) → 15 of 300 rows
+    stats = layout.rewrite_cells(
+        spark, store, [0], F.col("user_id") != 4
+    )
+    # recovery restored cell 2 BEFORE the new rewrite ran
+    assert not os.path.exists(dead_scratch)
+    survivors = spark.read.parquet(store)
+    assert survivors.filter(F.col("zcell") == 2).count() == 75
+    # and the requested rewrite still happened
+    assert stats["rows_dropped"] == 15
+    assert survivors.filter(
+        (F.col("user_id") == 4) & (F.col("zcell") == 0)
+    ).count() == 0
+    shutil.rmtree(store, ignore_errors=True)
