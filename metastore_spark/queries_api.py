@@ -275,3 +275,65 @@ def api_error_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unknown_field_error boolean, bad_json_error boolean, "
         "unknown_kind_error boolean, results_returned bigint",
     )
+
+
+@query(
+    "docs_jsonl_source_roundtrip",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def docs_jsonl_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format coverage, oracled end-to-end: the documents
+    corpus is exported to JSON-lines (Spark's own writer — correct
+    escaping for embedded quotes/newlines), a deliberately corrupt
+    line is appended, and the table is re-ingested through
+    ``sources.read_json_docs`` (explicit schema, PERMISSIVE mode,
+    corrupt-record quarantine). The per-source rollup of the
+    re-ingested rows must equal the parquet source of truth — which
+    both proves the JSONL round-trip loses nothing AND that the
+    corrupt row landed in the quarantine column instead of polluting
+    an aggregate. The reference ingests exactly this shape of
+    schema-flexible JSON (its README declines to define document
+    structure); at scale the reader is line-splittable and
+    inference-free, so ingest parallelizes like any parquet scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from metastore_spark.sources.documents import read_json_docs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_src_")
+    try:
+        d.coalesce(4).write.mode("overwrite").json(out)
+        # a separate file, NOT an append: Spark's writer leaves .crc
+        # sidecars and an in-place append trips the checksum reader
+        with open(os.path.join(out, "part-zz-corrupt.json"), "w") as fh:
+            fh.write('{"doc_id": broken not-json\n')
+        back = read_json_docs(
+            spark,
+            out,
+            schema="doc_id bigint, text string, lang string,"
+            " source string, n_chars bigint",
+        )
+        res = (
+            back.filter(F.col("_corrupt").isNull())
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .orderBy("source")
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
