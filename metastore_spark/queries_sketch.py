@@ -298,6 +298,56 @@ def events_user_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_buckets(ev: DataFrame) -> DataFrame:
+    """(d, b) projection of an events frame: day + integer log-bucket
+    of the cents value — the shared front-end of the batch sketch and
+    the streaming histogram ingest."""
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    e = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        cents.alias("cents"),
+    )
+    blen = "length(conv(cast(cents as string), 10, 2))"
+    b = F.when(F.col("cents") < 64, F.col("cents")).otherwise(
+        F.expr(
+            f"64 + ({blen} - 7) * 8"
+            f" + (shiftright(cents, {blen} - 4) & 7)"
+        )
+    )
+    return e.select("d", b.alias("b"))
+
+
+def quantile_bucket_lb(bk: int) -> int:
+    """Exact lower bound of bucket ``bk`` (Python-int mirror of the
+    SQL inverse)."""
+    if bk < 64:
+        return bk
+    k = bk - 64
+    return (8 + k % 8) << (k // 8 + 3)
+
+
+def quantile_estimates(hist: list[tuple[int, int]], fracs=(0.5, 0.95, 0.99)):
+    """(n, [estimates]) from a merged (bucket, count) histogram —
+    exact integer cumulative extraction, scaled to dollars at 2dp."""
+    import math
+
+    n = sum(c for _, c in hist)
+    out = []
+    for frac in fracs:
+        target = int(math.ceil(frac * n))
+        run, val = 0, None
+        for bk, c in hist:
+            run += c
+            if run >= target:
+                val = round(quantile_bucket_lb(bk) / 100.0, 2)
+                break
+        if val is None and hist:
+            val = round(quantile_bucket_lb(hist[-1][0]) / 100.0, 2)
+        out.append(val)
+    return n, out
+
+
+
 @query(
     "events_value_quantile_sketch",
     oracle="""
@@ -366,21 +416,8 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partial-agg shuffle to O(days × buckets) rows;
     quantile extraction runs on the ≤ ~150-row merged histogram."""
     ev = _t(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
-    e = ev.select(
-        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
-        cents.alias("cents"),
-    )
-    e.persist()
-    blen = "length(conv(cast(cents as string), 10, 2))"
-    b = F.when(F.col("cents") < 64, F.col("cents")).otherwise(
-        F.expr(
-            f"64 + ({blen} - 7) * 8"
-            f" + (shiftright(cents, {blen} - 4) & 7)"
-        )
-    )
     regs = (
-        e.select("d", b.alias("b"))
+        quantile_buckets(ev)
         .groupBy("d", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -391,30 +428,9 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["b"]), int(r["cnt"]))
         for r in regs.groupBy("b").agg(F.sum("cnt").alias("cnt")).collect()
     )
-    n = sum(c for _, c in hist)
-
-    import math
-
-    def bucket_lb(bk: int) -> int:
-        if bk < 64:
-            return bk
-        k = bk - 64
-        return (8 + k % 8) << (k // 8 + 3)
-
-    def est(frac: float) -> float:
-        target = int(math.ceil(frac * n))
-        run = 0
-        for bk, c in hist:
-            run += c
-            if run >= target:
-                return round(bucket_lb(bk) / 100.0, 2)
-        # unreachable for 0 < frac <= 1 on a non-empty histogram
-        # (target <= n); keep the degenerate paths consistent with the
-        # in-loop scaling and with the oracle's NULL on empty input
-        if not hist:
-            return None
-        return round(bucket_lb(hist[-1][0]) / 100.0, 2)
-
+    n, (e50, e95, e99) = quantile_estimates(hist)
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    e = ev.select(cents.alias("cents"))
     exact = e.agg(
         F.round(F.expr("percentile(cents, 0.50)") / 100.0, 4).alias(
             "p50_exact"
@@ -430,9 +446,9 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("bigint").alias("n_events"),
         # cast: a None estimate (empty corpus) must stay a NULL DOUBLE,
         # not a void column (schema mismatch vs the oracle; unwritable)
-        F.lit(est(0.50)).cast("double").alias("p50_est"),
-        F.lit(est(0.95)).cast("double").alias("p95_est"),
-        F.lit(est(0.99)).cast("double").alias("p99_est"),
+        F.lit(e50).cast("double").alias("p50_est"),
+        F.lit(e95).cast("double").alias("p95_est"),
+        F.lit(e99).cast("double").alias("p99_est"),
         "p50_exact",
         "p95_exact",
         "p99_exact",

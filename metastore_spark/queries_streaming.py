@@ -497,3 +497,97 @@ def events_stream_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _stream_quantile_oracle() -> str:
+    # same register CTEs as the batch sketch, estimates only (the
+    # streaming serve path never rescans raw data for exact twins)
+    return """
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    bk AS (
+      SELECT d,
+             CASE WHEN cents < 64 THEN cents
+                  ELSE 64 + (length(to_base(cents, 2)) - 7) * 8
+                       + ((cents >> (length(to_base(cents, 2)) - 4)) & 7)
+             END AS b
+      FROM e
+    ),
+    regs AS (SELECT d, b, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM bk GROUP BY 1, 2),
+    tot AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS cnt FROM regs GROUP BY 1),
+    cum AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS run FROM tot),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM tot),
+    q AS (
+      SELECT
+        (SELECT MIN(b) FROM cum, n WHERE run >= CAST(ceil(0.50 * n) AS BIGINT)) AS b50,
+        (SELECT MIN(b) FROM cum, n WHERE run >= CAST(ceil(0.95 * n) AS BIGINT)) AS b95,
+        (SELECT MIN(b) FROM cum, n WHERE run >= CAST(ceil(0.99 * n) AS BIGINT)) AS b99
+    )
+    SELECT n.n AS n_events,
+           ROUND(CASE WHEN b50 < 64 THEN b50
+                 ELSE (8 + (b50 - 64) % 8)
+                      * CAST(POW(2, (b50 - 64) // 8 + 3) AS BIGINT)
+                 END / 100.0, 2) AS p50_est,
+           ROUND(CASE WHEN b95 < 64 THEN b95
+                 ELSE (8 + (b95 - 64) % 8)
+                      * CAST(POW(2, (b95 - 64) // 8 + 3) AS BIGINT)
+                 END / 100.0, 2) AS p95_est,
+           ROUND(CASE WHEN b99 < 64 THEN b99
+                 ELSE (8 + (b99 - 64) % 8)
+                      * CAST(POW(2, (b99 - 64) // 8 + 3) AS BIGINT)
+                 END / 100.0, 2) AS p99_est
+    FROM q CROSS JOIN n
+    """
+
+
+@query("events_stream_quantile_ingest", oracle=_stream_quantile_oracle())
+def events_stream_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile-sketch maintenance — the SUM-merge sibling
+    of `events_stream_hll_ingest`: micro-batched (maxFilesPerTrigger=1)
+    log-bucket histogram updates against a generation-swapped store.
+    Unlike the HLL MAX, addition is NOT idempotent, so replay safety
+    rests entirely on the generation discipline (a replayed batch
+    rebuilds from the same below-id predecessor — the cdc_apply
+    contract); the drained histogram's estimates must equal the batch
+    register computation over the raw corpus, which the oracle
+    recomputes in SQL."""
+    import shutil
+    import tempfile
+
+    from metastore_spark.catalog import load_table
+    from metastore_spark.queries_sketch import (
+        quantile_buckets,
+        quantile_estimates,
+    )
+    from metastore_spark.streaming.hll import histogram_ingest_stream
+
+    src = tempfile.mkdtemp(prefix="qh_src_")
+    state = tempfile.mkdtemp(prefix="qh_state_")
+    try:
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        final = histogram_ingest_stream(
+            spark, src, state, bucket_fn=quantile_buckets
+        )
+        hist = sorted(
+            (int(r["b"]), int(r["cnt"]))
+            for r in spark.read.parquet(final)
+            .groupBy("b")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        n, (e50, e95, e99) = quantile_estimates(hist)
+        return spark.range(1).select(
+            F.lit(n).cast("bigint").alias("n_events"),
+            F.lit(e50).cast("double").alias("p50_est"),
+            F.lit(e95).cast("double").alias("p95_est"),
+            F.lit(e99).cast("double").alias("p99_est"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)

@@ -81,3 +81,73 @@ def hll_ingest_stream(
     if final is None:
         raise RuntimeError("hll_ingest_stream: no registers generation")
     return os.path.join(reg_root, f"gen={final}")
+
+
+def apply_histogram_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    reg_root: str,
+    bucket_fn,
+) -> None:
+    """SUM-merged counterpart of apply_hll_batch for the quantile
+    log-bucket histogram: per-batch (d, b, cnt) partials ADD into the
+    newest generation below this batch id. Addition is associative
+    and commutative but NOT idempotent — replay safety comes from the
+    generation discipline alone (a replayed batch rebuilds from the
+    same predecessor it saw first time), exactly the cdc_apply /
+    neardup contract."""
+    from pyspark.sql import functions as F
+
+    delta = (
+        bucket_fn(batch_df)
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    gens = [g for g in _all_gens(reg_root) if g < batch_id]
+    if gens:
+        prev = spark.read.parquet(os.path.join(reg_root, f"gen={max(gens)}"))
+        merged = (
+            prev.unionByName(delta)
+            .groupBy("d", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = delta
+    merged.write.mode("overwrite").parquet(
+        os.path.join(reg_root, f"gen={batch_id}")
+    )
+
+
+def histogram_ingest_stream(
+    spark: SparkSession,
+    src_path: str,
+    state_root: str,
+    bucket_fn,
+    max_files_per_trigger: int | None = 1,
+) -> str:
+    """Drain ``src_path`` (availableNow) through histogram
+    maintenance; returns the final generation's path."""
+    reg_root = os.path.join(state_root, "hist")
+    schema = spark.read.parquet(src_path).schema
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        apply_histogram_batch(spark, batch_df, batch_id, reg_root, bucket_fn)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(src_path)
+        .writeStream.foreachBatch(step)
+        .option(
+            "checkpointLocation", os.path.join(state_root, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = _latest_gen(reg_root)
+    if final is None:
+        raise RuntimeError("histogram_ingest_stream: no generation")
+    return os.path.join(reg_root, f"gen={final}")

@@ -483,3 +483,34 @@ def test_hll_ingest_resume_from_checkpoint(spark, tmp_path):
         spark.createDataFrame(wave1 + wave2, cols)
     )
     assert norm(spark.read.parquet(final)) == norm(batch_truth)
+
+
+def test_histogram_batch_replay_is_idempotent(spark, tmp_path):
+    """SUM-merge is NOT idempotent, so histogram replay safety rests
+    on the generation discipline: re-applying the last batch must
+    rebuild from the same predecessor and converge to identical
+    counts (no double-adding)."""
+    import datetime as dt
+
+    from metastore_spark.queries_sketch import quantile_buckets
+    from metastore_spark.streaming.hll import apply_histogram_batch
+
+    cols = ["ts", "value"]
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(t0, float(v)) for v in range(1, 200)]
+    root = str(tmp_path / "hist")
+    b0 = spark.createDataFrame(rows[:100], cols)
+    b1 = spark.createDataFrame(rows[100:], cols)
+    apply_histogram_batch(spark, b0, 0, root, quantile_buckets)
+    apply_histogram_batch(spark, b1, 1, root, quantile_buckets)
+
+    def regs(gen):
+        return sorted(
+            (str(r["d"]), r["b"], r["cnt"])
+            for r in spark.read.parquet(f"{root}/gen={gen}").collect()
+        )
+
+    before = regs(1)
+    apply_histogram_batch(spark, b1, 1, root, quantile_buckets)  # replay
+    assert regs(1) == before
+    assert sum(c for _, _, c in before) == 199
