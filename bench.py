@@ -107,6 +107,7 @@ HEADLINE = [
     "docs_mixture_temperature_weights",
     "orders_cohort_ltv_curve",
     "events_purchase_prior_state",
+    "events_dau_wau_stickiness",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

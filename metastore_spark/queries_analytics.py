@@ -1273,3 +1273,63 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age")
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM e GROUP BY d),
+    wau AS (
+      SELECT (e.d + INTERVAL (t.i) DAY)::DATE AS w,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+      FROM e CROSS JOIN range(7) t(i)
+      GROUP BY 1
+    )
+    SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau,
+           ROUND(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON wau.w = dau.d
+    ORDER BY day
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement: daily active users, trailing-7-day actives, and
+    the DAU/WAU stickiness ratio per day — the retention health
+    metric every consumer dashboard leads with.
+
+    The trailing-window distinct is computed WITHOUT a 7-way
+    self-join: each (day, user) activity row fans out to the 7
+    window-ends it belongs to (explode of a 7-literal sequence — a
+    bounded 7× exchange on already day-deduped user rows, O(active
+    pairs), never raw events), then one COUNT(DISTINCT) per window.
+    Counts are exact integers; the ratio is one division rounded at
+    4dp."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"), "user_id"
+    ).distinct()
+    e.persist()
+    dau = e.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        e.select(
+            F.expr("explode(sequence(0, 6))").alias("i"), "d", "user_id"
+        )
+        .select(F.expr("date_add(d, i)").alias("w"), "user_id")
+        .groupBy("w")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.w)
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") * 1.0 / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
