@@ -108,6 +108,7 @@ HEADLINE = [
     "orders_cohort_ltv_curve",
     "events_purchase_prior_state",
     "events_dau_wau_stickiness",
+    "supplier_lead_time_percentiles",
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",

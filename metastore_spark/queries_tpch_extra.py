@@ -419,3 +419,62 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", F.round(F.col("v") / 100.0, 2).alias("part_value"))
         .orderBy(F.desc("v"), "l_partkey")
     )
+
+
+@query(
+    "supplier_lead_time_percentiles",
+    oracle="""
+    WITH lag AS (
+      SELECT n_name,
+             CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT)
+               AS lead_days
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT)                 AS n_lines,
+           ROUND(quantile_cont(lead_days, 0.5), 4)  AS p50_days,
+           ROUND(quantile_cont(lead_days, 0.95), 4) AS p95_days
+    FROM lag
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def supplier_lead_time_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supply-chain SLA profile: order-to-ship lead time (days) per
+    supplier nation, p50/p95 — the fulfillment latency distribution a
+    procurement team tracks per region. Integer day differences
+    (exact both engines), one fact shuffle on the nation rollup,
+    single-buffer exact interpolated percentiles (== DuckDB
+    quantile_cont; percentile_approx at 100 TB, same plan)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lag = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "n_name",
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).cast("bigint").alias("lead_days"),
+        )
+    )
+    pct = F.expr("percentile(lead_days, array(0.5, 0.95))")
+    return (
+        lag.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(pct[0], 4).alias("p50_days"),
+            F.round(pct[1], 4).alias("p95_days"),
+        )
+        .orderBy("n_name")
+    )
