@@ -446,10 +446,27 @@ def rewrite_cells(
     """
     import glob as _glob
     import shutil
+    import uuid as _uuid
 
     # recover from any prior crashed rewrite: restore evacuated cells
-    # whose swap never completed, then clear the dead scratch
+    # whose swap never completed, then clear the dead scratch. A
+    # scratch dir whose owning pid is still alive belongs to a
+    # CONCURRENT in-flight rewrite — sweeping it would rmtree the
+    # peer's evacuated cells mid-swap and resurrect rows it is
+    # erasing, so those are skipped (dead-pid and unparseable names
+    # only). The uuid suffix keeps two rewrites in one process (or a
+    # recycled pid) from ever sharing a scratch path.
     for stale in _glob.glob(f"{store_path.rstrip('/')}.rewrite-*"):
+        pid_part = os.path.basename(stale).rpartition("rewrite-")[2]
+        pid_str = pid_part.split("-", 1)[0]
+        if pid_str.isdigit():
+            try:
+                os.kill(int(pid_str), 0)
+                continue  # owner alive: its swap is in flight, hands off
+            except ProcessLookupError:
+                pass  # dead owner — safe to recover
+            except PermissionError:
+                continue  # alive under another uid — hands off
         for entry in os.listdir(stale):
             if not entry.startswith("old-"):
                 continue
@@ -460,7 +477,10 @@ def rewrite_cells(
                 os.rename(os.path.join(stale, entry), cell_dir)
         shutil.rmtree(stale, ignore_errors=True)
 
-    scratch = f"{store_path.rstrip('/')}.rewrite-{os.getpid()}"
+    scratch = (
+        f"{store_path.rstrip('/')}.rewrite-{os.getpid()}"
+        f"-{_uuid.uuid4().hex[:8]}"
+    )
     os.makedirs(scratch, exist_ok=True)
     rewritten = dropped = 0
     try:

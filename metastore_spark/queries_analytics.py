@@ -952,8 +952,10 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+    # customer grows with the corpus — no forced broadcast (driver OOM
+    # risk at 100×); AQE picks shuffle vs broadcast by actual size
     base = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey")
         .agg(
             F.max("o_orderdate").alias("last_order"),

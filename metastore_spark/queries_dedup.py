@@ -327,9 +327,18 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
           / len(list_distinct(list_concat(a.tset, b.tset))) >= 0.8
     """,
+    validation_only=True,
+    scale_path="dedup_jaccard_verified",
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dups, blocked by (lang, length bucket).
+
+    VALIDATION TWIN: inside a (lang, bucket) block the join is still
+    all-pairs, and at 100 TB the modal (en, modal-length) block is a
+    huge corpus slice — O(block²) work. The LSH-pruned
+    `dedup_jaccard_verified` (candidates from minhash bands, exact
+    Jaccard only on candidates) is the production path; this query
+    exists to certify it at oracle-checkable SFs.
 
     The blocked equi-join is the scale pattern: candidates only form
     inside a block, then exact set arithmetic verifies. Lang alone is

@@ -778,6 +778,12 @@ def emb_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             base = i * dim
             for j in range(dim):
                 row[j] += flat[base + j]
+    if N == 0:
+        # empty embeddings table: no principal direction exists —
+        # return the empty (vec_id, pc1_score) frame, not a div-by-0
+        return e.select(
+            "vec_id", F.lit(None).cast("bigint").alias("pc1_score")
+        )
     # Python // IS floor division — identical to the oracle's fdiv.
     C = [[g // N for g in row] for row in G]
     v1 = [sum(row) for row in C]

@@ -448,9 +448,12 @@ def supplier_lead_time_percentiles(
     """Supply-chain SLA profile: order-to-ship lead time (days) per
     supplier nation, p50/p95 — the fulfillment latency distribution a
     procurement team tracks per region. Integer day differences
-    (exact both engines), one fact shuffle on the nation rollup,
-    single-buffer exact interpolated percentiles (== DuckDB
-    quantile_cont; percentile_approx at 100 TB, same plan)."""
+    (exact both engines), single-buffer exact interpolated
+    percentiles (== DuckDB quantile_cont; percentile_approx at
+    100 TB, same plan). lineitem-orders is fact×fact: the join
+    strategy is left to AQE (shuffle/bucketed, never a forced
+    broadcast — orders grows with SF); only supplier and nation
+    are broadcast dims."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -458,7 +461,7 @@ def supplier_lead_time_percentiles(
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     lag = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select(

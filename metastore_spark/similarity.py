@@ -788,10 +788,20 @@ def int_gram_partials(
             if not len(pdf):
                 continue
             m = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[vec_col]])
-            acc += m.T @ m
+            # int64-overflow guard for the per-batch GEMM: each cell of
+            # m.T @ m sums len(m) products each ≤ max|v|²; if the bound
+            # can't be certified, fall back to exact Python-int sums.
+            peak = int(np.abs(m).max()) if m.size else 0
+            if peak and len(m) * peak * peak >= 2**62:
+                obj = m.astype(object)
+                acc = acc.astype(object) + obj.T @ obj
+            else:
+                acc = acc + m.T @ m
             n += len(m)
         if n:
-            yield pd.DataFrame({"g": [acc.flatten().tolist()], "n": [n]})
+            yield pd.DataFrame(
+                {"g": [[int(x) for x in acc.flatten()]], "n": [n]}
+            )
 
     rows = df.select(vec_col).mapInPandas(
         partial, "g array<long>, n long"

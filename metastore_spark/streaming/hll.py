@@ -27,6 +27,21 @@ from metastore_spark.operators import hll
 from metastore_spark.streaming.neardup import _all_gens, _latest_gen
 
 
+def _prune_gens(reg_root: str, newest: int) -> None:
+    """Bound state: after gen=``newest`` lands, drop every generation
+    below ``newest - 1``. A replayed batch id B rebuilds from the
+    newest generation BELOW B; availableNow replays only re-run the
+    last in-flight batch, so one predecessor suffices — without this a
+    long-lived stream accumulates one full register copy per batch."""
+    import shutil
+
+    for g in _all_gens(reg_root):
+        if g < newest - 1:
+            shutil.rmtree(
+                os.path.join(reg_root, f"gen={g}"), ignore_errors=True
+            )
+
+
 def apply_hll_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -48,6 +63,7 @@ def apply_hll_batch(
     merged.write.mode("overwrite").parquet(
         os.path.join(reg_root, f"gen={batch_id}")
     )
+    _prune_gens(reg_root, batch_id)
 
 
 def hll_ingest_stream(
@@ -117,6 +133,7 @@ def apply_histogram_batch(
     merged.write.mode("overwrite").parquet(
         os.path.join(reg_root, f"gen={batch_id}")
     )
+    _prune_gens(reg_root, batch_id)
 
 
 def histogram_ingest_stream(

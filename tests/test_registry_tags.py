@@ -21,7 +21,11 @@ def test_scale_paths_resolve_to_registered_untagged_queries():
             )
 
 
-def test_jaccard_pairs_untagged_now_length_bucketed():
-    # round-4 contract: dedup_jaccard_pairs blocks on (lang, length
-    # bucket) and is no longer a validation-only twin
-    assert REGISTRY["dedup_jaccard_pairs"].validation_only is False
+def test_jaccard_pairs_is_validation_only():
+    # round-5 contract (VERDICT r4 task 2): the (lang, length-bucket)
+    # block is still all-pairs inside the modal block, so the exact
+    # token-set query is a validation twin of the LSH-pruned verified
+    # path, which is the 100 TB plan.
+    qd = REGISTRY["dedup_jaccard_pairs"]
+    assert qd.validation_only is True
+    assert qd.scale_path == "dedup_jaccard_verified"
