@@ -272,3 +272,55 @@ def test_ndcg_topk_is_sort_limit(spark):
     plan = _plan(spark, "search_eval_ndcg")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_segments_no_single_partition_window(spark):
+    """RFM quartiles are three distributed exact-NTILE passes (range
+    repartition + per-partition row_number + offsets) — never the
+    single-partition NTILE window a naive port would plan. Control
+    plan in test_deciles_no_global_window certifies the marker."""
+    plan = _plan(spark, "customers_rfm_segments")
+    assert "SinglePartition" not in plan, "global WindowExec found"
+    assert "SortMergeJoin" not in plan
+
+
+def test_market_basket_pairs_generate_not_self_join(spark):
+    """Part-pair candidates generate IN-EXPRESSION from each sorted
+    per-order basket (Generate/explode, bounded by basket² per order)
+    — never a lineitem self-join; the only joins are broadcast item
+    counts, and top-30 is a distributed sort-limit."""
+    plan = _plan(spark, "parts_market_basket")
+    assert "Generate" in plan  # in-expression pair explode
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # vocabulary-sized item counts
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dau_wau_single_fanout_no_self_join(spark):
+    """The trailing-7-day distinct uses ONE bounded 7x window-end
+    fan-out (a single Generate over day-deduped users), never a 7-way
+    events self-join; the dau-wau day join is broadcast-sized."""
+    import re
+
+    plan = _plan(spark, "events_dau_wau_stickiness")
+    fanouts = {m for m in re.findall(r"\((\d+)\) Generate", plan)}
+    assert len(fanouts) == 1, f"expected one fan-out, got {fanouts}"
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_last_touch_is_one_window_no_join(spark):
+    """Last-touch attribution is ONE user-partitioned carry-forward
+    window pass over a single events scan — no self-join, no
+    per-purchase probe, and the event_type filter reaches the scan."""
+    import re
+
+    import metastore_spark.queries_temporal  # noqa: F401
+
+    plan = _plan(spark, "events_attribution_last_touch")
+    assert "Join" not in plan
+    assert "Window" in plan
+    scans = {m for m in re.findall(r"\((\d+)\) Scan parquet", plan)}
+    assert len(scans) == 1, f"expected one events scan, got {scans}"
