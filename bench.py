@@ -260,6 +260,23 @@ def main() -> int:
             fh.write(json.dumps({"ts": int(time.time()), **result}) + "\n")
     except OSError:
         pass  # history is best-effort; the stdout contract is the product
+    # Regression gate (stderr only — stdout stays ONE JSON line): flag
+    # any query >1.5x its normalized history median; report the
+    # headline ratio. Informational here; tools/bench_gate.py exits
+    # nonzero standalone when the 1.3x total gate trips.
+    try:
+        import subprocess
+
+        gate = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "bench_gate.py")],
+            capture_output=True, text=True, timeout=60,
+        )
+        for line in (gate.stdout + gate.stderr).strip().splitlines():
+            print(f"# gate: {line}", file=sys.stderr)
+    except Exception:
+        pass
     return 0
 
 

@@ -1,0 +1,129 @@
+"""Per-query bench regression gate (VERDICT r4 task 5).
+
+Compares the LATEST BENCH_HISTORY.jsonl entry (or an explicit bench
+JSON) against the calibration-normalized per-query history medians:
+
+- WARN  any query whose normalized time is > 1.5x its history median
+  (queries under the noise floor are exempt — job-overhead-scale
+  timings on this box jitter 2x run-to-run);
+- FAIL  (exit 1) if the normalized headline total over the query set
+  shared with history regresses > 1.3x the sum of history medians.
+
+Per-query normalization uses each run's own jobs-probe calibration
+(t_norm = t * calib_ref_jobs / run's mean jobs probe), the same
+corrector bench.py applies to the headline total — so medians are
+comparable across hosts of different scheduler speed. Pre-probe
+history lines (rounds 1-3) carry no jobs probe and are used raw;
+the median is robust to those.
+
+Usage:
+    python tools/bench_gate.py                # gate the latest history line
+    python tools/bench_gate.py BENCH_r05.json # gate an explicit result
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+WARN_RATIO = 1.5
+FAIL_RATIO = 1.3
+NOISE_FLOOR_SEC = 0.25  # normalized; below this, scheduler jitter dominates
+
+
+def _norm_factor(entry: dict) -> float:
+    cal = entry.get("calib", {})
+    ref = cal.get("calib_ref_jobs_sec")
+    start = cal.get("spark_jobs10_sec")
+    end = cal.get("spark_jobs10_end_sec", start)
+    if not ref or not start:
+        return 1.0  # pre-probe history line: raw seconds
+    return ref / ((start + end) / 2)
+
+
+def _normed_queries(entry: dict) -> dict[str, float]:
+    f = _norm_factor(entry)
+    return {q: t * f for q, t in entry.get("queries", {}).items()}
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_HISTORY.jsonl")) as fh:
+        history = [json.loads(l) for l in fh.read().strip().splitlines()]
+    if len(sys.argv) > 1:
+        with open(sys.argv[1]) as fh:
+            latest = json.load(fh)
+        if "parsed" in latest:  # driver-written BENCH_r{N}.json wrapper
+            if latest["parsed"] is None:
+                # the driver truncates stdout; the bench run itself
+                # appended the full line to BENCH_HISTORY.jsonl
+                print(
+                    "bench_gate: driver JSON has no parsed payload — "
+                    "gating the latest history line instead"
+                )
+                latest = history[-1]
+                history = history[:-1]
+            else:
+                latest = latest["parsed"]
+        # drop any history line that IS this run (same raw total)
+        history = [
+            h for h in history if h.get("value") != latest.get("value")
+        ]
+    else:
+        latest = history[-1]
+        history = history[:-1]
+    # never compare across scale factors: a latest sf0.01 smoke run
+    # must not be judged against (or later contaminate) sf0.1 medians
+    sf = latest.get("sf")
+    history = [h for h in history if h.get("sf") == sf]
+    if not history:
+        print("bench_gate: no same-sf history to gate against — pass (vacuous)")
+        return 0
+
+    latest_n = _normed_queries(latest)
+    hist_n = [_normed_queries(h) for h in history]
+
+    warns = []
+    gated_total = 0.0
+    median_total = 0.0
+    for q, t in sorted(latest_n.items()):
+        series = [hn[q] for hn in hist_n if q in hn]
+        if not series:
+            continue  # new query this round: no history to regress against
+        med = statistics.median(series)
+        gated_total += t
+        median_total += med
+        if t > WARN_RATIO * med and t > NOISE_FLOOR_SEC:
+            warns.append((q, med, t))
+
+    for q, med, t in warns:
+        print(
+            f"WARN {q}: {t:.3f}s normalized vs history median "
+            f"{med:.3f}s ({t / med:.2f}x)"
+        )
+    verdict = {
+        "queries_gated": sum(1 for q in latest_n if any(q in h for h in hist_n)),
+        "queries_new": sum(1 for q in latest_n if not any(q in h for h in hist_n)),
+        "per_query_warnings": len(warns),
+        "normalized_total_common": round(gated_total, 3),
+        "history_median_total_common": round(median_total, 3),
+        "total_ratio": round(gated_total / median_total, 3)
+        if median_total
+        else None,
+    }
+    print(json.dumps(verdict))
+    if median_total and gated_total > FAIL_RATIO * median_total:
+        print(
+            f"FAIL: normalized total {gated_total:.1f}s regressed "
+            f"{gated_total / median_total:.2f}x vs history median "
+            f"{median_total:.1f}s (gate {FAIL_RATIO}x)",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
