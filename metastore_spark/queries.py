@@ -106,17 +106,26 @@ def _ts_us() -> F.Column:
 @query(
     "q1_pricing_summary",
     oracle="""
+    WITH l AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT)                            AS qty,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)  AS cents,
+             CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)       AS d100,
+             CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT)            AS t100
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
-           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
-           CAST(COUNT(*) AS BIGINT)                                     AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           ROUND(CAST(SUM(qty) AS DOUBLE), 2)                    AS sum_qty,
+           ROUND(SUM(cents) / 100.0, 2)                          AS sum_base_price,
+           ROUND(SUM(cents * (100 - d100)) / 10000.0, 2)         AS sum_disc_price,
+           ROUND(SUM(cents * (100 - d100) * (100 + t100)) / 1000000.0, 2)
+                                                                 AS sum_charge,
+           ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 4)         AS avg_qty,
+           ROUND(SUM(cents) / 100.0 / COUNT(*), 4)               AS avg_price,
+           ROUND(SUM(d100) / 100.0 / COUNT(*), 4)                AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                              AS count_order
+    FROM l
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
@@ -128,22 +137,47 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PushedFilters) and column pruning keeps the read to 7 columns;
     the aggregation is map-side partial + 4-group final — the shuffle
     moves O(partitions × groups) rows regardless of input size.
+
+    Money sums accumulate as EXACT integer cents (prices carry 2
+    decimals, discount/tax are whole percents), divided back once
+    post-aggregation — double summation is order-dependent, and a
+    half-ulp at a .xx5 rounding boundary flips the 2dp output (it did,
+    on the round-5 regenerated sf0.01 fixture). Integer sums are
+    summation-order-free, so both engines agree bit-for-bit at any
+    SF; per-row scaled terms stay ≤1e11 so bigint holds to ~sf30
+    (decimal(38) is the same plan beyond that).
     """
     l = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+    d100 = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint")
+    t100 = F.floor(F.col("l_tax") * 100.0 + 0.5).cast("bigint")
+    qty = F.col("l_quantity").cast("bigint")
+    cnt = F.count(F.lit(1))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .select(
+            "l_returnflag", "l_linestatus",
+            qty.alias("qty"), cents.alias("cents"),
+            d100.alias("d100"), t100.alias("t100"),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum("qty").cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum("cents") / 100.0, 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("cents") * (100 - F.col("d100"))) / 10000.0, 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("cents")
+                    * (100 - F.col("d100"))
+                    * (100 + F.col("t100"))
+                ) / 1000000.0, 2
+            ).alias("sum_charge"),
+            F.round(F.sum("qty").cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(F.sum("cents") / 100.0 / cnt, 4).alias("avg_price"),
+            F.round(F.sum("d100") / 100.0 / cnt, 4).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

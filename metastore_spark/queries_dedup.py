@@ -165,26 +165,47 @@ def _minhash_sig_ctes(num_perm: int = 64) -> str:
     )"""
 
 
-def _minhash_pairs_sql(num_perm: int = 64) -> str:
-    """Pair CTE over the signature table: agreement-fraction estimate.
+def _minhash_pairs_sql(num_perm: int = 64, bands: int = 16) -> str:
+    """Pair CTEs over the signature table: agreement-fraction estimate,
+    with LOSSLESS band-join candidate generation.
 
-    No banding clause on purpose: with 64 perms in 16 bands of 4, a
-    pair at est ≥ 0.8 has ≤ 12 disagreeing positions, which can spoil
-    at most 12 of the 16 bands — so ≥ 4 bands fully agree and LSH
-    candidacy is IMPLIED for every pair above threshold. The Spark
-    side's banding join prunes candidates below threshold (plus a
-    measure-zero xxhash64 band-collision set that the est filter
-    removes); above threshold the two sets are provably identical.
+    The round-4 form joined ``sig a × sig b`` all-pairs — exact, but
+    O(n²) in DuckDB and therefore oracle-skipped at sf1. This form
+    mirrors the banding pigeonhole in SQL: with 64 perms in 16 bands
+    of 4, a pair at est ≥ 0.8 has ≤ 12 disagreeing positions, which
+    can spoil at most 12 of the 16 bands — so ≥ 4 bands fully agree
+    and EVERY above-threshold pair is produced by at least one band's
+    equi-join. UNION over the 16 band joins, then the exact agreement
+    count filters; the result set is provably identical to the
+    all-pairs form at any corpus, but the join is hash-keyed and
+    near-linear on a non-degenerate corpus. (The Spark side's xxhash64
+    band-bucket join admits a measure-zero collision candidate set
+    that its est filter removes — same final set.)
     """
+    rows = num_perm // bands
+    band_joins = "\n      UNION\n      ".join(
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON "
+        + " AND ".join(
+            f"a.mh{band * rows + j} = b.mh{band * rows + j}"
+            for j in range(rows)
+        )
+        + " AND a.doc_id < b.doc_id"
+        for band in range(bands)
+    )
     agree = " + ".join(
-        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
         for i in range(num_perm)
     )
     return f"""
+    cand AS (
+      {band_joins}
+    ),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      SELECT c.id_a, c.id_b,
              ROUND(({agree}) / {num_perm}.0, 4) AS jaccard_est
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      FROM cand c
+      JOIN sig sa ON c.id_a = sa.doc_id
+      JOIN sig sb ON c.id_b = sb.doc_id
     )"""
 
 
@@ -318,12 +339,33 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                string_split_regex(lower(text), '[^a-z0-9]+'),
                t -> t <> '')) AS tset
       FROM documents
+    ),
+    -- prefix-filtered candidates (same lossless PPJoin bound as
+    -- _SHINGLE_PAIR_CTES — see that comment): a same-lang pair at
+    -- Jaccard >= 0.8 must share a token within both docs' first
+    -- |T| - ceil(0.8|T|) + 1 tokens of the global (df, token) order
+    tx AS (SELECT doc_id, lang, unnest(tset) AS t, len(tset) AS sz
+           FROM toks),
+    tdf AS (SELECT t, COUNT(*) AS df FROM tx GROUP BY t),
+    tpref AS (
+      SELECT doc_id, lang, t FROM (
+        SELECT e.doc_id, e.lang, e.t, e.sz,
+               row_number() OVER (PARTITION BY e.doc_id
+                                  ORDER BY d.df, e.t) AS rk
+        FROM tx e JOIN tdf d USING (t)
+      ) WHERE rk <= sz - (4 * sz + 4) // 5 + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tpref a JOIN tpref b
+        ON a.t = b.t AND a.lang = b.lang AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT c.id_a, c.id_b,
            ROUND(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.tset, b.tset))), 4) AS jaccard
-    FROM toks a JOIN toks b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    FROM cand c
+    JOIN toks a ON c.id_a = a.doc_id
+    JOIN toks b ON c.id_b = b.doc_id
     WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
           / len(list_distinct(list_concat(a.tset, b.tset))) >= 0.8
     """,
@@ -401,6 +443,19 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Exact 3-gram-shingle-Jaccard pair CTEs, shared by the verified-pairs
 # oracle and the clustering oracle (one definition, no drift).
+#
+# Candidate generation is PREFIX-FILTERED (Bayardo et al. "Scaling Up
+# All Pairs Similarity Search" WWW'07; Xiao et al. PPJoin WWW'08, a
+# public exact-join technique): order every shingle set by the global
+# (df, shingle) total order; a pair with Jaccard ≥ t MUST share a
+# shingle inside both sets' first |S| - ⌈t·|S|⌉ + 1 elements, so the
+# equi-join on prefix shingles loses no qualifying pair while cutting
+# the all-pairs n²/2 list intersections (oracle-skipped at sf1 in
+# round 4) to candidates proportional to rare-shingle collisions.
+# ⌈0.8·s⌉ is computed as (4s+4)//5 in exact integer arithmetic — a
+# float ceil(0.8*s) rounds UP at s=5k (binary 0.8 > 4/5), silently
+# shortening the prefix and making the filter lossy. The verify step
+# is the unchanged exact intersection/union arithmetic.
 _SHINGLE_PAIR_CTES = """
     toks AS (
       SELECT doc_id,
@@ -417,11 +472,30 @@ _SHINGLE_PAIR_CTES = """
              END) AS sset
       FROM toks
     ),
+    shx AS (
+      SELECT doc_id, unnest(sset) AS s, len(sset) AS sz FROM sh
+    ),
+    shdf AS (SELECT s, COUNT(*) AS df FROM shx GROUP BY s),
+    shpref AS (
+      SELECT doc_id, s FROM (
+        SELECT e.doc_id, e.s, e.sz,
+               row_number() OVER (PARTITION BY e.doc_id
+                                  ORDER BY d.df, e.s) AS rk
+        FROM shx e JOIN shdf d USING (s)
+      ) WHERE rk <= sz - (4 * sz + 4) // 5 + 1
+    ),
+    shcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shpref a JOIN shpref b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      SELECT c.id_a, c.id_b,
              CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
                / len(list_distinct(list_concat(a.sset, b.sset))) AS jac
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      FROM shcand c
+      JOIN sh a ON c.id_a = a.doc_id
+      JOIN sh b ON c.id_b = b.doc_id
       WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
             / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.8
     )

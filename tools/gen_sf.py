@@ -39,6 +39,30 @@ VOCAB = (
     "big group stream filter a"
 ).split()
 
+
+def _zipf_vocab(n_tail: int = 10_000) -> tuple[list[str], np.ndarray]:
+    """Zipf-distributed vocabulary: the 30 historical head words (rank
+    1-30 — every registry query's literal search terms keep appearing)
+    plus ``n_tail`` syllable-built tail words. Returns (vocab, probs).
+
+    The round-4 sf1 sweep showed WHY this matters: with a ~30-word
+    vocabulary every long document's distinct-token set converges to
+    the full vocabulary, token-set Jaccard saturates, and every pair
+    'qualifies' — the near-dup family's outputs become O(n²) and its
+    oracles corpus-degenerate. A heavy-tailed 10⁴-term vocab makes
+    random pairs dissimilar (near-dup pair counts O(n), all planted)
+    while the head keeps term-match queries populated."""
+    syl = [c + v for c in "bdfgklmnprstvz" for v in "aeiou"]  # 70
+    tail = [
+        syl[i % 70] + syl[(i // 70) % 70] + syl[i // 4900]
+        for i in range(n_tail)
+    ]
+    vocab = VOCAB + tail
+    ranks = np.arange(1, len(vocab) + 1, dtype="float64")
+    probs = 1.0 / ranks**1.07
+    probs /= probs.sum()
+    return vocab, probs
+
 TS0 = np.datetime64("2024-01-01T00:00:00", "us")
 DAY_US = 86_400_000_000
 
@@ -268,22 +292,39 @@ def gen(sf: float, out_dir: str) -> None:
     )
 
     r = _rng("documents", sf)
+    vocab, vprobs = _zipf_vocab()
     texts = []
     langs = [LANGS[i] for i in r.choice(5, n_docs, p=LANG_W)]
+    # one bulk Zipf draw for every base document's words (single
+    # r.choice call — per-doc calls rebuild the 10k-alias table each
+    # time and dominate generation at sf3)
+    n_w_all = r.integers(10, 111, n_docs)
+    word_pool = r.choice(len(vocab), int(n_w_all.sum()), p=vprobs)
+    pool_off = np.concatenate([[0], np.cumsum(n_w_all)])
+    mut_pool = r.choice(len(vocab), 2 * n_docs, p=vprobs)  # bulk, like words
+    mut_i = 0
     base_words = None
+    base_at = -2
     for i in range(n_docs):
-        if i % 10 == 9 and base_words is not None:
-            # near-duplicate of the previous base: mutate 1-2 words
+        if i % 100 == 4 and base_words is not None:
+            # planted EXACT duplicate (1%): the Zipf draw virtually
+            # never repeats a text by chance, so exact-dedup keeps a
+            # real survivor population to prune
+            w = list(base_words)
+            langs[i] = langs[base_at]
+        elif i % 10 in (8, 9) and base_words is not None and base_at >= i - 3:
+            # planted near-dup cluster: docs i%10∈{8,9} mutate the
+            # cluster base (doc i-1 / i-2) in 1-2 positions — pairs at
+            # Jaccard ≥ 0.8 stay O(n) and clusters reach size 3
             w = list(base_words)
             for _ in range(int(r.integers(1, 3))):
-                w[int(r.integers(0, len(w)))] = VOCAB[
-                    int(r.integers(0, len(VOCAB)))
-                ]
-            langs[i] = langs[i - 1]  # dups share the block key
+                w[int(r.integers(0, len(w)))] = vocab[mut_pool[mut_i]]
+                mut_i += 1
+            langs[i] = langs[base_at]  # dups share the block key
         else:
-            n_w = int(r.integers(10, 111))
-            w = [VOCAB[j] for j in r.integers(0, len(VOCAB), n_w)]
+            w = [vocab[j] for j in word_pool[pool_off[i]:pool_off[i + 1]]]
             base_words = w
+            base_at = i
         texts.append(" ".join(w))
     _write(
         out_dir,
