@@ -92,6 +92,40 @@ def synth_png_bytes(media_id: int, width: int, height: int) -> bytes:
     return png_encode(width, height, synth_pixels(media_id, width * height), 1)
 
 
+def synth_block_pixels(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic BLOCK-FLAT pixel payload: every 8×8 tile holds one
+    byte of the id's sha256 digest (cycled row-major over tiles).
+    Flat tiles are the one image class a lossy DCT codec reproduces
+    BIT-EXACTLY under a unit quantization table (a flat tile has a
+    lone integral DC coefficient and zero AC energy), which is what
+    lets real JPEG bytes keep a pure-SQL value-hash oracle."""
+    seed = hashlib.sha256(str(media_id).encode()).digest()
+    bx = width // 8
+    row_vals = [
+        bytes(
+            seed[((r // 8) * bx + (c // 8)) % len(seed)]
+            for c in range(width)
+        )
+        for r in range(height)
+    ]
+    return b"".join(row_vals)
+
+
+def synth_jpeg_bytes(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic REAL JPEG (baseline, 8-bit greyscale, unit quant
+    table) over the block-flat payload. width/height must be multiples
+    of 8 so every DCT block is flat and the decode is exact — the
+    corpus generator guarantees this for jpeg-format rows."""
+    from metastore_spark.codecs import jpeg_encode
+
+    if width % 8 or height % 8:
+        raise ValueError("synth_jpeg_bytes needs 8-multiple dimensions")
+    return jpeg_encode(
+        width, height, synth_block_pixels(media_id, width, height), 1,
+        quant=[1] * 64,
+    )
+
+
 def make_media_df(spark, n: int, width: int = 32, height: int = 24) -> DataFrame:
     """Synthetic media table (deterministic, seed-free)."""
     rows = [
@@ -138,11 +172,20 @@ def _decode_one(content: bytes) -> tuple[int, int, float]:
         # format → UnidentifiedImageError): fall through to the
         # format-dispatched decoders
         pass
-    from metastore_spark.codecs import PNG_MAGIC, png_decode
+    from metastore_spark.codecs import (
+        JPEG_MAGIC,
+        PNG_MAGIC,
+        jpeg_decode,
+        png_decode,
+    )
 
     if content[: len(PNG_MAGIC)] == PNG_MAGIC:
         width, height, _channels, pixels = png_decode(content)
         # mean over every sample, matching np.asarray(img).mean()
+        mean = sum(pixels) / len(pixels) if pixels else 0.0
+        return width, height, mean
+    if content[: len(JPEG_MAGIC)] == JPEG_MAGIC:
+        width, height, _channels, pixels = jpeg_decode(content)
         mean = sum(pixels) / len(pixels) if pixels else 0.0
         return width, height, mean
     if content[: len(_MAGIC)] == _MAGIC:
@@ -152,7 +195,7 @@ def _decode_one(content: bytes) -> tuple[int, int, float]:
         return width, height, mean
     raise NotImplementedError(
         "no image decoder available in this environment and content is "
-        "not a PNG or synthetic image"
+        "not a PNG, JPEG, or synthetic image"
     )
 
 
@@ -163,17 +206,25 @@ def synthesize_media(df: DataFrame, fmt_col: str | None = None) -> DataFrame:
     exactly like a real 'fetch bytes from object store' stage would).
 
     ``fmt_col`` selects the encoding per row: 'png' → a real PNG via
-    the stdlib codec, anything else → the FAKEIMG1 synthetic format.
-    Both wrap the SAME pixel payload, so downstream features agree.
+    the stdlib codec, 'jpeg' → a real baseline JPEG (unit quant table
+    over the block-flat payload — exact round-trip, 8-multiple dims
+    required), anything else → the FAKEIMG1 synthetic format. png and
+    synth wrap the SAME per-pixel payload; jpeg wraps the per-8×8-tile
+    payload — each format's features stay pure-SQL-predictable.
     """
+
+    def _one(m: int, w: int, h: int, f: str) -> bytes:
+        if f == "png":
+            return synth_png_bytes(m, w, h)
+        if f == "jpeg":
+            return synth_jpeg_bytes(m, w, h)
+        return synth_image_bytes(m, w, h)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if fmt_col is not None:
                 content = [
-                    synth_png_bytes(int(m), int(w), int(h))
-                    if f == "png"
-                    else synth_image_bytes(int(m), int(w), int(h))
+                    _one(int(m), int(w), int(h), f)
                     for m, w, h, f in zip(
                         pdf["media_id"], pdf["w"], pdf["h"], pdf[fmt_col]
                     )

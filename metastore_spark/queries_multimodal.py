@@ -63,9 +63,15 @@ def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT doc_id AS media_id,
-             CASE WHEN doc_id % 2 = 1 THEN 'png' ELSE 'synth' END AS fmt,
-             CAST(16 + doc_id % 32 AS INT)        AS w,
-             CAST(16 + (doc_id * 7) % 32 AS INT)  AS h
+             CASE doc_id % 3 WHEN 1 THEN 'png'
+                             WHEN 2 THEN 'jpeg'
+                             ELSE 'synth' END AS fmt,
+             CASE WHEN doc_id % 3 = 2
+                  THEN CAST(16 + (doc_id % 4) * 8 AS INT)
+                  ELSE CAST(16 + doc_id % 32 AS INT) END AS w,
+             CASE WHEN doc_id % 3 = 2
+                  THEN CAST(16 + ((doc_id * 3) % 4) * 8 AS INT)
+                  ELSE CAST(16 + (doc_id * 7) % 32 AS INT) END AS h
       FROM documents
     ),
     hx AS (
@@ -75,6 +81,11 @@ def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bytes AS (
       SELECT media_id, fmt, w, h,
+        -- jpeg rows cycle the digest per 8x8 TILE (n = tile count);
+        -- png/synth rows cycle it per PIXEL (n = w*h) — same cyclic
+        -- mean formula either way
+        CASE WHEN fmt = 'jpeg' THEN (w // 8) * (h // 8)
+             ELSE w * h END AS n_units,
         list_transform(range(32), i ->
           (CASE WHEN ord(substr(hex, 2*i+1, 1)) < 58
                 THEN ord(substr(hex, 2*i+1, 1)) - 48
@@ -90,33 +101,47 @@ def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            h AS height,
            CAST(w*h AS BIGINT) AS n_pixels,
            ROUND(
-             ((w*h) // 32 * list_sum(bv)
-              + COALESCE(list_sum(bv[1:((w*h) % 32)]), 0))
-             / CAST(w*h AS DOUBLE), 4) AS mean_intensity
+             (n_units // 32 * list_sum(bv)
+              + COALESCE(list_sum(bv[1:(n_units % 32)]), 0))
+             / CAST(n_units AS DOUBLE), 4) AS mean_intensity
     FROM bytes
     """,
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dual-format decode/feature-extract, VALUE-hash-checked.
+    """TRI-format decode/feature-extract, VALUE-hash-checked.
 
-    Per-document media alternates between a REAL PNG (odd ids —
-    encoded by the stdlib codec with row-cycled scanline filters,
-    decoded by the spec-compliant inflate+unfilter path in
-    metastore_spark.codecs, or by PIL where available) and the
-    FAKEIMG1 synthetic format (even ids). Both carry the SAME
-    deterministic pixel payload (repeated sha256 digest of the id), so
-    one pure-SQL oracle predicts width/height/pixel-count/mean for
-    every row — any bug in chunk parsing, inflate, or any of the five
-    unfilter branches corrupts the PNG rows' mean and fails the hash.
-    Corpus size scales with sf so the driver exercises real
-    multi-batch Arrow transfer."""
+    Per-document media cycles through a REAL PNG (doc_id % 3 == 1 —
+    stdlib inflate + 5-filter unfilter, metastore_spark.codecs), a
+    REAL baseline JPEG (doc_id % 3 == 2 — full marker walk, canonical
+    Huffman entropy decode, dequant + IDCT; round 5), and the FAKEIMG1
+    synthetic format. PNG/synth wrap the per-pixel sha256 payload;
+    JPEG wraps the per-8×8-tile payload under a unit quant table — the
+    one image class a lossy DCT codec reproduces bit-exactly (a flat
+    tile is a lone integral DC coefficient), so real lossy-format
+    bytes still admit a pure-SQL mean oracle. Any bug in chunk walk,
+    inflate, unfilter, Huffman tables, coefficient decode, or the
+    IDCT corrupts its format's rows and fails the hash. JPEG dims are
+    8-multiples by construction (16..40); decoders are exercised on
+    NON-multiple dims and full-entropy content in tests/test_codecs.py
+    against the JVM ImageIO reference."""
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 1, F.lit("png"))
+        F.when(F.col("doc_id") % 3 == 1, F.lit("png"))
+        .when(F.col("doc_id") % 3 == 2, F.lit("jpeg"))
         .otherwise(F.lit("synth"))
         .alias("fmt"),
-        (16 + F.col("doc_id") % 32).cast("int").alias("w"),
-        (16 + (F.col("doc_id") * 7) % 32).cast("int").alias("h"),
+        F.when(
+            F.col("doc_id") % 3 == 2, 16 + (F.col("doc_id") % 4) * 8
+        )
+        .otherwise(16 + F.col("doc_id") % 32)
+        .cast("int")
+        .alias("w"),
+        F.when(
+            F.col("doc_id") % 3 == 2, 16 + ((F.col("doc_id") * 3) % 4) * 8
+        )
+        .otherwise(16 + (F.col("doc_id") * 7) % 32)
+        .cast("int")
+        .alias("h"),
     )
     media = mm.synthesize_media(d, fmt_col="fmt")
     feats = mm.decode_image_features(media)

@@ -179,3 +179,145 @@ def test_resize_media_synthetic_format(spark):
     r = mm.resize_media(df, 4, 4).first()
     w, h, ch, px = png_decode(bytes(r["content"]))
     assert (w, h, ch) == (4, 4, 1) and len(px) == 16
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline T.81) — see metastore_spark/codecs.py
+
+
+def test_jpeg_flat_blocks_roundtrip_exactly():
+    """Flat 8x8 tiles under a unit quant table are the lossless subset
+    of a lossy codec: lone integral DC, zero AC — the property the
+    multimodal value-hash oracle rests on."""
+    import random
+
+    from metastore_spark.codecs import jpeg_decode, jpeg_encode
+
+    rng = random.Random(7)
+    w, h = 40, 24
+    vals = [rng.randrange(256) for _ in range((h // 8) * (w // 8))]
+    px = bytes(
+        vals[(r // 8) * (w // 8) + (c // 8)]
+        for r in range(h)
+        for c in range(w)
+    )
+    enc = jpeg_encode(w, h, px, 1, quant=[1] * 64)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    ww, hh, ch, out = jpeg_decode(enc)
+    assert (ww, hh, ch) == (w, h, 1)
+    assert out == px
+
+
+@pytest.mark.parametrize("w,h,ch", [(16, 16, 1), (24, 16, 3), (23, 17, 1)])
+def test_jpeg_entropy_roundtrip_within_dct_envelope(w, h, ch):
+    """Full-entropy content exercises every AC path (run lengths, ZRL,
+    EOB, all bit categories); with quant=1 the only loss is FDCT/IDCT
+    float rounding — max per-sample error a few LSBs (grayscale) plus
+    the color-transform roundtrip (RGB)."""
+    import random
+
+    from metastore_spark.codecs import jpeg_decode, jpeg_encode
+
+    rng = random.Random(w * 1000 + h * 10 + ch)
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    enc = jpeg_encode(w, h, px, ch, quant=[1] * 64)
+    ww, hh, cc, out = jpeg_decode(enc)
+    assert (ww, hh, cc) == (w, h, ch)
+    err = max(abs(a - b) for a, b in zip(px, out))
+    assert err <= (4 if ch == 3 else 2), f"max sample error {err}"
+
+
+def test_jpeg_standard_quant_table_psnr():
+    """Default (Annex K quality-50) tables on smooth content: lossy but
+    recognizable — mean absolute error well under 10/255 on a smooth
+    gradient. Pins that quantization/dequantization are inverses."""
+    from metastore_spark.codecs import jpeg_decode, jpeg_encode
+
+    w, h = 32, 32
+    px = bytes(((r * 5 + c * 3) // 2) % 256 for r in range(h) for c in range(w))
+    enc = jpeg_encode(w, h, px, 1)  # standard tables
+    ww, hh, _, out = jpeg_decode(enc)
+    assert (ww, hh) == (w, h)
+    mae = sum(abs(a - b) for a, b in zip(px, out)) / len(px)
+    assert mae < 10.0, f"MAE {mae}"
+
+
+def test_jpeg_decodes_real_in_repo_file():
+    """A real-world camera JPEG committed as a fixture (Apache Spark's
+    mllib test image, Apache-2.0): 4:2:0 subsampled, multi-DHT,
+    produced by a real encoder — none of our encoder's choices."""
+    import os
+
+    import numpy as np
+
+    from metastore_spark.codecs import jpeg_decode
+
+    path = os.path.join(os.path.dirname(__file__), "data", "chr30.4.184.jpg")
+    w, h, ch, px = jpeg_decode(open(path, "rb").read())
+    assert (w, h, ch) == (300, 215, 3)
+    mean = float(np.frombuffer(px, dtype=np.uint8).mean())
+    # JVM ImageIO decodes this file to mean 138.95 (test below checks
+    # live); decoder variance allowance is the JPEG spec's own
+    assert abs(mean - 138.95) < 1.0
+
+
+def test_jpeg_matches_jvm_imageio_on_real_corpus(spark):
+    """Independent-decoder cross-check: every baseline JPEG in Spark's
+    bundled image test data must decode to identical dimensions and a
+    mean within 0.5/255 of the JVM ImageIO decoder (spark.read.format
+    ('image'))."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from metastore_spark.codecs import jpeg_decode
+
+    root = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
+    files = sorted(glob.glob(f"{root}/**/*.jpg", recursive=True))
+    if not files:
+        pytest.skip("Spark image test data not present")
+    ref = {}
+    df = spark.read.format("image").load([f"file://{f}" for f in files])
+    for r in df.select("image.*").collect():
+        name = os.path.basename(r["origin"])
+        arr = np.frombuffer(bytes(r["data"]), dtype=np.uint8)
+        ref[name] = (r["width"], r["height"], r["nChannels"], float(arr.mean()))
+    checked = 0
+    for f in files:
+        name = os.path.basename(f)
+        data = open(f, "rb").read()
+        try:
+            w, h, ch, px = jpeg_decode(data)
+        except ValueError:
+            continue  # progressive etc. — deliberately unsupported
+        rw, rh, rch, rmean = ref[name]
+        assert (w, h) == (rw, rh), name
+        mean = float(np.frombuffer(px, dtype=np.uint8).mean())
+        assert abs(mean - rmean) < 0.5, (name, mean, rmean)
+        checked += 1
+    assert checked >= 4  # the corpus ships >=4 baseline JPEGs
+
+
+def test_jpeg_progressive_rejected():
+    from metastore_spark.codecs import jpeg_decode
+
+    path = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/grayscale.jpg"
+    )
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip("progressive sample not present")
+    with pytest.raises(ValueError, match="SOF2"):
+        jpeg_decode(open(path, "rb").read())
+
+
+def test_jpeg_garbage_rejected():
+    from metastore_spark.codecs import jpeg_decode
+
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8" + b"\x00" * 10)  # SOI then junk
