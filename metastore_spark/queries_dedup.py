@@ -348,7 +348,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM toks),
     tdf AS (SELECT t, COUNT(*) AS df FROM tx GROUP BY t),
     tpref AS (
-      SELECT doc_id, lang, t FROM (
+      SELECT doc_id, lang, t, sz FROM (
         SELECT e.doc_id, e.lang, e.t, e.sz,
                row_number() OVER (PARTITION BY e.doc_id
                                   ORDER BY d.df, e.t) AS rk
@@ -356,18 +356,23 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rk <= sz - (4 * sz + 4) // 5 + 1
     ),
     cand AS (
+      -- size gate is lossless too: J >= 0.8 forces |A|/|B| <= 1.25,
+      -- i.e. 4*max <= 5*min in exact integers
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM tpref a JOIN tpref b
         ON a.t = b.t AND a.lang = b.lang AND a.doc_id < b.doc_id
+           AND 4 * GREATEST(a.sz, b.sz) <= 5 * LEAST(a.sz, b.sz)
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.tset, b.tset))) AS jac
+      FROM cand c
+      JOIN toks a ON c.id_a = a.doc_id
+      JOIN toks b ON c.id_b = b.doc_id
     )
-    SELECT c.id_a, c.id_b,
-           ROUND(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.tset, b.tset))), 4) AS jaccard
-    FROM cand c
-    JOIN toks a ON c.id_a = a.doc_id
-    JOIN toks b ON c.id_b = b.doc_id
-    WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.tset, b.tset))) >= 0.8
+    SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
+    FROM scored WHERE jac >= 0.8
     """,
     validation_only=True,
     scale_path="dedup_jaccard_verified",
@@ -404,6 +409,16 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     ln_base = math.log(1.3)
+    # salt fan-out: the (lang, bucket) key space is ~tens of values and
+    # the modal (en, modal-size) block dominates — a bare equi-join
+    # lands the whole quadratic verify on 1-2 tasks (measured: 2 of 32
+    # cores busy at sf1, 340M in-block pairs). AQE's skew split can't
+    # help: it triggers on partition BYTES, and these partitions are
+    # tiny in bytes but quadratic in CPU. Salting b by hash(doc_id)%S
+    # and probing all S salts from a spreads each block's pair work
+    # over S tasks; every qualifying pair still matches exactly once
+    # (b's salt is single-valued).
+    S = 16
     toks = d.select(
         "doc_id",
         "lang",
@@ -417,9 +432,12 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.withColumn("probe_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
         .withColumn("bkt_probe", F.col("bkt") + F.col("probe_off"))
         .drop("probe_off")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
         .alias("a")
     )
-    b = toks.alias("b")
+    b = toks.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(S)).cast("int")
+    ).alias("b")
     inter = F.size(F.array_intersect(F.col("a.tset"), F.col("b.tset")))
     union = F.size(F.array_union(F.col("a.tset"), F.col("b.tset")))
     jac = inter.cast("double") / union
@@ -428,6 +446,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.bkt_probe") == F.col("b.bkt"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -477,7 +496,7 @@ _SHINGLE_PAIR_CTES = """
     ),
     shdf AS (SELECT s, COUNT(*) AS df FROM shx GROUP BY s),
     shpref AS (
-      SELECT doc_id, s FROM (
+      SELECT doc_id, s, sz FROM (
         SELECT e.doc_id, e.s, e.sz,
                row_number() OVER (PARTITION BY e.doc_id
                                   ORDER BY d.df, e.s) AS rk
@@ -485,19 +504,22 @@ _SHINGLE_PAIR_CTES = """
       ) WHERE rk <= sz - (4 * sz + 4) // 5 + 1
     ),
     shcand AS (
+      -- size gate (lossless): J >= 0.8 forces 4*max(|A|,|B|) <= 5*min
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM shpref a JOIN shpref b
         ON a.s = b.s AND a.doc_id < b.doc_id
+           AND 4 * GREATEST(a.sz, b.sz) <= 5 * LEAST(a.sz, b.sz)
     ),
-    pairs AS (
+    shscored AS (
       SELECT c.id_a, c.id_b,
              CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
                / len(list_distinct(list_concat(a.sset, b.sset))) AS jac
       FROM shcand c
       JOIN sh a ON c.id_a = a.doc_id
       JOIN sh b ON c.id_b = b.doc_id
-      WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.8
+    ),
+    pairs AS (
+      SELECT id_a, id_b, jac FROM shscored WHERE jac >= 0.8
     )
 """
 
