@@ -158,7 +158,10 @@ def _minhash_sig_ctes(num_perm: int = 64) -> str:
     )
     return f"""{_SHINGLE_STREAM_CTES},
     hh AS (SELECT doc_id, {_ph60('shingle')} AS h FROM sh),
-    sig AS (
+    sig AS MATERIALIZED (
+      -- MATERIALIZED: the band joins reference sig 2×16 times and the
+      -- verify 2 more; inlined, DuckDB re-runs the whole shingle+remix
+      -- pipeline per reference (measured 18× cost at sf1)
       SELECT doc_id,
              {mins}
       FROM hh GROUP BY doc_id
@@ -340,19 +343,29 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                t -> t <> '')) AS tset
       FROM documents
     ),
-    -- prefix-filtered candidates (same lossless PPJoin bound as
-    -- _SHINGLE_PAIR_CTES — see that comment): a same-lang pair at
-    -- Jaccard >= 0.8 must share a token within both docs' first
-    -- |T| - ceil(0.8|T|) + 1 tokens of the global (df, token) order
+    -- prefix-filtered candidates (same lossless PPJoin bound and
+    -- integer-id verify as _SHINGLE_PAIR_CTES — see that comment): a
+    -- same-lang pair at Jaccard >= 0.8 must share a token within both
+    -- docs' first |T| - ceil(0.8|T|) + 1 tokens of the global
+    -- (df, token) order; tid is dense-ranked by that order, so
+    -- ORDER BY tid IS the prefix order
     tx AS (SELECT doc_id, lang, unnest(tset) AS t, len(tset) AS sz
            FROM toks),
-    tdf AS (SELECT t, COUNT(*) AS df FROM tx GROUP BY t),
+    tdf AS (
+      SELECT t, row_number() OVER (ORDER BY COUNT(*), t) AS tid
+      FROM tx GROUP BY t
+    ),
+    txi AS MATERIALIZED (
+      SELECT e.doc_id, e.lang, d.tid, e.sz FROM tx e JOIN tdf d USING (t)
+    ),
+    iset AS MATERIALIZED (
+      SELECT doc_id, list_sort(list(tid)) AS tids FROM txi GROUP BY doc_id
+    ),
     tpref AS (
-      SELECT doc_id, lang, t, sz FROM (
-        SELECT e.doc_id, e.lang, e.t, e.sz,
-               row_number() OVER (PARTITION BY e.doc_id
-                                  ORDER BY d.df, e.t) AS rk
-        FROM tx e JOIN tdf d USING (t)
+      SELECT doc_id, lang, tid, sz FROM (
+        SELECT doc_id, lang, tid, sz,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tid) AS rk
+        FROM txi
       ) WHERE rk <= sz - (4 * sz + 4) // 5 + 1
     ),
     cand AS (
@@ -360,16 +373,17 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- i.e. 4*max <= 5*min in exact integers
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM tpref a JOIN tpref b
-        ON a.t = b.t AND a.lang = b.lang AND a.doc_id < b.doc_id
+        ON a.tid = b.tid AND a.lang = b.lang AND a.doc_id < b.doc_id
            AND 4 * GREATEST(a.sz, b.sz) <= 5 * LEAST(a.sz, b.sz)
     ),
     scored AS (
       SELECT c.id_a, c.id_b,
-             CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.tset, b.tset))) AS jac
+             CAST(len(list_intersect(a.tids, b.tids)) AS DOUBLE)
+               / (len(a.tids) + len(b.tids)
+                  - len(list_intersect(a.tids, b.tids))) AS jac
       FROM cand c
-      JOIN toks a ON c.id_a = a.doc_id
-      JOIN toks b ON c.id_b = b.doc_id
+      JOIN iset a ON c.id_a = a.doc_id
+      JOIN iset b ON c.id_b = b.doc_id
     )
     SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
     FROM scored WHERE jac >= 0.8
@@ -473,8 +487,18 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 4) to candidates proportional to rare-shingle collisions.
 # ⌈0.8·s⌉ is computed as (4s+4)//5 in exact integer arithmetic — a
 # float ceil(0.8*s) rounds UP at s=5k (binary 0.8 > 4/5), silently
-# shortening the prefix and making the filter lossy. The verify step
-# is the unchanged exact intersection/union arithmetic.
+# shortening the prefix and making the filter lossy.
+#
+# Shingles are remapped to dense integer ids ordered by (df, shingle)
+# before the join/verify: the prefix rank then equals the id order
+# (one window instead of a join-then-rank), and the exact verify
+# intersects INT lists instead of re-hashing ~hundreds of shingle
+# STRINGS per candidate. The union comes from |A|+|B|-|A∩B| (sets are
+# already distinct) rather than list_distinct(list_concat(...)),
+# which re-hashed both lists a second time. Same result set, measured
+# ~200× faster at sf1 (25+ min → ~8 s for the token-set variant).
+# MATERIALIZED pins the set/prefix tables: DuckDB otherwise inlines a
+# CTE into every use site, recomputing the shingle pipeline per band.
 _SHINGLE_PAIR_CTES = """
     toks AS (
       SELECT doc_id,
@@ -494,29 +518,38 @@ _SHINGLE_PAIR_CTES = """
     shx AS (
       SELECT doc_id, unnest(sset) AS s, len(sset) AS sz FROM sh
     ),
-    shdf AS (SELECT s, COUNT(*) AS df FROM shx GROUP BY s),
-    shpref AS (
-      SELECT doc_id, s, sz FROM (
-        SELECT e.doc_id, e.s, e.sz,
-               row_number() OVER (PARTITION BY e.doc_id
-                                  ORDER BY d.df, e.s) AS rk
-        FROM shx e JOIN shdf d USING (s)
+    shdf AS (
+      SELECT s, row_number() OVER (ORDER BY COUNT(*), s) AS sid
+      FROM shx GROUP BY s
+    ),
+    shxi AS MATERIALIZED (
+      SELECT e.doc_id, d.sid, e.sz FROM shx e JOIN shdf d USING (s)
+    ),
+    shset AS MATERIALIZED (
+      SELECT doc_id, list_sort(list(sid)) AS sids FROM shxi GROUP BY doc_id
+    ),
+    shpref AS MATERIALIZED (
+      SELECT doc_id, sid, sz FROM (
+        SELECT doc_id, sid, sz,
+               row_number() OVER (PARTITION BY doc_id ORDER BY sid) AS rk
+        FROM shxi
       ) WHERE rk <= sz - (4 * sz + 4) // 5 + 1
     ),
     shcand AS (
       -- size gate (lossless): J >= 0.8 forces 4*max(|A|,|B|) <= 5*min
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM shpref a JOIN shpref b
-        ON a.s = b.s AND a.doc_id < b.doc_id
+        ON a.sid = b.sid AND a.doc_id < b.doc_id
            AND 4 * GREATEST(a.sz, b.sz) <= 5 * LEAST(a.sz, b.sz)
     ),
     shscored AS (
       SELECT c.id_a, c.id_b,
-             CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.sset, b.sset))) AS jac
+             CAST(len(list_intersect(a.sids, b.sids)) AS DOUBLE)
+               / (len(a.sids) + len(b.sids)
+                  - len(list_intersect(a.sids, b.sids))) AS jac
       FROM shcand c
-      JOIN sh a ON c.id_a = a.doc_id
-      JOIN sh b ON c.id_b = b.doc_id
+      JOIN shset a ON c.id_a = a.doc_id
+      JOIN shset b ON c.id_b = b.doc_id
     ),
     pairs AS (
       SELECT id_a, id_b, jac FROM shscored WHERE jac >= 0.8
