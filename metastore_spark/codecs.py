@@ -672,3 +672,123 @@ def jpeg_encode(
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE, PCM) — the audio container counterpart of the PNG/
+# JPEG paths above. Pure stdlib: RIFF chunk walking + struct. Supports
+# integer PCM (format tag 1) at 8-bit unsigned and 16-bit signed
+# little-endian, mono or interleaved multichannel — the shapes an
+# audio featurization pipeline normalizes to. Unknown chunks (LIST,
+# fact, ...) are skipped per the RIFF spec including the odd-size pad
+# byte; anything structurally wrong raises ValueError with the
+# offending field, never a silent wrong answer.
+
+WAV_MAGIC = b"RIFF"
+
+
+def wav_encode(
+    samples: list[int],
+    rate: int = 16000,
+    channels: int = 1,
+    sampwidth: int = 2,
+) -> bytes:
+    """Encode interleaved integer PCM samples as a WAV file.
+
+    ``samples`` are signed ints: [-128, 127] for sampwidth=1 (stored
+    unsigned, offset +128 per the WAV 8-bit convention), [-32768,
+    32767] for sampwidth=2 (stored little-endian signed). len(samples)
+    must be a multiple of ``channels``.
+    """
+    if sampwidth not in (1, 2):
+        raise ValueError(f"unsupported sampwidth {sampwidth}")
+    if channels < 1:
+        raise ValueError(f"bad channel count {channels}")
+    if len(samples) % channels:
+        raise ValueError(
+            f"{len(samples)} samples not a multiple of {channels} channels"
+        )
+    if sampwidth == 1:
+        lo, hi = -128, 127
+        data = bytes((s + 128) & 0xFF for s in samples)
+    else:
+        lo, hi = -32768, 32767
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    for s in samples:
+        if not lo <= s <= hi:
+            raise ValueError(f"sample {s} out of range [{lo}, {hi}]")
+    block_align = channels * sampwidth
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        channels,
+        rate,
+        rate * block_align,
+        block_align,
+        sampwidth * 8,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return WAV_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a PCM WAV file -> (rate, channels, sampwidth, samples).
+
+    Samples come back SIGNED and interleaved, the exact inverse of
+    wav_encode (8-bit: stored-unsigned minus 128; 16-bit: signed LE).
+    Walks the RIFF chunk list, skipping unknown chunks and their pad
+    bytes; requires one fmt chunk (integer PCM) before the data chunk.
+    """
+    if len(data) < 12 or data[:4] != WAV_MAGIC:
+        raise ValueError("not a RIFF file")
+    (riff_len,) = struct.unpack_from("<I", data, 4)
+    if riff_len + 8 > len(data):
+        raise ValueError(
+            f"RIFF length {riff_len} overruns file of {len(data)} bytes"
+        )
+    if data[8:12] != b"WAVE":
+        raise ValueError(f"RIFF form {data[8:12]!r} is not WAVE")
+    pos, end = 12, 8 + riff_len
+    fmt = None
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body_at = pos + 8
+        if body_at + clen > end:
+            raise ValueError(f"chunk {tag!r} length {clen} overruns RIFF")
+        if tag == b"fmt ":
+            if clen < 16:
+                raise ValueError(f"fmt chunk too short ({clen} bytes)")
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", data, body_at
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV format tag {audio_fmt}")
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported bit depth {bits}")
+            if channels < 1:
+                raise ValueError(f"bad channel count {channels}")
+            fmt = (rate, channels, bits // 8)
+        elif tag == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            rate, channels, sampwidth = fmt
+            if clen % (channels * sampwidth):
+                raise ValueError(
+                    f"data length {clen} not a multiple of frame size"
+                )
+            raw = data[body_at : body_at + clen]
+            if sampwidth == 1:
+                samples = [b - 128 for b in raw]
+            else:
+                samples = list(struct.unpack(f"<{clen // 2}h", raw))
+            return rate, channels, sampwidth, samples
+        pos = body_at + clen + (clen & 1)  # odd chunks carry a pad byte
+    raise ValueError(
+        "no data chunk" if fmt is not None else "no fmt chunk"
+    )

@@ -376,6 +376,110 @@ def synth_pcm(asset_id: int, n_samples: int) -> list[int]:
     ]
 
 
+def synth_wav_bytes(
+    asset_id: int, n_samples: int, rate: int = 16000
+) -> bytes:
+    """Deterministic REAL WAV (RIFF/PCM, 16-bit mono) over the
+    synth_pcm payload — the audio analogue of synth_png_bytes: same
+    signal values, wrapped in a real container so the decode stage
+    exercises a real codec while features stay SQL-predictable."""
+    from metastore_spark.codecs import wav_encode
+
+    return wav_encode(synth_pcm(asset_id, n_samples), rate, 1, 2)
+
+
+def synthesize_audio(df: DataFrame) -> DataFrame:
+    """(asset_id, n_samples) rows → real WAV binary content,
+    Arrow-batched worker-side (the audio twin of synthesize_media —
+    the synth step stands in for 'fetch bytes from object store' and
+    scales with the table, never the driver)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "content": [
+                        synth_wav_bytes(int(a), int(n))
+                        for a, n in zip(pdf["asset_id"], pdf["n_samples"])
+                    ],
+                }
+            )
+
+    return df.select("asset_id", "n_samples").mapInPandas(
+        run, "asset_id bigint, content binary"
+    )
+
+
+def decode_audio_window_features(
+    df: DataFrame, window: int = 32, hop: int = 16
+) -> DataFrame:
+    """WAV binary content → decoded PCM → overlapping-window RMS +
+    zero-crossing features. The decode is the real RIFF/PCM codec
+    (metastore_spark.codecs.wav_decode — raises on malformed bytes,
+    never a silent wrong answer); the windowing math is byte-identical
+    to audio_window_features, so a codec round-trip bug anywhere
+    flips the value-hash oracle downstream.
+
+    Input: (asset_id, content binary). Map-only, Arrow-batched; output
+    cardinality = total decoded length / hop.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from metastore_spark.codecs import wav_decode
+
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "asset_id": [],
+                "win_idx": [],
+                "rms": [],
+                "zero_crossings": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                _rate, channels, _sw, samples = wav_decode(bytes(content))
+                if channels != 1:  # front-end normalizes to mono
+                    raise ValueError(
+                        f"asset {aid}: expected mono, got {channels}ch"
+                    )
+                n = len(samples)
+                if n < window:
+                    continue
+                s = np.asarray(samples, dtype="float64")
+                nw = (n - window) // hop + 1
+                idx = np.arange(nw)[:, None] * hop + np.arange(window)
+                segs = s[idx]
+                nonneg = segs >= 0
+                cols["asset_id"].append(np.full(nw, int(aid), dtype="int64"))
+                cols["win_idx"].append(np.arange(nw, dtype="int32"))
+                cols["rms"].append(
+                    np.round(np.sqrt((segs * segs).mean(axis=1)), 4)
+                )
+                cols["zero_crossings"].append(
+                    (nonneg[:, 1:] != nonneg[:, :-1])
+                    .sum(axis=1)
+                    .astype("int32")
+                )
+            if cols["asset_id"]:
+                yield pd.DataFrame(
+                    {k: np.concatenate(v) for k, v in cols.items()}
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "asset_id": np.array([], dtype="int64"),
+                        "win_idx": np.array([], dtype="int32"),
+                        "rms": np.array([], dtype="float64"),
+                        "zero_crossings": np.array([], dtype="int32"),
+                    }
+                )
+
+    return df.select("asset_id", "content").mapInPandas(
+        run, AUDIO_WINDOW_SCHEMA
+    )
+
+
 def audio_window_features(
     df: DataFrame, window: int = 32, hop: int = 16
 ) -> DataFrame:

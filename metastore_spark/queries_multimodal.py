@@ -290,9 +290,12 @@ def multimodal_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_audio_windows",
-    oracle="""
+# Shared by multimodal_audio_windows (synthetic PCM straight into the
+# window kernel) and multimodal_audio_codec_windows (same PCM round-
+# tripped through the real RIFF/WAV codec): the signal values are
+# identical by construction, so one oracle pins both paths — and any
+# codec bug makes the codec twin diverge from this SQL.
+_AUDIO_WINDOWS_ORACLE = """
     WITH a AS (
       SELECT doc_id AS asset_id,
              (n_chars % 1000) + 64 AS n_samples,
@@ -330,8 +333,10 @@ def multimodal_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN (s[j+1] >= 0) <> (s[j] >= 0) THEN 1 ELSE 0 END))
              AS INT) AS zero_crossings
     FROM seg
-    """,
-)
+    """
+
+
+@query("multimodal_audio_windows", oracle=_AUDIO_WINDOWS_ORACLE)
 def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio front-end over synthetic PCM: overlapping 32-sample
     windows (hop 16) → RMS energy + zero-crossing counts per window,
@@ -347,3 +352,29 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") % 1000 + 64).cast("bigint").alias("n_samples"),
     )
     return mm.audio_window_features(d, window=32, hop=16)
+
+
+@query("multimodal_audio_codec_windows", oracle=_AUDIO_WINDOWS_ORACLE)
+def multimodal_audio_codec_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME audio front-end driven through a REAL container codec:
+    synthesize stage writes each signal as an actual RIFF/WAV file
+    (16-bit PCM mono, metastore_spark.codecs.wav_encode), decode stage
+    parses the container back (wav_decode: chunk walk, fmt/data
+    validation, signed-sample reconstruction) before windowing. Two
+    Arrow-batched map-only stages — binary synthesis stands in for an
+    object-store fetch exactly like the image pipeline. The oracle is
+    the SAME SQL as multimodal_audio_windows because the decoded
+    samples provably equal synth_pcm — so any codec defect (header
+    arithmetic, pad bytes, sign offset, truncation) breaks the
+    value-hash match. Scale: both stages are map-only over the scan;
+    no shuffle, no driver materialization; per-row cost is bounded by
+    n_samples ≤ 1064 × 2 B."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        (F.col("n_chars") % 1000 + 64).cast("bigint").alias("n_samples"),
+    )
+    return mm.decode_audio_window_features(
+        mm.synthesize_audio(d), window=32, hop=16
+    )

@@ -321,3 +321,84 @@ def test_jpeg_garbage_rejected():
         jpeg_decode(b"\x00\x01\x02")
     with pytest.raises(ValueError):
         jpeg_decode(b"\xff\xd8" + b"\x00" * 10)  # SOI then junk
+
+
+# --- WAV (RIFF/PCM) ---------------------------------------------------------
+
+
+def test_wav_roundtrip_16bit_mono():
+    from metastore_spark.codecs import wav_decode, wav_encode
+
+    s = [0, 1, -1, 32767, -32768, 1234, -999, 7]
+    rate, ch, sw, out = wav_decode(wav_encode(s, 44100, 1, 2))
+    assert (rate, ch, sw) == (44100, 1, 2)
+    assert out == s
+
+
+def test_wav_roundtrip_8bit_stereo_and_pad_byte():
+    from metastore_spark.codecs import wav_decode, wav_encode
+
+    s = [-128, 127, 0, 64, 5, -5]  # 3 frames x 2 channels
+    rate, ch, sw, out = wav_decode(wav_encode(s, 8000, 2, 1))
+    assert (rate, ch, sw, out) == (8000, 2, 1, s)
+    # odd data length (3 samples, 8-bit mono) forces the RIFF pad byte
+    b = wav_encode([1, 2, 3], 8000, 1, 1)
+    assert len(b) % 2 == 0
+    assert wav_decode(b)[3] == [1, 2, 3]
+
+
+def test_wav_skips_unknown_chunks():
+    import struct
+
+    from metastore_spark.codecs import wav_decode, wav_encode
+
+    b = bytearray(wav_encode([10, -10, 20], 16000, 1, 2))
+    # inject a LIST chunk (with pad byte: 5-byte body) between WAVE
+    # and fmt — decoders must walk past it
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    b[12:12] = extra
+    struct.pack_into("<I", b, 4, len(b) - 8)  # fix RIFF length
+    assert wav_decode(bytes(b))[3] == [10, -10, 20]
+
+
+def test_wav_malformed_rejected():
+    import struct
+
+    import pytest
+
+    from metastore_spark.codecs import wav_decode, wav_encode
+
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"RIFX" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="WAVE"):
+        wav_decode(b"RIFF" + struct.pack("<I", 4) + b"AVI ")
+    good = wav_encode([1, 2], 8000, 1, 2)
+    # truncate inside the data chunk -> chunk overrun
+    with pytest.raises(ValueError, match="overruns"):
+        wav_decode(good[:-3] + b"")
+    # non-PCM format tag
+    b = bytearray(good)
+    struct.pack_into("<H", b, 20, 3)  # fmt chunk body starts at 20
+    with pytest.raises(ValueError, match="format tag"):
+        wav_decode(bytes(b))
+    # data not a multiple of the frame size (RIFF length = 45-8 = 37)
+    with pytest.raises(ValueError, match="frame size"):
+        wav_decode(
+            b"RIFF" + struct.pack("<I", 37) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", 1) + b"\x00"
+        )
+
+
+def test_wav_encode_validates():
+    import pytest
+
+    from metastore_spark.codecs import wav_encode
+
+    with pytest.raises(ValueError, match="sampwidth"):
+        wav_encode([0], 8000, 1, 3)
+    with pytest.raises(ValueError, match="out of range"):
+        wav_encode([300], 8000, 1, 1)
+    with pytest.raises(ValueError, match="multiple"):
+        wav_encode([1, 2, 3], 8000, 2, 2)
