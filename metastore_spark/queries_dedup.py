@@ -433,13 +433,19 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over S tasks; every qualifying pair still matches exactly once
     # (b's salt is single-valued).
     S = 16
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(
-            F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
-        ).alias("tset"),
-    ).withColumn("bkt", F.floor(F.log(F.size(F.col("tset"))) / F.lit(ln_base)))
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.array_remove(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
+                )
+            ).alias("tset"),
+        )
+        .withColumn("sz", F.size(F.col("tset")))
+        .withColumn("bkt", F.floor(F.log(F.col("sz")) / F.lit(ln_base)))
+    )
     # a side probes three adjacent buckets; each qualifying pair matches
     # exactly once because b.bkt is a single value.
     a = (
@@ -447,11 +453,30 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bkt_probe", F.col("bkt") + F.col("probe_off"))
         .drop("probe_off")
         .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
-        .alias("a")
     )
     b = toks.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.lit(S)).cast("int")
-    ).alias("b")
+    )
+    # The salt only fans work out if the join actually SHUFFLES on it.
+    # Left alone, Catalyst broadcast-joins here: the build side
+    # descends from a ~file-sized scan, so its ESTIMATE is tiny, but
+    # post-explode it is docs × 3 probes × S salts rows of full token
+    # arrays — GBs in memory at sf1, unboundedly wrong at 100 TB — and
+    # the streamed side scans in file-split-count partitions (1-2 for
+    # a single parquet file), so 1-2 tasks run all 340M pair verifies
+    # regardless of the salt. Explicit same-key repartitions pin a
+    # shuffle-hash join instead: both sides hash-cluster on the exact
+    # equi-keys (so EnsureRequirements adds no further exchange), the
+    # explicit partition count is exempt from AQE's byte-based
+    # coalescing (which would re-merge these byte-tiny but
+    # CPU-quadratic partitions), and the hint bans the broadcast.
+    fanout = spark.sparkContext.defaultParallelism * 8
+    a = a.repartition(fanout, "lang", "bkt_probe", "salt").alias("a")
+    b = (
+        b.repartition(fanout, "lang", "bkt", "salt")
+        .hint("shuffle_hash")
+        .alias("b")
+    )
     inter = F.size(F.array_intersect(F.col("a.tset"), F.col("b.tset")))
     union = F.size(F.array_union(F.col("a.tset"), F.col("b.tset")))
     jac = inter.cast("double") / union
@@ -461,7 +486,13 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.bkt_probe") == F.col("b.bkt"))
             & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # PPJoin size gate: J >= 0.8 forces 4·max(|A|,|B|) <= 5·min —
+            # integer-exact, prunes the intersect/union work per pair
+            & (
+                F.lit(4) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+                <= F.lit(5) * F.least(F.col("a.sz"), F.col("b.sz"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
