@@ -327,17 +327,41 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = sim.ivf_assign(emb, cents).withColumn(
         "_nrm", sim._norm(F.col("embedding"))
     )
-    a = asg.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("_nrm").alias("nrm_a"),
-        F.col("centroid_id"),
+    # Salted shuffle-hash join, same reasoning as dedup_jaccard_pairs:
+    # there are only ~n/2500 distinct centroid keys, the per-key work
+    # is quadratic in cluster size, and Catalyst's file-sized estimate
+    # would broadcast one side and stream the other in file-split
+    # count partitions (measured: 1225 s at sf1 on ~2 cores). Salting
+    # the b side by hash(vec_id)%S with an S-way probe explode on a,
+    # then repartitioning BOTH sides on the exact equi-keys (explicit
+    # count — exempt from AQE byte-based coalescing) pins a
+    # ShuffledHashJoin whose tasks split every cluster's pair work S
+    # ways; each pair still matches exactly once (b's salt is
+    # single-valued).
+    S = 16
+    fanout = spark.sparkContext.defaultParallelism * 8
+    a = (
+        asg.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("_nrm").alias("nrm_a"),
+            F.col("centroid_id"),
+        )
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
+        .repartition(fanout, "centroid_id", "salt")
     )
-    b = asg.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("_nrm").alias("nrm_b"),
-        F.col("centroid_id"),
+    b = (
+        asg.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("_nrm").alias("nrm_b"),
+            F.col("centroid_id"),
+        )
+        .withColumn(
+            "salt", F.pmod(F.xxhash64("id_b"), F.lit(S)).cast("int")
+        )
+        .repartition(fanout, "centroid_id", "salt")
+        .hint("shuffle_hash")
     )
     # unrolled codegen dot (same left-to-right arithmetic as the fold
     # and as DuckDB list_dot_product — bit-identical, ~10× faster on
@@ -346,7 +370,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm_a") * F.col("nrm_b")
     )
     return (
-        a.join(b, ["centroid_id"])
+        a.join(b, ["centroid_id", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("_cos", cos)
         .filter(F.col("_cos") >= 0.3)
