@@ -324,3 +324,26 @@ def test_attribution_last_touch_is_one_window_no_join(spark):
     assert "Window" in plan
     scans = {m for m in re.findall(r"\((\d+)\) Scan parquet", plan)}
     assert len(scans) == 1, f"expected one events scan, got {scans}"
+
+
+def test_jaccard_pairs_salted_shuffle_hash_join(spark):
+    # round-5 fix: Catalyst's file-sized estimate used to BROADCAST the
+    # exploded probe side (docs x 3 buckets x 16 salts of full token
+    # arrays) and stream the other side in file-split-count partitions
+    # — 1-2 tasks running the whole quadratic verify. The salted,
+    # explicitly repartitioned form must stay a shuffle-hash join.
+    plan = _plan(spark, "dedup_jaccard_pairs")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "salt" in plan  # the fan-out key is part of the join
+
+
+def test_emb_semdedup_salted_shuffle_hash_join(spark):
+    # same pathology, same pin: ~n/2500 centroid keys with quadratic
+    # per-key CPU must spread over salt x fanout tasks, not broadcast.
+    import metastore_spark.queries_similarity  # noqa: F401
+
+    plan = _plan(spark, "emb_semdedup")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "salt" in plan
