@@ -112,6 +112,8 @@ HEADLINE = [
     "orders_lineitem_bucketed_join",
     "events_type_cms_counts",
     "events_zorder_box_pruned",
+    # round 5 additions
+    "multimodal_audio_codec_windows",
 ]
 
 
