@@ -792,3 +792,90 @@ def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
     raise ValueError(
         "no data chunk" if fmt is not None else "no fmt chunk"
     )
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — the video container counterpart of PNG/JPEG/WAV.
+# A real, public format (mjpegtools): a plain-text stream header
+# carrying geometry/rate parameters, then one "FRAME" marker + raw
+# plane bytes per frame. Supported subset: Cmono (one 8-bit luma
+# plane per frame) — the shape a frame-feature pipeline normalizes
+# to. Unknown header/frame parameters are tolerated per the spec;
+# structural errors raise ValueError, never a silent wrong answer.
+
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def y4m_encode(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps_num: int = 25,
+    fps_den: int = 1,
+) -> bytes:
+    """Encode 8-bit mono frames as a YUV4MPEG2 stream."""
+    if width < 1 or height < 1:
+        raise ValueError(f"bad geometry {width}x{height}")
+    if fps_num < 1 or fps_den < 1:
+        raise ValueError(f"bad frame rate {fps_num}:{fps_den}")
+    out = bytearray(
+        Y4M_MAGIC
+        + f" W{width} H{height} F{fps_num}:{fps_den} Ip A1:1 Cmono".encode()
+        + b"\n"
+    )
+    for i, f in enumerate(frames):
+        if len(f) != width * height:
+            raise ValueError(
+                f"frame {i}: {len(f)} bytes != {width}x{height}"
+            )
+        out += b"FRAME\n" + f
+    return bytes(out)
+
+
+def y4m_decode(data: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """Decode a YUV4MPEG2 stream -> (width, height, fps_num, fps_den,
+    frames). Requires Cmono (or absent C tag defaulted to mono here
+    only if geometry matches); every frame must carry exactly
+    width*height luma bytes."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(Y4M_MAGIC + b" "):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    colour = "mono"
+    for tok in data[len(Y4M_MAGIC) + 1 : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F":
+            num, _, den = val.partition(":")
+            fps_num, fps_den = int(num), int(den or 1)
+        elif tag == "C":
+            colour = val
+        # I (interlacing), A (aspect), X (extensions): tolerated
+    if not width or not height:
+        raise ValueError("missing W/H in stream header")
+    if colour != "mono":
+        raise ValueError(f"unsupported colour space C{colour}")
+    fsize = width * height
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = data.find(b"\n", pos)  # frame params (tolerated) end at \n
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        body = fnl + 1
+        if body + fsize > len(data):
+            raise ValueError(
+                f"frame {len(frames)} truncated "
+                f"({len(data) - body} of {fsize} bytes)"
+            )
+        frames.append(data[body : body + fsize])
+        pos = body + fsize
+    return width, height, fps_num, fps_den, frames

@@ -553,3 +553,132 @@ def audio_window_features(
     return df.select("asset_id", "n_samples").mapInPandas(
         run, AUDIO_WINDOW_SCHEMA
     )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "asset_id bigint, frame_idx int, width int, height int, fps int, "
+    "mean_intensity double"
+)
+
+
+def synth_frame_pixels(asset_id: int, frame_idx: int, n: int) -> bytes:
+    """Deterministic per-frame luma plane: the asset's sha256 digest
+    cycled from offset frame_idx with the same amplitude ramp as
+    synth_pcm, so successive frames differ and a SQL oracle can mirror
+    every pixel (p_k = (b[(k+f)%32] * (1 + (k+f)//32)) % 256)."""
+    b = hashlib.sha256(str(asset_id).encode()).digest()
+    return bytes(
+        (b[(k + frame_idx) % 32] * (1 + (k + frame_idx) // 32)) % 256
+        for k in range(n)
+    )
+
+
+def synth_y4m_bytes(
+    asset_id: int, n_frames: int, width: int, height: int, fps: int
+) -> bytes:
+    """Deterministic REAL Y4M stream (mono 8-bit) over synth_frame
+    payloads — the video analogue of synth_png_bytes/synth_wav_bytes."""
+    from metastore_spark.codecs import y4m_encode
+
+    return y4m_encode(
+        width,
+        height,
+        [
+            synth_frame_pixels(asset_id, f, width * height)
+            for f in range(n_frames)
+        ],
+        fps,
+        1,
+    )
+
+
+def synthesize_video(
+    df: DataFrame, width: int = 16, height: int = 8
+) -> DataFrame:
+    """(asset_id, n_frames, fps) rows → real Y4M binary content,
+    Arrow-batched worker-side (the video twin of synthesize_media /
+    synthesize_audio)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "content": [
+                        synth_y4m_bytes(
+                            int(a), int(n), width, height, int(r)
+                        )
+                        for a, n, r in zip(
+                            pdf["asset_id"], pdf["n_frames"], pdf["fps"]
+                        )
+                    ],
+                }
+            )
+
+    return df.select("asset_id", "n_frames", "fps").mapInPandas(
+        run, "asset_id bigint, content binary"
+    )
+
+
+def decode_video_frame_features(df: DataFrame) -> DataFrame:
+    """Y4M binary content → decoded frames → per-frame mean intensity.
+
+    The decode is the real YUV4MPEG2 parser (codecs.y4m_decode —
+    header tokens, FRAME markers, plane sizing, ValueError on
+    malformed streams). Map-only, Arrow-batched; output cardinality =
+    total frame count. The per-frame mean is numpy's sequential sum
+    over uint8→float64, matching a SQL AVG over the mirrored pixel
+    formula exactly.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from metastore_spark.codecs import y4m_decode
+
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "asset_id": [],
+                "frame_idx": [],
+                "width": [],
+                "height": [],
+                "fps": [],
+                "mean_intensity": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                w, h, fn, fd, frames = y4m_decode(bytes(content))
+                if fd != 1:
+                    raise ValueError(
+                        f"asset {aid}: non-integer rate {fn}:{fd}"
+                    )
+                for f, plane in enumerate(frames):
+                    px = np.frombuffer(plane, dtype=np.uint8)
+                    cols["asset_id"].append(int(aid))
+                    cols["frame_idx"].append(f)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["fps"].append(fn)
+                    # sum(uint8) < 2^53 is integer-exact in float64, so
+                    # the mean is one exact division — no rounding (a
+                    # 4dp round would reopen the half-even-vs-half-away
+                    # seam at exact .xxxx5 boundaries, which power-of-2
+                    # plane sizes do hit)
+                    cols["mean_intensity"].append(
+                        float(int(px.sum())) / float(len(px))
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(cols["asset_id"], dtype="int64"),
+                    "frame_idx": pd.array(cols["frame_idx"], dtype="int32"),
+                    "width": pd.array(cols["width"], dtype="int32"),
+                    "height": pd.array(cols["height"], dtype="int32"),
+                    "fps": pd.array(cols["fps"], dtype="int32"),
+                    "mean_intensity": pd.array(
+                        cols["mean_intensity"], dtype="float64"
+                    ),
+                }
+            )
+
+    return df.select("asset_id", "content").mapInPandas(
+        run, VIDEO_FRAME_SCHEMA
+    )

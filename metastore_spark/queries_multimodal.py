@@ -378,3 +378,70 @@ def multimodal_audio_codec_windows(
     return mm.decode_audio_window_features(
         mm.synthesize_audio(d), window=32, hop=16
     )
+
+
+@query(
+    "multimodal_video_codec_frames",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             2 + (doc_id % 3) AS n_frames,
+             CASE WHEN doc_id % 3 = 0 THEN 24
+                  WHEN doc_id % 3 = 1 THEN 25 ELSE 30 END AS fps,
+             sha256(CAST(doc_id AS VARCHAR)) AS hex
+      FROM documents
+    ),
+    bytes AS (
+      SELECT asset_id, n_frames, fps,
+        list_transform(range(32), i ->
+          (CASE WHEN ord(substr(hex, 2*i+1, 1)) < 58
+                THEN ord(substr(hex, 2*i+1, 1)) - 48
+                ELSE ord(substr(hex, 2*i+1, 1)) - 87 END) * 16
+          + CASE WHEN ord(substr(hex, 2*i+2, 1)) < 58
+                 THEN ord(substr(hex, 2*i+2, 1)) - 48
+                 ELSE ord(substr(hex, 2*i+2, 1)) - 87 END
+        ) AS bv
+      FROM a
+    ),
+    fr AS (
+      SELECT asset_id, fps, bv,
+             CAST(unnest(range(n_frames)) AS INT) AS frame_idx
+      FROM bytes
+    )
+    SELECT asset_id, frame_idx, 16 AS width, 8 AS height, fps,
+           list_sum(list_transform(range(128), k ->
+             (bv[((k + frame_idx) % 32) + 1]
+              * (1 + (k + frame_idx) // 32)) % 256
+           )) / 128.0 AS mean_intensity
+    FROM fr
+    """,
+)
+def multimodal_video_codec_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video frames through a REAL container codec: each asset's
+    frames are written as an actual YUV4MPEG2 stream (mono 8-bit,
+    metastore_spark.codecs.y4m_encode), then parsed back (y4m_decode:
+    header tokens, FRAME markers, plane sizing — ValueError on any
+    malformed stream) before per-frame mean-intensity extraction —
+    the decode half that multimodal_frame_schedule plans for. Two
+    Arrow-batched map-only stages, the same shape as the image and
+    audio codec paths; with this, all three modalities run real
+    container round-trips. Frame pixels derive from the asset id's
+    sha256 digest with a per-frame offset + amplitude ramp, so DuckDB
+    mirrors every pixel and the means are value-hash-checked (pixel
+    sums are integer-exact in float64; /128 is a power-of-two divide).
+    Scale: map-only over the scan, no shuffle; per-row cost bounded by
+    n_frames <= 4 x 128 B planes."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        (F.lit(2) + F.col("doc_id") % 3).cast("int").alias("n_frames"),
+        F.when(F.col("doc_id") % 3 == 0, 24)
+        .when(F.col("doc_id") % 3 == 1, 25)
+        .otherwise(30)
+        .cast("int")
+        .alias("fps"),
+    )
+    return mm.decode_video_frame_features(
+        mm.synthesize_video(d, width=16, height=8)
+    )

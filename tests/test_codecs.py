@@ -402,3 +402,37 @@ def test_wav_encode_validates():
         wav_encode([300], 8000, 1, 1)
     with pytest.raises(ValueError, match="multiple"):
         wav_encode([1, 2, 3], 8000, 2, 2)
+
+
+# --- Y4M (YUV4MPEG2) --------------------------------------------------------
+
+
+def test_y4m_roundtrip_and_param_tolerance():
+    from metastore_spark.codecs import y4m_decode, y4m_encode
+
+    fr = [bytes(range(12)), bytes(range(100, 112)), bytes(12)]
+    w, h, fn, fd, out = y4m_decode(y4m_encode(4, 3, fr, 30, 1))
+    assert (w, h, fn, fd, out) == (4, 3, 30, 1, fr)
+    # frame-level parameters after FRAME are tolerated per the spec
+    b = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono Xcustom\nFRAME Ix\n" + bytes(4)
+    assert y4m_decode(b)[4] == [bytes(4)]
+
+
+def test_y4m_malformed_rejected():
+    import pytest
+
+    from metastore_spark.codecs import y4m_decode, y4m_encode
+
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        y4m_decode(b"JUNKSTREAM W2 H2\nFRAME\n")
+    with pytest.raises(ValueError, match="W/H"):
+        y4m_decode(b"YUV4MPEG2 F25:1 Cmono\n")
+    with pytest.raises(ValueError, match="colour"):
+        y4m_decode(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + bytes(6))
+    good = y4m_encode(2, 2, [bytes(4)])
+    with pytest.raises(ValueError, match="truncated"):
+        y4m_decode(good[:-1])
+    with pytest.raises(ValueError, match="FRAME marker"):
+        y4m_decode(good + b"JUNK")
+    with pytest.raises(ValueError, match="bytes"):
+        y4m_encode(2, 2, [bytes(5)])  # plane size mismatch
