@@ -114,6 +114,9 @@ HEADLINE = [
     "events_zorder_box_pruned",
     # round 5 additions
     "multimodal_audio_codec_windows",
+    "lineitem_dq_expectations",
+    "events_kanonymity_audit",
+    "events_distribution_drift",
 ]
 
 
