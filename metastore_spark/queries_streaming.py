@@ -591,3 +591,57 @@ def events_stream_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
+
+
+def _stream_ivf_oracle() -> str:
+    from metastore_spark.queries_similarity import _IVF_ORACLE
+
+    return _IVF_ORACLE
+
+
+@query("ann_stream_ivf_ingest", oracle=_stream_ivf_oracle())
+def ann_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance end-to-end: the embeddings
+    table split into 4 parquet files drives micro-batched
+    (maxFilesPerTrigger=1) ingest into a centroid-partitioned IVF
+    store (streaming/ivf.py), then the SAME top-10 probe as
+    ann_ivf_topk runs against the maintained store — and must equal
+    the batch-built index's answer, which the oracle reproduces stage
+    by stage (frozen quantizer, argmin assignment, top-3-probe
+    pruning, recall misses included).
+
+    Why this holds for any batching: the quantizer is frozen, so a
+    vector's assignment depends only on (vector, centroids) —
+    per-batch assignment is batch-associative, and disjoint batches
+    land in disjoint ``batch=<id>`` dirs (replay rewrites its own dir,
+    so at-least-once delivery cannot duplicate). Partition discovery
+    merges the batch axis back out; the probe's centroid_id filter
+    still prunes to nprobe directories per batch — the streaming
+    half of the ANN serving story (the read half is ann_ivf_topk)."""
+    import shutil
+    import tempfile
+
+    from metastore_spark import similarity as sim
+    from metastore_spark.catalog import load_table
+    from metastore_spark.queries_similarity import _query_vec
+    from metastore_spark.streaming.ivf import ivf_ingest_stream
+
+    src = tempfile.mkdtemp(prefix="ivf_src_")
+    index_root = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = sim.sampled_centroids(emb, k=8)
+        emb.repartition(4).write.mode("overwrite").parquet(src)
+        ivf_ingest_stream(spark, src, index_root, centroids)
+        indexed = (
+            spark.read.parquet(index_root)
+            .select("vec_id", "embedding",
+                    F.col("centroid_id").cast("int").alias("centroid_id"))
+        )
+        qvec = _query_vec(spark, sf_dir, 0)
+        out = sim.ivf_topk(indexed, centroids, qvec, k=10, nprobe=3)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(index_root, ignore_errors=True)

@@ -514,3 +514,39 @@ def test_histogram_batch_replay_is_idempotent(spark, tmp_path):
     apply_histogram_batch(spark, b1, 1, root, quantile_buckets)  # replay
     assert regs(1) == before
     assert sum(c for _, _, c in before) == 199
+
+
+def test_ivf_ingest_replay_and_batching_invariance(spark, tmp_path):
+    """The streaming IVF store must equal the batch-built assignment
+    (a) for any micro-batch split of the feed and (b) when the last
+    batch replays (at-least-once foreachBatch): assignment depends
+    only on (vector, frozen centroids), and a replayed batch
+    overwrites its own batch=<id> dir instead of appending."""
+    from metastore_spark.similarity import ivf_assign
+    from metastore_spark.streaming.ivf import apply_ivf_batch
+
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, [float(i % 3), float((i + 1) % 2)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    root = str(tmp_path / "ivf")
+
+    b0 = df.filter("vec_id < 11")
+    b1 = df.filter("vec_id >= 11")
+    apply_ivf_batch(b0, 0, root, centroids)
+    apply_ivf_batch(b1, 1, root, centroids)
+
+    def snapshot():
+        return sorted(
+            (int(r["vec_id"]), int(r["centroid_id"]))
+            for r in spark.read.parquet(root).collect()
+        )
+
+    before = snapshot()
+    apply_ivf_batch(b1, 1, root, centroids)  # replay the last batch
+    assert snapshot() == before
+
+    batch_truth = sorted(
+        (int(r["vec_id"]), int(r["centroid_id"]))
+        for r in ivf_assign(df, centroids).collect()
+    )
+    assert before == batch_truth
