@@ -94,3 +94,53 @@ def ivf_ingest_stream(
     )
     q.awaitTermination()
     return index_root
+
+
+def compact_index(
+    spark: SparkSession,
+    index_root: str,
+    target_partitions_per_centroid: int = 1,
+) -> str:
+    """Compact the per-batch index layout (``batch=*/centroid_id=*/``,
+    one small file per batch per centroid) into consolidated centroid
+    partitions (``centroid_id=*/``) — the background maintenance job
+    streaming ingest needs at scale, where thousands of micro-batches
+    would otherwise mean thousands of tiny files per probe.
+
+    Protocol (same atomic discipline as layout.py/serve.py): the
+    compacted layout builds in a process-private ``.compact-<pid>``
+    scratch dir and os.renames into ``<index_root>.compacted``;
+    readers either see the old generation or the complete new one,
+    never a half-written mix. The source batch dirs are left intact —
+    the CALLER retires them after cutting readers over (in production
+    the manifest swap and the retire are one transaction; here the
+    two roots make the swap observable for tests).
+
+    Returns the compacted root. Reading it yields the identical rows
+    as reading ``index_root`` (pytest-asserted), with
+    ``target_partitions_per_centroid`` files per centroid instead of
+    one per (batch, centroid).
+    """
+    import shutil
+
+    dest = f"{index_root}.compacted"
+    tmp = f"{dest}.compact-{os.getpid()}"
+    df = spark.read.parquet(index_root).drop("batch")
+    (
+        df.repartition(target_partitions_per_centroid, "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    if os.path.exists(dest):
+        trash = f"{dest}.old-{os.getpid()}"
+        try:
+            os.rename(dest, trash)
+            shutil.rmtree(trash, ignore_errors=True)
+        except OSError:
+            pass
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+    return dest

@@ -550,3 +550,43 @@ def test_ivf_ingest_replay_and_batching_invariance(spark, tmp_path):
         for r in ivf_assign(df, centroids).collect()
     )
     assert before == batch_truth
+
+
+def test_ivf_compaction_preserves_rows_and_consolidates_files(spark, tmp_path):
+    """compact_index must serve byte-identical assignments from a
+    consolidated centroid_id=* layout (no batch axis), atomically."""
+    import os
+
+    from metastore_spark.similarity import ivf_assign
+    from metastore_spark.streaming.ivf import apply_ivf_batch, compact_index
+
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, [float(i % 3), float((i + 1) % 2)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    root = str(tmp_path / "ivf")
+    for b in range(4):
+        apply_ivf_batch(df.filter(f"vec_id % 4 = {b}"), b, root, centroids)
+
+    compacted = compact_index(spark, root)
+
+    def rows_of(path):
+        return sorted(
+            (int(r["vec_id"]), int(r["centroid_id"]))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert rows_of(compacted) == rows_of(root)
+    assert "batch" not in spark.read.parquet(compacted).columns
+    # one consolidated dir per centroid, each with 1 data file
+    cdirs = [d for d in os.listdir(compacted) if d.startswith("centroid_id=")]
+    assert sorted(cdirs) == ["centroid_id=0", "centroid_id=1"]
+    for d in cdirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(compacted, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+    # re-compaction is idempotent (atomic swap replaces the old gen)
+    again = compact_index(spark, root)
+    assert rows_of(again) == rows_of(root)
