@@ -374,3 +374,95 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# Approximate query processing: deterministic-sample estimation
+# ===========================================================================
+
+
+def _aqp_oracle() -> str:
+    from metastore_spark.queries_dedup import _ph60
+
+    ph = _ph60("event_id::VARCHAR")
+    return f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN {ph} % 100 < 5 THEN 1 ELSE 0 END AS in_sample
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(in_sample) AS BIGINT)            AS n_sampled,
+             CAST(COUNT(*) AS BIGINT)                  AS n_rows,
+             CAST(SUM(in_sample * cents) AS BIGINT)    AS sample_cents,
+             CAST(SUM(cents) AS BIGINT)                AS exact_cents
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, n_sampled, n_rows,
+           ROUND(sample_cents * 20 / 100.0, 2) AS estimated_total,
+           ROUND(exact_cents / 100.0, 2)       AS exact_total,
+           ROUND(ABS(sample_cents * 20 - exact_cents) * 1.0
+                 / exact_cents, 4)             AS rel_err
+    FROM agg
+    ORDER BY event_type
+    """
+
+
+@query("events_sampled_value_estimate", oracle=_aqp_oracle())
+def events_sampled_value_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by deterministic hash-sampling: a
+    5% sample of events (portable 60-bit hash of event_id mod 100 —
+    membership is a pure function of the row, reproducible on any
+    engine and across runs) drives a Horvitz-Thompson estimate of
+    per-type total value (inverse inclusion probability, ×20),
+    reported BESIDE the exact total and the realized relative error.
+    The pattern every interactive-SLA dashboard uses at 100 TB: scan
+    the 5% sample table (pre-materialized by the same predicate),
+    answer in 1/20th the IO, carry the error bar.
+
+    Both the estimate and the truth come from ONE scan (the sample
+    flag folds into conditional partial aggregates — no second pass),
+    so the oracle hash-checks estimator and ground truth together.
+    Exactness: integer-cents sums, inverse-probability scaling as
+    integer ×20, single final divisions rounded on both sides. The
+    fixture's realized rel_err lands ≈1-4% per type (n_sampled ≈ 5%
+    of each type's rows; SE ≈ sqrt((1-p)/(p·n))) — hash-pinned, so
+    any estimator regression is a value diff, not a flaky bound.
+    """
+    from metastore_spark.dedup.ops import portable_hash60
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    in_sample = F.when(
+        portable_hash60(F.col("event_id").cast("string")) % 100 < 5, 1
+    ).otherwise(0)
+    base = e.select(
+        "event_type",
+        cents.alias("cents"),
+        in_sample.alias("in_sample"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.sum("in_sample").cast("bigint").alias("n_sampled"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("in_sample") * F.col("cents"))
+        .cast("bigint")
+        .alias("sample_cents"),
+        F.sum("cents").cast("bigint").alias("exact_cents"),
+    )
+    return agg.select(
+        "event_type",
+        "n_sampled",
+        "n_rows",
+        F.round(F.col("sample_cents") * 20 / 100.0, 2).alias(
+            "estimated_total"
+        ),
+        F.round(F.col("exact_cents") / 100.0, 2).alias("exact_total"),
+        F.round(
+            F.abs(F.col("sample_cents") * 20 - F.col("exact_cents"))
+            * 1.0
+            / F.col("exact_cents"),
+            4,
+        ).alias("rel_err"),
+    ).orderBy("event_type")
