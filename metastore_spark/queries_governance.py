@@ -350,15 +350,20 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("in_ref"),
     )
+    from pyspark.sql import Window
+
     cnts = binned.groupBy("event_type", "bin").agg(
         F.sum("in_ref").cast("bigint").alias("ca"),
         F.sum(1 - F.col("in_ref")).cast("bigint").alias("cb"),
     )
-    tots = cnts.groupBy("event_type").agg(
-        F.sum("ca").cast("bigint").alias("na"),
-        F.sum("cb").cast("bigint").alias("nb"),
+    # per-type totals via a window over cnts — NOT a groupBy+rejoin,
+    # which would duplicate the events scan subtree (Catalyst doesn't
+    # CSE unpersisted shared frames). cnts is bounded by types×10 rows
+    # at any input size, so the window partition is trivially small.
+    w = Window.partitionBy("event_type")
+    j = cnts.withColumn("na", F.sum("ca").over(w)).withColumn(
+        "nb", F.sum("cb").over(w)
     )
-    j = cnts.join(F.broadcast(tots), "event_type")
     diff = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
     return (
         j.groupBy("event_type")

@@ -347,3 +347,46 @@ def test_emb_semdedup_salted_shuffle_hash_join(spark):
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "salt" in plan
+
+
+def _n_scans(plan: str) -> int:
+    # "formatted" prints each node once in the tree and once in the
+    # details section — count the numbered detail entries only
+    import re
+
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def test_drift_monitor_single_scan_no_join(spark):
+    """events_distribution_drift folds the reference/live flag into
+    the aggregate and takes per-type totals via a window over the
+    bounded (types x 10 bins) counts frame — ONE events scan, no
+    period self-join, no groupBy+rejoin scan duplication."""
+    import metastore_spark.queries_governance  # noqa: F401
+
+    plan = _plan(spark, "events_distribution_drift")
+    assert _n_scans(plan) == 1
+    assert "Join" not in plan
+
+
+def test_sampled_estimate_single_scan_no_join(spark):
+    """The HT estimator and the exact truth come from one conditional
+    aggregation pass — one scan, zero joins."""
+    import metastore_spark.queries_governance  # noqa: F401
+
+    plan = _plan(spark, "events_sampled_value_estimate")
+    assert _n_scans(plan) == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_dq_expectations_row_rules_one_scan(spark):
+    """The row-level rule battery is ONE conditional-agg scan; the
+    whole suite (incl. FK + PK branches) reads lineitem at most 3
+    times and never plans a cartesian or a window."""
+    import metastore_spark.queries_governance  # noqa: F401
+
+    plan = _plan(spark, "lineitem_dq_expectations")
+    assert _n_scans(plan) <= 4  # 3x lineitem + 1x orders
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
