@@ -236,12 +236,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle(
-    bits: int = 60, prefix_bits: int = 16, max_hamming: int = 3
+    bits: int = 60, max_hamming: int = 3
 ) -> str:
     """DuckDB mirror of the full simhash pipeline: portable token hash
     → per-bit ±1 sums → sign bits → prefix bucket → hamming join.
     Every stage is exact integer arithmetic, so the oracle reproduces
-    the prefix-bucket recall misses too."""
+    the prefix-bucket recall misses too.
+
+    The prefix width is CORPUS-ADAPTIVE on both engines (see
+    dedup_simhash_pairs docstring): p = min(16 + floor(log2(max(n //
+    50000, 1))), 28), integer log2 via binary-string length so the
+    engines can't drift on a float log."""
     bsums = ",\n             ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(bits)
@@ -264,8 +269,14 @@ def _simhash_oracle(
       FROM hh GROUP BY doc_id
     ),
     sig AS (SELECT doc_id, {sig} AS simhash FROM g),
+    pb AS (
+      SELECT LEAST(16 + length(to_base(
+               GREATEST(CAST((SELECT COUNT(*) FROM documents) // 50000
+                        AS BIGINT), 1), 2)) - 1, 28) AS p
+    ),
     bk AS (SELECT doc_id, simhash,
-                  simhash >> {bits - prefix_bits} AS bucket FROM sig)
+                  simhash >> ({bits} - (SELECT p FROM pb)) AS bucket
+           FROM sig)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -273,15 +284,43 @@ def _simhash_oracle(
     """
 
 
+def adaptive_prefix_bits(n_docs: int, base: int = 16, cap: int = 28) -> int:
+    """Corpus-adaptive simhash bucket width: one extra prefix bit per
+    doubling of the corpus beyond 50k docs (integer log2 — engines
+    can't drift on a float log), capped at ``cap``.
+
+    Why: RANDOM signature collisions in a fixed 2^p bucket space grow
+    as n²/2^p — measured 1.35M pairs at 50k docs vs 11.5M at 150k
+    with p=16 (quadratic OUTPUT, sf3 sweep round 5). Growing p with
+    log2(n) keeps expected random-collision pairs ~linear in n while
+    true near-dups (hamming ≤ 3) still collide with the same
+    prefix-match probability; at 100 TB the multi-table pigeonhole
+    index (4 tables × 15 disjoint bits guarantees recall for
+    hamming ≤ 3) replaces the single-prefix heuristic entirely.
+    """
+    return min(base + (max(n_docs // 50_000, 1)).bit_length() - 1, cap)
+
+
 @query("dedup_simhash_pairs", oracle=_simhash_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 of 60 bits), prefix-bucketed
     — value-hash oracled end-to-end: DuckDB recomputes the identical
     60-bit signatures (portable base hash, exact ±1 bit-sums) and the
-    same prefix-bucket join, recall misses included."""
+    same prefix-bucket join, recall misses included.
+
+    The prefix width adapts to the corpus (`adaptive_prefix_bits`):
+    n <= 100k docs keeps the historical p=16; each doubling beyond
+    50k adds a bit, so random-collision pair output stays ~linear in
+    n instead of n²/2^16 (the round-5 sf3 finding). The count() that
+    sizes p is a driver-side scalar over the served signature store's
+    source — a parameter lookup, not a data loop.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
     return dd.simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        d, "text", "doc_id",
         bits=60, hash_fn=dd.portable_hash60,
+        prefix_bits=adaptive_prefix_bits(n_docs),
         sigs=_served_simhash_sigs(spark, sf_dir, 60),
     )
 
