@@ -1191,3 +1191,124 @@ def docs_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BPE_TRAINER_ORACLE = """
+    WITH words AS (
+      SELECT t.word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 w -> w <> '')) AS word
+        FROM documents
+      ) t GROUP BY 1
+    ),
+    rep0 AS (
+      SELECT '|' || array_to_string(
+               list_transform(range(length(word)),
+                              i -> substr(word, i + 1, 1)), '|') AS r,
+             freq
+      FROM words
+    ),
+    s1 AS (
+      SELECT list_filter(string_split(r, '|'), x -> x <> '') AS s, freq
+      FROM rep0
+    ),
+    p1 AS (
+      SELECT p.pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM s1, UNNEST(list_transform(range(1, len(s)),
+                                     i -> s[i] || ' ' || s[i+1])) AS p(pair)
+      GROUP BY 1
+    ),
+    b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+    rep1 AS (
+      SELECT replace(r,
+               '|' || replace((SELECT pair FROM b1), ' ', '|'),
+               '|' || replace((SELECT pair FROM b1), ' ', '')) AS r,
+             freq
+      FROM rep0
+    ),
+    s2 AS (
+      SELECT list_filter(string_split(r, '|'), x -> x <> '') AS s, freq
+      FROM rep1
+    ),
+    p2 AS (
+      SELECT p.pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM s2, UNNEST(list_transform(range(1, len(s)),
+                                     i -> s[i] || ' ' || s[i+1])) AS p(pair)
+      GROUP BY 1
+    ),
+    b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1)
+    SELECT 1 AS round, pair AS merge_pair, cnt FROM b1
+    UNION ALL
+    SELECT 2 AS round, pair AS merge_pair, cnt FROM b2
+    ORDER BY round
+    """
+
+
+@query("docs_bpe_trainer", oracle=_BPE_TRAINER_ORACLE)
+def docs_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, two merge rounds unrolled: word-frequency
+    table → character symbols → corpus-weighted adjacent-pair counts →
+    argmax merge (ties to the lexicographically smallest pair on both
+    engines) → greedy non-overlapping merge application → recount →
+    second merge. The iterative-algorithm showcase for text, like
+    `emb_kmeans_quantized` is for vectors: each round's chosen merge
+    is a driver-side SCALAR (the kmeans-centroid pattern — a
+    parameter, not a data loop), and the oracle reproduces both
+    rounds with scalar subqueries.
+
+    Merge application is `replace` on a '|'-delimited symbol string
+    ('|a|b' → '|ab'): the leading-delimiter encoding makes adjacent
+    matches non-overlapping ('|a|a|a|a' + merge(a,a) → '|aa|aa' on
+    BOTH engines — verified identical greedy left-to-right
+    semantics), which IS standard BPE merge application.
+
+    Scale shape: training runs on the DISTINCT-WORD table (freq-
+    weighted), not the corpus — the one corpus scan aggregates to
+    vocab size, and each round is then O(vocab × word-length): one
+    partial-agg shuffle + a 1-row argmax (TakeOrderedAndProject).
+    A production trainer runs ~30k rounds of exactly this step with
+    the word table cached; per-round cost is independent of corpus
+    row count, which is why BPE training is tractable at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(ops.word_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.array_remove(F.split(F.col("word"), ""), "")
+    rep = words.select(
+        F.concat(F.lit("|"), F.array_join(chars, "|")).alias("r"), "freq"
+    ).persist()
+
+    def pair_counts(rep_df):
+        s = F.array_remove(F.split(F.col("r"), r"\|"), "")
+        pairs = F.expr(
+            "transform(sequence(1, size(s) - 1),"
+            " i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))"
+        )
+        return (
+            rep_df.select(s.alias("s"), "freq")
+            .filter(F.size("s") >= 2)
+            .select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+
+    def best(pc):
+        row = pc.orderBy(F.desc("cnt"), F.asc("pair")).first()
+        return row["pair"], int(row["cnt"])
+
+    p1, c1 = best(pair_counts(rep))
+    a, b = p1.split(" ")
+    rep1 = rep.select(
+        F.replace(
+            F.col("r"), F.lit(f"|{a}|{b}"), F.lit(f"|{a}{b}")
+        ).alias("r"),
+        "freq",
+    )
+    p2, c2 = best(pair_counts(rep1))
+    return spark.createDataFrame(
+        [(1, p1, c1), (2, p2, c2)], "round int, merge_pair string, cnt bigint"
+    )
