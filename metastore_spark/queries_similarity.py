@@ -819,3 +819,183 @@ def emb_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.element_at("qv", i + 1) * F.lit(int(w))
         score = term if score is None else score + term
     return e.select("vec_id", score.cast("bigint").alias("pc1_score"))
+
+
+_IVF_RECALL_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    asg AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos('e.embedding::DOUBLE[]', 'c.cv')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_cos('c.cv', 'q.qv')} DESC, c.cid
+               ) AS rn
+        FROM cent c CROSS JOIN q
+      ) WHERE rn <= 3
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_cos('e.embedding::DOUBLE[]', 'q.qv')} DESC, e.vec_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY {_cos('e.embedding::DOUBLE[]', 'q.qv')} DESC, e.vec_id
+               ) AS rn
+        FROM embeddings e
+        JOIN asg ON e.vec_id = asg.vec_id
+        JOIN probe p ON asg.centroid_id = p.cid
+        JOIN q ON q.qid = p.qid
+      ) WHERE rn <= 10
+    ),
+    hit AS (
+      SELECT e.qid, e.vec_id
+      FROM exact e JOIN ivf f ON e.qid = f.qid AND e.vec_id = f.vec_id
+    )
+    SELECT q.qid,
+           CAST(COUNT(hit.vec_id) AS BIGINT) AS hits,
+           ROUND(COUNT(hit.vec_id) / 10.0, 4) AS recall_at_10
+    FROM q LEFT JOIN hit ON q.qid = hit.qid
+    GROUP BY q.qid
+    ORDER BY q.qid
+    """
+
+
+@query("ann_ivf_recall", oracle=_IVF_RECALL_ORACLE)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QUALITY EVALUATION: recall@10 of the served IVF index
+    (8 lists, nprobe=3) against the exact brute-force top-10, over a
+    5-query panel — the measurement loop every production ANN
+    deployment runs before trading recall for probe fan-in. The oracle
+    reproduces BOTH retrieval paths (assignment, probe pruning,
+    in-list ranking, exact ranking) and the set intersection, so the
+    recall numbers themselves are value-hash-checked — including the
+    recall misses of unprobed lists.
+
+    Scale shape: the panel's query vectors fold into the plan as
+    literals, so each side is ONE pass. The exact side scans the
+    corpus once emitting (qid, sim) candidates; the IVF side scans
+    only the union of probed centroid partitions of the served index
+    (directory pruning, same store `ann_ivf_topk` serves). Both
+    top-10s go through `grouped_topk` — per-partition Arrow partial
+    top-k, exchange carries ≤ partitions × panel × 10 candidate rows,
+    never the corpus. The recall join and the final agg run on
+    panel-sized frames (≤ 50 rows).
+    """
+    import math
+    import os
+
+    from metastore_spark import serve
+    from metastore_spark.operators.topk import grouped_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = sim.sampled_centroids(emb, k=8)
+    indexed = serve.materialized(
+        spark,
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        "ivf8",
+        lambda: sim.ivf_assign(emb, centroids),
+        partition_by=["centroid_id"],
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < 5)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qvecs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    ]
+
+    def _probe(qv: list[float]) -> list[int]:
+        # same arithmetic and (−sim, cid) tie order as sim.ivf_topk /
+        # the oracle's probe CTE (stable sort keeps cid-ascending ties)
+        qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+
+        def s(c: list[float]) -> float:
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            return sum(a * b for a, b in zip(c, qv)) / (cn * qn)
+
+        return sorted(
+            range(len(centroids)), key=lambda ci: -s(centroids[ci])
+        )[:3]
+
+    probes = {qid: _probe(qv) for qid, qv in qvecs}
+    all_cids = sorted({c for ps in probes.values() for c in ps})
+
+    def _cands(src: DataFrame, pruned: bool) -> DataFrame:
+        entries = [
+            F.struct(
+                F.lit(qid).cast("bigint").alias("qid"),
+                sim.cosine_sim_lit(F.col("embedding"), qv).alias("raw"),
+                (
+                    F.col("centroid_id").isin(probes[qid])
+                    if pruned
+                    else F.lit(True)
+                ).alias("ok"),
+            )
+            for qid, qv in qvecs
+        ]
+        return (
+            src.select(
+                "vec_id",
+                F.explode(
+                    F.filter(F.array(*entries), lambda e: e["ok"])
+                ).alias("e"),
+            )
+            .select("vec_id", F.col("e.qid").alias("qid"), F.col("e.raw").alias("raw"))
+        )
+
+    exact = grouped_topk(
+        _cands(emb, pruned=False), ["qid"], [("raw", False), ("vec_id", True)], 10
+    ).select("qid", "vec_id")
+    ivf = grouped_topk(
+        _cands(indexed.filter(F.col("centroid_id").isin(all_cids)), pruned=True),
+        ["qid"],
+        [("raw", False), ("vec_id", True)],
+        10,
+    ).select("qid", "vec_id")
+
+    hits = (
+        exact.join(ivf, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    panel = spark.createDataFrame(
+        [(qid,) for qid, _ in qvecs], "qid bigint"
+    )
+    h = F.coalesce(F.col("hits"), F.lit(0)).cast("bigint")
+    return (
+        panel.join(hits, "qid", "left")
+        .select(
+            "qid",
+            h.alias("hits"),
+            F.round(h / F.lit(10.0), 4).alias("recall_at_10"),
+        )
+        .orderBy("qid")
+    )
