@@ -199,6 +199,21 @@ def _decode_one(content: bytes) -> tuple[int, int, float]:
     )
 
 
+def _fan_params(df: DataFrame, key: str) -> DataFrame:
+    """Fan a PARAMETER frame across the cluster's cores before a
+    CPU-bound Arrow codec stage: synthesis/decode parallelism must not
+    inherit the scan granularity (a small parquet file scans as ONE
+    partition, serializing all codec work onto one core). The exchange
+    carries a few scalar columns — parameters, not media bytes — so the
+    shuffle is ~free at any scale while the codec stage saturates the
+    executors. The partition count is EXPLICIT (defaultParallelism =
+    total executor cores): a column-only repartition would be a tiny
+    shuffle that AQE immediately coalesces back to one partition,
+    because byte-size heuristics cannot see per-row codec CPU cost."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, F.col(key))
+
+
 def synthesize_media(df: DataFrame, fmt_col: str | None = None) -> DataFrame:
     """Table-driven synthetic media: (media_id, w, h[, fmt]) rows →
     binary content, Arrow-batched worker-side (never
@@ -239,7 +254,9 @@ def synthesize_media(df: DataFrame, fmt_col: str | None = None) -> DataFrame:
             )
 
     cols = ["media_id", "w", "h"] + ([fmt_col] if fmt_col else [])
-    return df.select(*cols).mapInPandas(run, "media_id bigint, content binary")
+    return _fan_params(df.select(*cols), "media_id").mapInPandas(
+        run, "media_id bigint, content binary"
+    )
 
 
 def decode_image_features(df: DataFrame) -> DataFrame:
@@ -406,7 +423,7 @@ def synthesize_audio(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.select("asset_id", "n_samples").mapInPandas(
+    return _fan_params(df.select("asset_id", "n_samples"), "asset_id").mapInPandas(
         run, "asset_id bigint, content binary"
     )
 
@@ -550,7 +567,7 @@ def audio_window_features(
                     }
                 )
 
-    return df.select("asset_id", "n_samples").mapInPandas(
+    return _fan_params(df.select("asset_id", "n_samples"), "asset_id").mapInPandas(
         run, AUDIO_WINDOW_SCHEMA
     )
 
@@ -615,9 +632,9 @@ def synthesize_video(
                 }
             )
 
-    return df.select("asset_id", "n_frames", "fps").mapInPandas(
-        run, "asset_id bigint, content binary"
-    )
+    return _fan_params(
+        df.select("asset_id", "n_frames", "fps"), "asset_id"
+    ).mapInPandas(run, "asset_id bigint, content binary")
 
 
 def decode_video_frame_features(df: DataFrame) -> DataFrame:
