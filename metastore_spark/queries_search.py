@@ -453,3 +453,147 @@ def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = per if out is None else out.unionAll(per)
     return out.orderBy("query_id")
+
+
+# --- hybrid retrieval --------------------------------------------------------
+
+
+def _hybrid_oracle() -> str:
+    """BM25 top-20 (the search_bm25_docs pipeline verbatim) fused with
+    cosine top-20 by reciprocal-rank fusion, k=60."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                         t -> t <> '' AND t NOT IN ({_STOPS_SQL})) AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (SELECT AVG(len(toks)) AS avgdl, COUNT(*) AS nd FROM tok),
+    flat AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    post AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM flat WHERE term IN ({_TERMS_SQL})
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+    scored AS (
+      SELECT p.doc_id,
+             SUM( ln(1 + (nd - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ) AS s
+      FROM post p
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY p.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                 ORDER BY ROUND(s, 4) DESC, doc_id
+               ) AS lex_rank
+        FROM scored
+      ) WHERE lex_rank <= 20
+    ),
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    vec AS (
+      SELECT doc_id, vec_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], qv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(qv, qv))), 4) DESC, e.vec_id
+               ) AS vec_rank
+        FROM embeddings e CROSS JOIN q
+      ) WHERE vec_rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), CAST(0 AS DOUBLE))
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), CAST(0 AS DOUBLE))
+               AS rrf
+      FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY ROUND(rrf, 6) DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("search_hybrid_rrf", oracle=_hybrid_oracle())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: BM25 lexical top-20 fused with embedding-cosine
+    top-20 by reciprocal-rank fusion (RRF, k=60) — the standard
+    two-tower retrieval shape (sparse + dense union, rank-based fusion,
+    no score calibration needed) that modern search deployments run in
+    front of a reranker. The reference engine delegates retrieval to a
+    single lexical backend; this closes the dense half. doc_id ≡
+    vec_id: the embeddings table IS the documents' embedding column
+    (same synthetic key space), the layout a joint corpus would store.
+
+    Both engines rank each leg on its ROUNDED score with doc_id
+    tie-break, fuse with 1/(60+rank) per leg (missing leg contributes
+    exactly 0), and take top-10 by rounded fused score — so the oracle
+    value-hash-checks the fusion arithmetic and both leg rankings.
+
+    Scale shape: the lexical leg reads the SERVED inverted index
+    (bucketed postings, corpus-global df) and ends in a
+    TakeOrderedAndProject top-20; the dense leg is one corpus scan
+    with the query vector folded in as literals, also sort-limited
+    (at scale the IVF served index replaces it — `ann_ivf_topk`).
+    Fusion then joins two 20-row frames: parameter-sized work. Window
+    ranking happens on the LIMITed prefixes, never the corpus."""
+    from pyspark.sql import Window
+
+    from metastore_spark import similarity as sim
+
+    idx = _index_for(spark, sf_dir)
+    scores = bm25_scores(idx, _Q, {"text": 1.0}, stem=False)
+    lex20 = (
+        scores.select("doc_id", F.round("score", 4).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(20)
+    )
+    lex = lex20.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    vec20 = sim.cosine_topk(emb, qvec, k=20)
+    vec = vec20.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+        .alias("vec_rank"),
+    )
+
+    leg = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(60) + F.col(r)), F.lit(0.0)
+    )
+    rrf = leg("lex_rank") + leg("vec_rank")
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc(F.round(rrf, 6)), F.asc("doc_id"))
+        .limit(10)
+    )
