@@ -117,6 +117,9 @@ HEADLINE = [
     "lineitem_dq_expectations",
     "events_kanonymity_audit",
     "events_distribution_drift",
+    "docs_bpe_trainer",
+    "ann_ivf_recall",
+    "search_hybrid_rrf",
 ]
 
 
