@@ -120,6 +120,7 @@ HEADLINE = [
     "docs_bpe_trainer",
     "ann_ivf_recall",
     "search_hybrid_rrf",
+    "dedup_substring_applied",
 ]
 
 

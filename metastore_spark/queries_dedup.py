@@ -1078,3 +1078,140 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+_SUBSTRING_APPLIED_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i + 1] AS tok
+      FROM toks, UNNEST(range(len(toks))) u(i)
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                       toks[i+4], toks[i+5], toks[i+6], toks[i+7]) AS passage
+      FROM toks, UNNEST(range(1, len(toks) - 6)) u(i)
+      WHERE len(toks) >= 8
+    ),
+    shared AS (
+      SELECT passage FROM grams
+      GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    spans AS (
+      SELECT DISTINCT g.doc_id, g.start
+      FROM grams g JOIN shared s ON g.passage = s.passage
+    ),
+    removed AS (
+      SELECT DISTINCT sp.doc_id, sp.start + o AS pos
+      FROM spans sp, UNNEST(range(8)) t(o)
+    ),
+    kept AS (
+      SELECT f.doc_id, f.pos, f.tok
+      FROM flat f LEFT JOIN removed r
+        ON f.doc_id = r.doc_id AND f.pos = r.pos
+      WHERE r.pos IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT)                         AS n_tokens,
+           CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+           COALESCE(a.cleaned, '')                             AS cleaned_text
+    FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """
+
+
+@query("dedup_substring_applied", oracle=_SUBSTRING_APPLIED_ORACLE)
+def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLIED (Lee et al. 2022, public method):
+    every 8-token passage occurring in ≥ 2 distinct documents is
+    excised from ALL documents, and each document is rebuilt from its
+    surviving tokens in original order — the corpus-rewrite transform
+    behind `docs_shared_passages`' detection signal. Output carries
+    before/removed token counts and the cleaned text, all value-hash
+    oracled (the reconstruction string itself is compared).
+
+    Scale shape, stage by stage: (1) positioned 8-gram stream via
+    slice+zip+posexplode — codegen, zero-shuffle; (2) one partial-agg
+    shuffle keyed by passage for the ≥2-doc filter; (3) flagged spans
+    fan out ×8 into covered (doc_id, pos) rows — bounded by 8× the
+    flagged subset, never the corpus; (4) one (doc_id, pos) anti-join
+    against the token stream; (5) order-preserving rebuild as a
+    per-doc collect_list + array_sort — memory bounded by document
+    length, the same bound any per-doc text op already has. At 100 TB
+    the passage join key would be an 8-byte hash instead of the token
+    string (structure identical); this is the documented production
+    variant of the reference-free dedup family in SURVEY §2.
+    """
+    from metastore_spark.text.ops import word_tokens
+
+    K = 8
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", word_tokens(F.col("text")).alias("toks"))
+    toks.persist()
+    n = F.size("toks")
+    m = F.greatest(n - F.lit(K - 1), F.lit(0))
+    sliced = toks.filter(n >= K).select(
+        "doc_id",
+        *[F.slice("toks", j + 1, m).alias(f"_t{j}") for j in range(K)],
+    )
+    grams = sliced.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip(*[f"_t{j}" for j in range(K)])).alias(
+            "start", "_z"
+        ),
+    ).select(
+        "doc_id",
+        F.col("start").cast("bigint").alias("start"),
+        F.concat_ws(
+            " ", *[F.col("_z").getField(f"_t{j}") for j in range(K)]
+        ).alias("passage"),
+    )
+    grams.persist()
+    shared = (
+        grams.groupBy("passage")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("passage")
+    )
+    spans = grams.join(shared, "passage").select("doc_id", "start").distinct()
+    removed = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.lit(K - 1))
+        ).alias("pos"),
+    ).distinct()
+    flat = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    kept = flat.join(removed, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return (
+        toks.select("doc_id", n.cast("bigint").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned_text"),
+        )
+    )
