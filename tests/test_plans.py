@@ -390,3 +390,66 @@ def test_dq_expectations_row_rules_one_scan(spark):
     assert _n_scans(plan) <= 4  # 3x lineitem + 1x orders
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_hybrid_rrf_legs_are_sort_limit_no_cartesian(spark):
+    """Both retrieval legs must be TakeOrderedAndProject (top-k
+    prefixes, never a global sort) and the fusion must join prefixes,
+    never cross-join corpus frames."""
+    plan = _plan(spark, "search_hybrid_rrf")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_substring_applied_no_cartesian_partial_aggs(spark):
+    """The passage ≥2-doc filter must be a partial-agg shuffle (never a
+    corpus self-join), and the span/token joins must be equi-joins."""
+    plan = _plan(spark, "dedup_substring_applied")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # map-side partial + final aggregate for the passage doc-counts
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_ivf_recall_prunes_served_partitions_and_uses_topk_kernel(spark):
+    """The IVF leg must scan the served store through a centroid_id
+    partition filter (directory pruning — the union of the panel's
+    probe lists), and both top-10s must go through the grouped_topk
+    Arrow kernel below an exchange (candidates shuffle, not the
+    corpus)."""
+    plan = _plan(spark, "ann_ivf_recall")
+    pf = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "centroid_id" in l
+    ]
+    assert pf, plan
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_media_param_fanout_survives_aqe(spark):
+    """Codec parameter frames must fan to defaultParallelism before the
+    Arrow stage even from a 1-partition source, and the repartition
+    must be the explicit-width form AQE cannot coalesce."""
+    from pyspark.sql import functions as F
+
+    from metastore_spark.multimodal import synthesize_media
+
+    params = spark.range(0, 200, numPartitions=1).select(
+        F.col("id").alias("media_id"),
+        F.lit(16).alias("w"),
+        F.lit(16).alias("h"),
+    )
+    out = synthesize_media(params)
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # explicit numPartitions on the repartition node — the form AQE
+    # cannot coalesce (a bare column repartition would print no count)
+    n = spark.sparkContext.defaultParallelism
+    assert f"RepartitionByExpression [media_id" in plan, plan
+    assert f"], {n}" in plan, plan
