@@ -121,6 +121,7 @@ HEADLINE = [
     "ann_ivf_recall",
     "search_hybrid_rrf",
     "dedup_substring_applied",
+    "docs_bpe_encode",
 ]
 
 

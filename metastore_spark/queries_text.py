@@ -1271,6 +1271,20 @@ def docs_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
     A production trainer runs ~30k rounds of exactly this step with
     the word table cached; per-round cost is independent of corpus
     row count, which is why BPE training is tractable at 100 TB."""
+    merges = _learn_bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, p, c) for i, (p, c) in enumerate(merges)],
+        "round int, merge_pair string, cnt bigint",
+    )
+
+
+def _learn_bpe_merges(
+    spark: SparkSession, sf_dir: str, rounds: int = 2
+) -> list[tuple[str, int]]:
+    """Run ``rounds`` BPE merge rounds on the freq-weighted distinct-
+    word table; returns [(pair, corpus_count), ...] in merge order.
+    Each round is one partial-agg shuffle + a 1-row argmax; the chosen
+    merge folds back in as a literal (driver-side scalar parameter)."""
     d = _t(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(ops.word_tokens(F.col("text"))).alias("word"))
@@ -1296,19 +1310,162 @@ def docs_bpe_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
         )
 
-    def best(pc):
-        row = pc.orderBy(F.desc("cnt"), F.asc("pair")).first()
-        return row["pair"], int(row["cnt"])
+    merges: list[tuple[str, int]] = []
+    cur = rep
+    for _ in range(rounds):
+        row = pair_counts(cur).orderBy(F.desc("cnt"), F.asc("pair")).first()
+        pair, cnt = row["pair"], int(row["cnt"])
+        merges.append((pair, cnt))
+        a, b = pair.split(" ")
+        cur = cur.select(
+            F.replace(
+                F.col("r"), F.lit(f"|{a}|{b}"), F.lit(f"|{a}{b}")
+            ).alias("r"),
+            "freq",
+        )
+    return merges
 
-    p1, c1 = best(pair_counts(rep))
-    a, b = p1.split(" ")
-    rep1 = rep.select(
-        F.replace(
-            F.col("r"), F.lit(f"|{a}|{b}"), F.lit(f"|{a}{b}")
-        ).alias("r"),
-        "freq",
+
+_BPE_ENCODE_ORACLE = """
+    WITH words AS (
+      SELECT t.word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 w -> w <> '')) AS word
+        FROM documents
+      ) t GROUP BY 1
+    ),
+    rep0 AS (
+      SELECT '|' || array_to_string(
+               list_transform(range(length(word)),
+                              i -> substr(word, i + 1, 1)), '|') AS r,
+             freq
+      FROM words
+    ),
+    s1 AS (
+      SELECT list_filter(string_split(r, '|'), x -> x <> '') AS s, freq
+      FROM rep0
+    ),
+    p1 AS (
+      SELECT p.pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM s1, UNNEST(list_transform(range(1, len(s)),
+                                     i -> s[i] || ' ' || s[i+1])) AS p(pair)
+      GROUP BY 1
+    ),
+    b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+    rep1 AS (
+      SELECT replace(r,
+               '|' || replace((SELECT pair FROM b1), ' ', '|'),
+               '|' || replace((SELECT pair FROM b1), ' ', '')) AS r,
+             freq
+      FROM rep0
+    ),
+    s2 AS (
+      SELECT list_filter(string_split(r, '|'), x -> x <> '') AS s, freq
+      FROM rep1
+    ),
+    p2 AS (
+      SELECT p.pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM s2, UNNEST(list_transform(range(1, len(s)),
+                                     i -> s[i] || ' ' || s[i+1])) AS p(pair)
+      GROUP BY 1
+    ),
+    b2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+    dw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    dr AS (
+      SELECT doc_id,
+             CAST(length(array_to_string(ws, '')) AS BIGINT) AS n_chars,
+             array_to_string(
+               list_transform(ws, w ->
+                 '|' || array_to_string(
+                   list_transform(range(length(w)),
+                                  i -> substr(w, i + 1, 1)), '|')),
+               '|') AS r0
+      FROM dw
+    ),
+    a1 AS (
+      SELECT doc_id, n_chars,
+             CAST(length(r0) - length(r1) AS BIGINT) AS applied1, r1
+      FROM (
+        SELECT doc_id, n_chars, r0,
+               replace(r0,
+                 '|' || replace((SELECT pair FROM b1), ' ', '|'),
+                 '|' || replace((SELECT pair FROM b1), ' ', '')) AS r1
+        FROM dr
+      )
+    ),
+    a2 AS (
+      SELECT doc_id, n_chars, applied1,
+             CAST(length(r1) - length(r2) AS BIGINT) AS applied2
+      FROM (
+        SELECT doc_id, n_chars, applied1, r1,
+               replace(r1,
+                 '|' || replace((SELECT pair FROM b2), ' ', '|'),
+                 '|' || replace((SELECT pair FROM b2), ' ', '')) AS r2
+        FROM a1
+      )
     )
-    p2, c2 = best(pair_counts(rep1))
-    return spark.createDataFrame(
-        [(1, p1, c1), (2, p2, c2)], "round int, merge_pair string, cnt bigint"
+    SELECT doc_id, n_chars,
+           applied1 + applied2            AS n_merged,
+           n_chars - applied1 - applied2  AS n_bpe_tokens
+    FROM a2
+    """
+
+
+@query("docs_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE: apply the merges `docs_bpe_trainer` learned back to
+    every document and count the resulting tokens — the train→encode
+    loop of a real tokenizer, with the token counts value-hash-oracled
+    per document (the oracle re-learns the same merges via scalar
+    subqueries, then re-applies them per doc).
+
+    Encoding is pure codegen string arithmetic: each doc becomes a
+    '|'-delimited symbol string with '||' word boundaries (a merge
+    pattern '|a|b' cannot match across words), each merge is one
+    `replace`, and since every application removes exactly one
+    delimiter, tokens = chars − (length drop across replaces) — no
+    arrays, no explode, no shuffle. The merge table arrives as
+    LITERALS (driver-side scalars from the training argmax, the
+    kmeans-centroid pattern), so the encode pass is map-only: at
+    100 TB it pipelines at scan speed, which is why BPE encoding
+    parallelizes perfectly. A production encoder folds ~30k merges
+    into a trie instead of chained replaces; two rounds keep the
+    oracle exactly mirrorable."""
+    merges = _learn_bpe_merges(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    toks = ops.word_tokens(F.col("text"))
+    per_word = F.transform(
+        toks,
+        lambda t: F.concat(
+            F.lit("|"),
+            F.array_join(F.array_remove(F.split(t, ""), ""), "|"),
+        ),
+    )
+    base = d.select(
+        "doc_id",
+        F.length(F.array_join(toks, "")).cast("bigint").alias("n_chars"),
+        F.array_join(per_word, "|").alias("r"),
+    )
+    applied = []
+    r = F.col("r")
+    for pair, _cnt in merges:
+        a, b = pair.split(" ")
+        nxt = F.replace(r, F.lit(f"|{a}|{b}"), F.lit(f"|{a}{b}"))
+        applied.append((F.length(r) - F.length(nxt)).cast("bigint"))
+        r = nxt
+    n_merged = applied[0]
+    for extra in applied[1:]:
+        n_merged = n_merged + extra
+    return base.select(
+        "doc_id",
+        "n_chars",
+        n_merged.alias("n_merged"),
+        (F.col("n_chars") - n_merged).alias("n_bpe_tokens"),
     )
