@@ -1078,37 +1078,38 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
-
-
-_SUBSTRING_APPLIED_ORACLE = """
-    WITH toks AS (
+_SUBSTRING_APPLIED_ORACLE = f"""
+    WITH tk AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                          t -> t <> '') AS toks
       FROM documents
     ),
-    flat AS (
-      SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i + 1] AS tok
-      FROM toks, UNNEST(range(len(toks))) u(i)
-    ),
     grams AS (
-      SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
-             concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
-                       toks[i+4], toks[i+5], toks[i+6], toks[i+7]) AS passage
-      FROM toks, UNNEST(range(1, len(toks) - 6)) u(i)
+      -- gram index is g, NOT i: _ph60 expands to a list_transform
+      -- whose lambda variable is i, which would shadow an outer i
+      -- inside the hashed expression
+      SELECT doc_id, CAST(g - 1 AS BIGINT) AS start,
+             {_ph60("concat_ws(' ', toks[g], toks[g+1], toks[g+2], toks[g+3], toks[g+4], toks[g+5], toks[g+6], toks[g+7])")} AS pk
+      FROM tk, UNNEST(range(1, len(toks) - 6)) u(g)
       WHERE len(toks) >= 8
     ),
     shared AS (
-      SELECT passage FROM grams
-      GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+      SELECT pk FROM grams GROUP BY pk HAVING COUNT(DISTINCT doc_id) >= 2
     ),
     spans AS (
       SELECT DISTINCT g.doc_id, g.start
-      FROM grams g JOIN shared s ON g.passage = s.passage
+      FROM grams g JOIN shared s ON g.pk = s.pk
     ),
     removed AS (
       SELECT DISTINCT sp.doc_id, sp.start + o AS pos
       FROM spans sp, UNNEST(range(8)) t(o)
+    ),
+    affected AS (SELECT DISTINCT doc_id FROM removed),
+    flat AS (
+      SELECT tk.doc_id, CAST(i AS BIGINT) AS pos, toks[i + 1] AS tok
+      FROM tk JOIN affected af ON tk.doc_id = af.doc_id,
+           UNNEST(range(len(toks))) u(i)
     ),
     kept AS (
       SELECT f.doc_id, f.pos, f.tok
@@ -1122,10 +1123,16 @@ _SUBSTRING_APPLIED_ORACLE = """
       FROM kept GROUP BY doc_id
     )
     SELECT t.doc_id,
-           CAST(len(t.toks) AS BIGINT)                         AS n_tokens,
-           CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed,
-           COALESCE(a.cleaned, '')                             AS cleaned_text
-    FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CASE WHEN af.doc_id IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT)
+           END AS n_tokens_removed,
+           CASE WHEN af.doc_id IS NULL THEN array_to_string(t.toks, ' ')
+                ELSE COALESCE(a.cleaned, '')
+           END AS cleaned_text
+    FROM tk t
+    LEFT JOIN affected af ON t.doc_id = af.doc_id
+    LEFT JOIN agg a ON t.doc_id = a.doc_id
     """
 
 
@@ -1140,23 +1147,29 @@ def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracled (the reconstruction string itself is compared).
 
     Scale shape, stage by stage: (1) positioned 8-gram stream via
-    slice+zip+posexplode — codegen, zero-shuffle; (2) one partial-agg
-    shuffle keyed by passage for the ≥2-doc filter; (3) flagged spans
-    fan out ×8 into covered (doc_id, pos) rows — bounded by 8× the
-    flagged subset, never the corpus; (4) one (doc_id, pos) anti-join
-    against the token stream; (5) order-preserving rebuild as a
-    per-doc collect_list + array_sort — memory bounded by document
-    length, the same bound any per-doc text op already has. At 100 TB
-    the passage join key would be an 8-byte hash instead of the token
-    string (structure identical); this is the documented production
-    variant of the reference-free dedup family in SURVEY §2.
+    slice+zip+posexplode — codegen, zero-shuffle — keyed by the
+    PORTABLE 60-bit HASH of the passage, never the passage string
+    (8-byte shuffle keys instead of ~50-byte token strings; the
+    oracle applies the identical hash, so even the ~n²/2⁶¹ collision
+    probability is mirrored — this exact change fixed a 1 GiB-heap
+    OOM at sf1, where the persisted string-keyed stream was the
+    whole heap); (2) one partial-agg shuffle on the hash for the
+    ≥2-doc filter; (3) flagged spans fan ×8 into covered (doc_id,
+    pos) rows — bounded by the flagged subset, never the corpus;
+    (4) only AFFECTED documents are re-exploded and anti-joined on
+    (doc_id, pos) — untouched docs (the vast majority of a lightly-
+    duplicated corpus) take the map-only `array_join(toks)` path with
+    no shuffle at all; (5) the order-preserving rebuild is a per-doc
+    collect_list + array_sort, memory bounded by document length.
+    Nothing is persisted: both gram passes are codegen recomputes,
+    cheaper than caching 25M string rows ever was.
     """
+    from metastore_spark.dedup.ops import portable_hash60
     from metastore_spark.text.ops import word_tokens
 
     K = 8
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", word_tokens(F.col("text")).alias("toks"))
-    toks.persist()
     n = F.size("toks")
     m = F.greatest(n - F.lit(K - 1), F.lit(0))
     sliced = toks.filter(n >= K).select(
@@ -1171,27 +1184,31 @@ def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.col("start").cast("bigint").alias("start"),
-        F.concat_ws(
-            " ", *[F.col("_z").getField(f"_t{j}") for j in range(K)]
-        ).alias("passage"),
+        portable_hash60(
+            F.concat_ws(
+                " ", *[F.col("_z").getField(f"_t{j}") for j in range(K)]
+            )
+        ).alias("pk"),
     )
-    grams.persist()
     shared = (
-        grams.groupBy("passage")
+        grams.groupBy("pk")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("passage")
+        .select("pk")
     )
-    spans = grams.join(shared, "passage").select("doc_id", "start").distinct()
+    spans = grams.join(shared, "pk").select("doc_id", "start").distinct()
     removed = spans.select(
         "doc_id",
         F.explode(
             F.sequence(F.col("start"), F.col("start") + F.lit(K - 1))
         ).alias("pos"),
     ).distinct()
-    flat = toks.select(
-        "doc_id", F.posexplode("toks").alias("pos", "tok")
-    ).withColumn("pos", F.col("pos").cast("bigint"))
+    affected = removed.select("doc_id").distinct()
+    flat = (
+        toks.join(affected, "doc_id")
+        .select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+        .withColumn("pos", F.col("pos").cast("bigint"))
+    )
     kept = flat.join(removed, ["doc_id", "pos"], "left_anti")
     agg = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
@@ -1203,15 +1220,26 @@ def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned"),
     )
+    aff_flag = affected.withColumn("is_aff", F.lit(True))
     return (
-        toks.select("doc_id", n.cast("bigint").alias("n_tokens"))
+        toks.select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            F.array_join("toks", " ").alias("orig"),
+        )
+        .join(aff_flag, "doc_id", "left")
         .join(agg, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            F.when(F.col("is_aff").isNull(), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
+            )
             .cast("bigint")
             .alias("n_tokens_removed"),
-            F.coalesce("cleaned", F.lit("")).alias("cleaned_text"),
+            F.when(F.col("is_aff").isNull(), F.col("orig"))
+            .otherwise(F.coalesce("cleaned", F.lit("")))
+            .alias("cleaned_text"),
         )
     )

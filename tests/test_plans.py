@@ -396,6 +396,8 @@ def test_hybrid_rrf_legs_are_sort_limit_no_cartesian(spark):
     """Both retrieval legs must be TakeOrderedAndProject (top-k
     prefixes, never a global sort) and the fusion must join prefixes,
     never cross-join corpus frames."""
+    import metastore_spark.queries_search  # noqa: F401
+
     plan = _plan(spark, "search_hybrid_rrf")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
@@ -405,6 +407,8 @@ def test_hybrid_rrf_legs_are_sort_limit_no_cartesian(spark):
 def test_substring_applied_no_cartesian_partial_aggs(spark):
     """The passage ≥2-doc filter must be a partial-agg shuffle (never a
     corpus self-join), and the span/token joins must be equi-joins."""
+    import metastore_spark.queries_dedup  # noqa: F401
+
     plan = _plan(spark, "dedup_substring_applied")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
@@ -418,6 +422,8 @@ def test_ivf_recall_prunes_served_partitions_and_uses_topk_kernel(spark):
     probe lists), and both top-10s must go through the grouped_topk
     Arrow kernel below an exchange (candidates shuffle, not the
     corpus)."""
+    import metastore_spark.queries_similarity  # noqa: F401
+
     plan = _plan(spark, "ann_ivf_recall")
     pf = [
         l
