@@ -1095,7 +1095,9 @@ _SUBSTRING_APPLIED_ORACLE = f"""
       WHERE len(toks) >= 8
     ),
     shared AS (
-      SELECT pk FROM grams GROUP BY pk HAVING COUNT(DISTINCT doc_id) >= 2
+      -- >=2 distinct docs == min(doc) < max(doc); min/max partials are
+      -- two longs per key where a count-distinct partial is a SET
+      SELECT pk FROM grams GROUP BY pk HAVING MIN(doc_id) < MAX(doc_id)
     ),
     spans AS (
       SELECT DISTINCT g.doc_id, g.start
@@ -1119,7 +1121,7 @@ _SUBSTRING_APPLIED_ORACLE = f"""
     ),
     agg AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-             string_agg(tok, ' ' ORDER BY pos) AS cleaned
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
       FROM kept GROUP BY doc_id
     )
     SELECT t.doc_id,
@@ -1127,9 +1129,9 @@ _SUBSTRING_APPLIED_ORACLE = f"""
            CASE WHEN af.doc_id IS NULL THEN CAST(0 AS BIGINT)
                 ELSE CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT)
            END AS n_tokens_removed,
-           CASE WHEN af.doc_id IS NULL THEN array_to_string(t.toks, ' ')
-                ELSE COALESCE(a.cleaned, '')
-           END AS cleaned_text
+           CASE WHEN af.doc_id IS NULL THEN md5(array_to_string(t.toks, ' '))
+                ELSE COALESCE(a.cleaned_md5, md5(''))
+           END AS cleaned_md5
     FROM tk t
     LEFT JOIN affected af ON t.doc_id = af.doc_id
     LEFT JOIN agg a ON t.doc_id = a.doc_id
@@ -1143,8 +1145,11 @@ def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     excised from ALL documents, and each document is rebuilt from its
     surviving tokens in original order — the corpus-rewrite transform
     behind `docs_shared_passages`' detection signal. Output carries
-    before/removed token counts and the cleaned text, all value-hash
-    oracled (the reconstruction string itself is compared).
+    before/removed token counts and the MD5 of each rebuilt document
+    (the digest pins the reconstruction byte-for-byte while keeping
+    the result frame bounded at any SF — a corpus rewrite lands in a
+    store, not the driver; returning 150k full texts OOM'd the sf3
+    collect).
 
     Scale shape, stage by stage: (1) positioned 8-gram stream via
     slice+zip+posexplode — codegen, zero-shuffle — keyed by the
@@ -1191,12 +1196,37 @@ def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pk"),
     )
     shared = (
-        grams.groupBy("pk")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        # "appears in >=2 DISTINCT docs" as min<max: the map-side
+        # partial is two longs per passage key; a count_distinct
+        # partial materializes per-key doc-id sets, which OOM'd the
+        # 1 GiB vanilla heap at sf3 (75M gram keys). The shuffle width
+        # is EXPLICIT for the same reason as _fan_params: the gram key
+        # space is huge but its bytes are small, so AQE coalesces the
+        # reduce side into a handful of fat partitions whose agg hash
+        # maps then exceed small heaps — declared width keeps per-task
+        # key counts bounded at any SF.
+        grams.select("pk", "doc_id")
+        .repartition(
+            grams.sparkSession.sparkContext.defaultParallelism * 8,
+            F.col("pk"),
+        )
+        .groupBy("pk")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") < F.col("hi"))
         .select("pk")
     )
-    spans = grams.join(shared, "pk").select("doc_id", "start").distinct()
+    # same declared width for the flag join, and shuffle-hash with the
+    # (small) shared set as build side: a sort-merge join would sort
+    # the full gram stream inside AQE-coalesced fat partitions
+    spans = (
+        grams.repartition(
+            grams.sparkSession.sparkContext.defaultParallelism * 8,
+            F.col("pk"),
+        )
+        .join(shared.hint("shuffle_hash"), "pk")
+        .select("doc_id", "start")
+        .distinct()
+    )
     removed = spans.select(
         "doc_id",
         F.explode(
@@ -1212,20 +1242,27 @@ def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = flat.join(removed, ["doc_id", "pos"], "left_anti")
     agg = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("cleaned"),
+        # digest computed INSIDE the aggregate: the rebuilt string
+        # exists only transiently per group — full cleaned texts never
+        # sit in a join hash side, an exchange, or the driver collect
+        # (carrying them OOM'd a 1 GiB heap at sf3)
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
     )
     aff_flag = affected.withColumn("is_aff", F.lit(True))
+    empty_md5 = F.md5(F.lit(""))
     return (
         toks.select(
             "doc_id",
             n.cast("bigint").alias("n_tokens"),
-            F.array_join("toks", " ").alias("orig"),
+            F.md5(F.array_join("toks", " ")).alias("orig_md5"),
         )
         .join(aff_flag, "doc_id", "left")
         .join(agg, "doc_id", "left")
@@ -1238,8 +1275,8 @@ def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("n_tokens_removed"),
-            F.when(F.col("is_aff").isNull(), F.col("orig"))
-            .otherwise(F.coalesce("cleaned", F.lit("")))
-            .alias("cleaned_text"),
+            F.when(F.col("is_aff").isNull(), F.col("orig_md5"))
+            .otherwise(F.coalesce("cleaned_md5", empty_md5))
+            .alias("cleaned_md5"),
         )
     )

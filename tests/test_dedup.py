@@ -59,3 +59,36 @@ def test_simhash_hamming(corpus):
     assert got.get((0, 1)) == 0  # identical docs, distance 0
     assert (0, 2) in got  # near dup within 10 bits
     assert (4, 5) not in got
+
+
+def test_substring_applied_rewrite_semantics(spark, tmp_path):
+    """Docs sharing an 8-token run lose exactly the covered positions;
+    untouched docs keep their full token stream (digest of the rebuilt
+    text checked against hand-computed expectations)."""
+    import hashlib
+
+    from metastore_spark.queries import REGISTRY
+    import metastore_spark.queries_dedup  # noqa: F401
+
+    rows = [
+        (0, "a b c d e f g h i j"),            # shares a..h with doc 1
+        (1, "x y a b c d e f g h z"),          # a..h at positions 2..9
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_substring_applied"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[0]["n_tokens_removed"] == 8
+    assert out[0]["cleaned_md5"] == md5("i j")
+    assert out[1]["n_tokens_removed"] == 8
+    assert out[1]["cleaned_md5"] == md5("x y z")
+    assert out[2]["n_tokens_removed"] == 0
+    assert out[2]["cleaned_md5"] == md5(rows[2][1])
