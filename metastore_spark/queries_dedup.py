@@ -1195,6 +1195,9 @@ def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pk"),
     )
+    # one declared width for every gram-keyed exchange: the agg and
+    # the flag join must never land on different shuffle layouts
+    gram_width = grams.sparkSession.sparkContext.defaultParallelism * 8
     shared = (
         # "appears in >=2 DISTINCT docs" as min<max: the map-side
         # partial is two longs per passage key; a count_distinct
@@ -1206,10 +1209,7 @@ def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         # maps then exceed small heaps — declared width keeps per-task
         # key counts bounded at any SF.
         grams.select("pk", "doc_id")
-        .repartition(
-            grams.sparkSession.sparkContext.defaultParallelism * 8,
-            F.col("pk"),
-        )
+        .repartition(gram_width, F.col("pk"))
         .groupBy("pk")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
         .filter(F.col("lo") < F.col("hi"))
@@ -1219,10 +1219,7 @@ def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (small) shared set as build side: a sort-merge join would sort
     # the full gram stream inside AQE-coalesced fat partitions
     spans = (
-        grams.repartition(
-            grams.sparkSession.sparkContext.defaultParallelism * 8,
-            F.col("pk"),
-        )
+        grams.repartition(gram_width, F.col("pk"))
         .join(shared.hint("shuffle_hash"), "pk")
         .select("doc_id", "start")
         .distinct()

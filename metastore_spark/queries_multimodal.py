@@ -346,7 +346,9 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     length derives from documents metadata, the PCM from the id's
     sha256 digest with an amplitude ramp, so DuckDB mirrors every
     sample and the windows are value-hash checked end-to-end. Output
-    cardinality = total signal length / hop; the stage is map-only."""
+    cardinality = total signal length / hop; after the parameter
+    fan-out exchange (_fan_params — a few scalar columns) the codec
+    stage itself is map-only."""
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("asset_id"),
         (F.col("n_chars") % 1000 + 64).cast("bigint").alias("n_samples"),
@@ -368,8 +370,9 @@ def multimodal_audio_codec_windows(
     the SAME SQL as multimodal_audio_windows because the decoded
     samples provably equal synth_pcm — so any codec defect (header
     arithmetic, pad bytes, sign offset, truncation) breaks the
-    value-hash match. Scale: both stages are map-only over the scan;
-    no shuffle, no driver materialization; per-row cost is bounded by
+    value-hash match. Scale: one parameter fan-out exchange
+    (_fan_params, scalar columns only), then both codec stages are
+    map-only; no data shuffle, no driver materialization; per-row cost is bounded by
     n_samples ≤ 1064 × 2 B."""
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("asset_id"),
@@ -431,7 +434,8 @@ def multimodal_video_codec_frames(
     sha256 digest with a per-frame offset + amplitude ramp, so DuckDB
     mirrors every pixel and the means are value-hash-checked (pixel
     sums are integer-exact in float64; /128 is a power-of-two divide).
-    Scale: map-only over the scan, no shuffle; per-row cost bounded by
+    Scale: one parameter fan-out exchange (_fan_params, scalar
+    columns only), then map-only; per-row cost bounded by
     n_frames <= 4 x 128 B planes."""
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("asset_id"),

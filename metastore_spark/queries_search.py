@@ -552,6 +552,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from metastore_spark import similarity as sim
+    from metastore_spark.queries_similarity import _query_vec
 
     idx = _index_for(spark, sf_dir)
     scores = bm25_scores(idx, _Q, {"text": 1.0}, stem=False)
@@ -568,12 +569,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .first()["embedding"]
-    ]
+    qvec = _query_vec(spark, sf_dir, 0)
     vec20 = sim.cosine_topk(emb, qvec, k=20)
     vec = vec20.select(
         F.col("vec_id").alias("doc_id"),

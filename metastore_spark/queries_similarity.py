@@ -118,6 +118,27 @@ _IVF_ORACLE = f"""
     """
 
 
+def _served_ivf8(spark: SparkSession, sf_dir: str):
+    """The ivf8 serving store shared by ann_ivf_topk and
+    ann_ivf_recall: ONE builder for the (tag, source, content)
+    serve.materialized key, so the serving query and its recall eval
+    can never drift onto different index definitions."""
+    import os
+
+    from metastore_spark import serve
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = sim.sampled_centroids(emb, k=8)
+    indexed = serve.materialized(
+        spark,
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        "ivf8",
+        lambda: sim.ivf_assign(emb, centroids),
+        partition_by=["centroid_id"],
+    )
+    return emb, centroids, indexed
+
+
 @query("ann_ivf_topk", oracle=_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF two-stage ANN, value-hash oracled END-TO-END: deterministic
@@ -855,7 +876,8 @@ _IVF_RECALL_ORACLE = f"""
         SELECT q.qid, e.vec_id,
                row_number() OVER (
                  PARTITION BY q.qid
-                 ORDER BY {_cos('e.embedding::DOUBLE[]', 'q.qv')} DESC, e.vec_id
+                 ORDER BY COALESCE({_cos('e.embedding::DOUBLE[]', 'q.qv')},
+                                   -2.0) DESC, e.vec_id
                ) AS rn
         FROM embeddings e CROSS JOIN q
       ) WHERE rn <= 10
@@ -865,7 +887,8 @@ _IVF_RECALL_ORACLE = f"""
         SELECT p.qid, e.vec_id,
                row_number() OVER (
                  PARTITION BY p.qid
-                 ORDER BY {_cos('e.embedding::DOUBLE[]', 'q.qv')} DESC, e.vec_id
+                 ORDER BY COALESCE({_cos('e.embedding::DOUBLE[]', 'q.qv')},
+                                   -2.0) DESC, e.vec_id
                ) AS rn
         FROM embeddings e
         JOIN asg ON e.vec_id = asg.vec_id
@@ -908,20 +931,10 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel-sized frames (≤ 50 rows).
     """
     import math
-    import os
 
-    from metastore_spark import serve
     from metastore_spark.operators.topk import grouped_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    centroids = sim.sampled_centroids(emb, k=8)
-    indexed = serve.materialized(
-        spark,
-        [os.path.join(sf_dir, "embeddings.parquet")],
-        "ivf8",
-        lambda: sim.ivf_assign(emb, centroids),
-        partition_by=["centroid_id"],
-    )
+    emb, centroids, indexed = _served_ivf8(spark, sf_dir)
     qrows = (
         emb.filter(F.col("vec_id") < 5)
         .orderBy("vec_id")
@@ -949,20 +962,39 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_cids = sorted({c for ps in probes.values() for c in ps})
 
     def _cands(src: DataFrame, pruned: bool) -> DataFrame:
-        entries = [
-            F.struct(
-                F.lit(qid).cast("bigint").alias("qid"),
-                sim.cosine_sim_lit(F.col("embedding"), qv).alias("raw"),
-                (
-                    F.col("centroid_id").isin(probes[qid])
-                    if pruned
-                    else F.lit(True)
-                ).alias("ok"),
+        # one norm fold per ROW + unrolled literal dots (the
+        # ann_batch_topk pattern: interpreted HOF folds get no CSE, so
+        # an inline cosine per panel entry would cost panel-size folds
+        # per row); zero-norm rows coalesce to a -2.0 sentinel — ranked
+        # last, never a NULL order key for the top-k kernel — mirrored
+        # in the oracle
+        keep = ["centroid_id"] if pruned else []
+        normed = src.select(
+            "vec_id", "embedding", *keep,
+            sim._norm(F.col("embedding")).alias("_nrm"),
+        )
+        entries = []
+        for qid, qv in qvecs:
+            qnorm = math.sqrt(sum(x * x for x in qv))
+            raw = F.coalesce(
+                sim._dot_lit_unrolled(F.col("embedding"), qv)
+                / (F.col("_nrm") * F.lit(qnorm)),
+                F.lit(-2.0),
             )
-            for qid, qv in qvecs
-        ]
+            ok = (
+                F.col("centroid_id").isin(probes[qid])
+                if pruned
+                else F.lit(True)
+            )
+            entries.append(
+                F.struct(
+                    F.lit(qid).cast("bigint").alias("qid"),
+                    raw.alias("raw"),
+                    ok.alias("ok"),
+                )
+            )
         return (
-            src.select(
+            normed.select(
                 "vec_id",
                 F.explode(
                     F.filter(F.array(*entries), lambda e: e["ok"])

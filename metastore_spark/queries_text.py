@@ -1193,8 +1193,8 @@ def docs_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_TRAINER_ORACLE = """
-    WITH words AS (
+_BPE_MERGE_CTES = """
+    words AS (
       SELECT t.word, CAST(COUNT(*) AS BIGINT) AS freq
       FROM (
         SELECT unnest(list_filter(
@@ -1239,6 +1239,10 @@ _BPE_TRAINER_ORACLE = """
       GROUP BY 1
     ),
     b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1)
+"""
+
+_BPE_TRAINER_ORACLE = f"""
+    WITH {_BPE_MERGE_CTES.strip()}
     SELECT 1 AS round, pair AS merge_pair, cnt FROM b1
     UNION ALL
     SELECT 2 AS round, pair AS merge_pair, cnt FROM b2
@@ -1326,52 +1330,8 @@ def _learn_bpe_merges(
     return merges
 
 
-_BPE_ENCODE_ORACLE = """
-    WITH words AS (
-      SELECT t.word, CAST(COUNT(*) AS BIGINT) AS freq
-      FROM (
-        SELECT unnest(list_filter(
-                 string_split_regex(lower(text), '[^a-z0-9]+'),
-                 w -> w <> '')) AS word
-        FROM documents
-      ) t GROUP BY 1
-    ),
-    rep0 AS (
-      SELECT '|' || array_to_string(
-               list_transform(range(length(word)),
-                              i -> substr(word, i + 1, 1)), '|') AS r,
-             freq
-      FROM words
-    ),
-    s1 AS (
-      SELECT list_filter(string_split(r, '|'), x -> x <> '') AS s, freq
-      FROM rep0
-    ),
-    p1 AS (
-      SELECT p.pair, CAST(SUM(freq) AS BIGINT) AS cnt
-      FROM s1, UNNEST(list_transform(range(1, len(s)),
-                                     i -> s[i] || ' ' || s[i+1])) AS p(pair)
-      GROUP BY 1
-    ),
-    b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-    rep1 AS (
-      SELECT replace(r,
-               '|' || replace((SELECT pair FROM b1), ' ', '|'),
-               '|' || replace((SELECT pair FROM b1), ' ', '')) AS r,
-             freq
-      FROM rep0
-    ),
-    s2 AS (
-      SELECT list_filter(string_split(r, '|'), x -> x <> '') AS s, freq
-      FROM rep1
-    ),
-    p2 AS (
-      SELECT p.pair, CAST(SUM(freq) AS BIGINT) AS cnt
-      FROM s2, UNNEST(list_transform(range(1, len(s)),
-                                     i -> s[i] || ' ' || s[i+1])) AS p(pair)
-      GROUP BY 1
-    ),
-    b2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+_BPE_ENCODE_ORACLE = f"""
+    WITH {_BPE_MERGE_CTES.strip()},
     dw AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -455,7 +455,12 @@ def test_media_param_fanout_survives_aqe(spark):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # explicit numPartitions on the repartition node — the form AQE
-    # cannot coalesce (a bare column repartition would print no count)
+    # cannot coalesce (a bare column repartition would print no count);
+    # the count is anchored to the repartition node itself so an
+    # unrelated bracketed list cannot satisfy the assertion
+    import re
+
     n = spark.sparkContext.defaultParallelism
-    assert f"RepartitionByExpression [media_id" in plan, plan
-    assert f"], {n}" in plan, plan
+    assert re.search(
+        rf"RepartitionByExpression \[media_id[^\]]*\], {n}\b", plan
+    ), plan
