@@ -122,6 +122,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "dedup_substring_applied",
     "docs_bpe_encode",
+    "docs_training_shards",
 ]
 
 

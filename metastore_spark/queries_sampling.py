@@ -284,3 +284,55 @@ def docs_mixture_temperature_weights(
         )
         .orderBy("source")
     )
+
+
+def _training_shards_oracle() -> str:
+    from metastore_spark.queries_dedup import _ph60
+
+    return f"""
+    SELECT CAST({_ph60("CAST(doc_id AS VARCHAR)")} % 64 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'),
+                  t -> t <> ''))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard
+    """
+
+
+@query("docs_training_shards", oracle=_training_shards_oracle())
+def docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: every document lands in
+    shard = portable_hash60(doc_id) % 64 — content-independent,
+    partition-layout-independent, reproducible across engines and
+    re-runs (the property a training corpus needs so that resuming,
+    re-sharding workers, or regenerating the corpus never reshuffles
+    which examples a worker sees). Emits per-shard document and token
+    counts — the balance report that decides whether 64 shards feed
+    64 data-loader workers evenly (hash sharding bounds skew at
+    ~1/sqrt(docs/shards) relative).
+
+    Scale shape: one scan computing (shard, token count) per row in
+    codegen, one partial-agg shuffle carrying 64 groups. The shard
+    column is exactly what a production writer passes to
+    partitionBy(): the assignment IS the layout, so this query also
+    documents the write path."""
+    from metastore_spark.dedup.ops import portable_hash60
+    from metastore_spark.text.ops import word_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            (portable_hash60(F.col("doc_id").cast("string")) % 64)
+            .cast("bigint")
+            .alias("shard"),
+            F.size(word_tokens(F.col("text"))).alias("nt"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
