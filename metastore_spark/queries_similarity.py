@@ -962,23 +962,20 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_cids = sorted({c for ps in probes.values() for c in ps})
 
     def _cands(src: DataFrame, pruned: bool) -> DataFrame:
-        # one norm fold per ROW + unrolled literal dots (the
-        # ann_batch_topk pattern: interpreted HOF folds get no CSE, so
-        # an inline cosine per panel entry would cost panel-size folds
-        # per row); zero-norm rows coalesce to a -2.0 sentinel — ranked
-        # last, never a NULL order key for the top-k kernel — mirrored
-        # in the oracle
+        # fold-form cosine per panel entry, NOT the unrolled literal
+        # chain: a 5-query × 64-dim unrolled expression costs ~1300
+        # driver-side Column constructions (py4j round trips) — 4.7 s
+        # of PLAN BUILD measured at any SF, dwarfing the ~0.05 s of
+        # executor time the unrolling saves on this panel size.
+        # Zero-norm rows coalesce to a -2.0 sentinel — ranked last,
+        # never a NULL order key for the top-k kernel — mirrored in
+        # the oracle.
         keep = ["centroid_id"] if pruned else []
-        normed = src.select(
-            "vec_id", "embedding", *keep,
-            sim._norm(F.col("embedding")).alias("_nrm"),
-        )
+        normed = src.select("vec_id", "embedding", *keep)
         entries = []
         for qid, qv in qvecs:
-            qnorm = math.sqrt(sum(x * x for x in qv))
             raw = F.coalesce(
-                sim._dot_lit_unrolled(F.col("embedding"), qv)
-                / (F.col("_nrm") * F.lit(qnorm)),
+                sim.cosine_sim_lit(F.col("embedding"), qv),
                 F.lit(-2.0),
             )
             ok = (
