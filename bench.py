@@ -123,6 +123,7 @@ HEADLINE = [
     "dedup_substring_applied",
     "docs_bpe_encode",
     "docs_training_shards",
+    "multimodal_resize_grid",
 ]
 
 

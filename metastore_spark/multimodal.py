@@ -309,10 +309,17 @@ def _decode_pixels(content: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, raw pixels) via the same magic
     dispatch as _decode_one — PNG decodes for real, the synthetic
     format's payload IS its 1-channel pixel buffer."""
-    from metastore_spark.codecs import PNG_MAGIC, png_decode
+    from metastore_spark.codecs import (
+        JPEG_MAGIC,
+        PNG_MAGIC,
+        jpeg_decode,
+        png_decode,
+    )
 
     if content[: len(PNG_MAGIC)] == PNG_MAGIC:
         return png_decode(content)
+    if content[: len(JPEG_MAGIC)] == JPEG_MAGIC:
+        return jpeg_decode(content)
     if content[: len(_MAGIC)] == _MAGIC:
         width, height = struct.unpack_from("<II", content, len(_MAGIC))
         return width, height, 1, content[len(_MAGIC) + 8 :]

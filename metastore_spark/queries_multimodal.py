@@ -449,3 +449,99 @@ def multimodal_video_codec_frames(
     return mm.decode_video_frame_features(
         mm.synthesize_video(d, width=16, height=8)
     )
+
+
+_RESIZE_GRID_ORACLE = """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 1 THEN 'png'
+                  WHEN doc_id % 3 = 2 THEN 'jpeg'
+                  ELSE 'synth' END AS fmt,
+             CASE WHEN doc_id % 3 = 2
+                  THEN CAST(16 + (doc_id % 4) * 8 AS INT)
+                  ELSE CAST(16 + doc_id % 32 AS INT) END AS w,
+             CASE WHEN doc_id % 3 = 2
+                  THEN CAST(16 + ((doc_id * 3) % 4) * 8 AS INT)
+                  ELSE CAST(16 + (doc_id * 7) % 32 AS INT) END AS h
+      FROM documents
+    ),
+    hx AS (
+      SELECT media_id, fmt, w, h,
+             sha256(CAST(media_id AS VARCHAR)) AS hex
+      FROM d
+    ),
+    bytes AS (
+      SELECT media_id, fmt, w, h,
+        list_transform(range(32), i ->
+          (CASE WHEN ord(substr(hex, 2*i+1, 1)) < 58
+                THEN ord(substr(hex, 2*i+1, 1)) - 48
+                ELSE ord(substr(hex, 2*i+1, 1)) - 87 END) * 16
+          + CASE WHEN ord(substr(hex, 2*i+2, 1)) < 58
+                 THEN ord(substr(hex, 2*i+2, 1)) - 48
+                 ELSE ord(substr(hex, 2*i+2, 1)) - 87 END
+        ) AS bv
+      FROM hx
+    ),
+    grid AS (
+      SELECT b.media_id, b.fmt,
+             CASE WHEN b.fmt = 'jpeg'
+               THEN b.bv[((((u.i // 8) * b.h // 8) // 8) * (b.w // 8)
+                          + ((u.i % 8) * b.w // 8) // 8) % 32 + 1]
+               ELSE b.bv[(((u.i // 8) * b.h // 8) * b.w
+                          + ((u.i % 8) * b.w // 8)) % 32 + 1]
+             END AS px
+      FROM bytes b, UNNEST(range(64)) u(i)
+    )
+    SELECT media_id, fmt,
+           SUM(px) / 64.0 AS mean_resized
+    FROM grid
+    GROUP BY media_id, fmt
+    """
+
+
+@query("multimodal_resize_grid", oracle=_RESIZE_GRID_ORACLE)
+def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIZE kernel, value-hash-oracled end-to-end: tri-format media
+    (real PNG / real baseline JPEG / synthetic — same corpus rule as
+    `multimodal_decode_features`) is decoded, nearest-neighbor
+    resampled to an 8×8 thumbnail grid in numpy, re-encoded as PNG
+    (`multimodal.resize_media`), and the thumbnails decoded AGAIN for
+    their mean intensity. The oracle computes each thumbnail's mean
+    straight from the deterministic payload: the nearest-neighbor
+    gather index math ((y*h0)//8 row, (x*w0)//8 col, tile lookup for
+    the block-flat JPEG payload) is mirrored in SQL, so a bug in
+    either decode, the resample indexing, OR the re-encode round-trip
+    flips the hash. The mean is emitted UNROUNDED — an integer pixel
+    sum divided by 2^6 is exact in float64 on both engines (the video
+    oracle's lesson).
+
+    Scale shape: parameter fan-out (_fan_params) then three map-only
+    Arrow stages (synthesize → resize → decode); no shuffle touches
+    media bytes, and the thumbnail stage is the standard
+    vision-pipeline preprocessing step (decode+resize+featurize in
+    one pass over object-store bytes)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("png"))
+        .when(F.col("doc_id") % 3 == 2, F.lit("jpeg"))
+        .otherwise(F.lit("synth"))
+        .alias("fmt"),
+        F.when(
+            F.col("doc_id") % 3 == 2, 16 + (F.col("doc_id") % 4) * 8
+        )
+        .otherwise(16 + F.col("doc_id") % 32)
+        .cast("int")
+        .alias("w"),
+        F.when(
+            F.col("doc_id") % 3 == 2, 16 + ((F.col("doc_id") * 3) % 4) * 8
+        )
+        .otherwise(16 + (F.col("doc_id") * 7) % 32)
+        .cast("int")
+        .alias("h"),
+    )
+    media = mm.synthesize_media(d, fmt_col="fmt")
+    thumbs = mm.resize_media(media, 8, 8)
+    feats = mm.decode_image_features(thumbs)
+    return feats.join(d.select("media_id", "fmt"), "media_id").select(
+        "media_id", "fmt", F.col("mean_intensity").alias("mean_resized")
+    )
