@@ -124,6 +124,7 @@ HEADLINE = [
     "docs_bpe_encode",
     "docs_training_shards",
     "multimodal_resize_grid",
+    "docs_winnowing_fingerprints",
 ]
 
 

@@ -1429,3 +1429,112 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_merged.alias("n_merged"),
         (F.col("n_chars") - n_merged).alias("n_bpe_tokens"),
     )
+
+
+def _winnowing_oracle(k: int = 8, w: int = 4) -> str:
+    from metastore_spark.queries_dedup import _ph60
+
+    mod = 1 << 31
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    hs AS (
+      SELECT doc_id, len(toks) AS n,
+             list_transform(toks, t -> {_ph60('t')} % {mod}) AS hv
+      FROM tk
+    ),
+    gh AS (
+      SELECT doc_id, n,
+             CASE WHEN n >= {k}
+               THEN list_transform(range(n - {k} + 1), g ->
+                      list_reduce(hv[g+1:g+{k}],
+                                  (a, h) -> (a * 1000003 + h) % {mod}))
+               ELSE CAST([] AS BIGINT[]) END AS gh
+      FROM hs
+    ),
+    sel AS (
+      SELECT doc_id,
+             CAST(len(gh) AS BIGINT) AS n_grams,
+             CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(gh) < {w} THEN [list_min(gh)]
+                  ELSE list_distinct(list_transform(range(len(gh) - {w} + 1),
+                         j -> list_min(gh[j+1:j+{w}])))
+             END AS fps
+      FROM gh
+    )
+    SELECT doc_id, n_grams,
+           CAST(len(fps) AS BIGINT)                  AS n_fingerprints,
+           CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_checksum
+    FROM sel
+    """
+
+
+@query("docs_winnowing_fingerprints", oracle=_winnowing_oracle())
+def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    public algorithm): polynomial rolling hash over every 8-token gram,
+    then the minimum of each 4-gram sliding window, deduplicated — the
+    sparse deterministic fingerprint SET whose guarantee (any shared
+    run of ≥ k+w−1 tokens shares ≥ 1 fingerprint) underlies
+    plagiarism/attribution matching at a fraction of full-shingle
+    cost. Per doc: gram count, selected-fingerprint count, and the
+    exact integer checksum of the selected set, all value-hash-oracled
+    — the hash chain (portable ph60 token hashes pre-reduced mod 2³¹,
+    left-fold ×1000003) is mirrored step-for-step in DuckDB, so both
+    engines select identical fingerprint VALUES (the min-of-window
+    set is tie-rule-independent even though positions aren't).
+
+    Scale shape: everything happens inside the row's own arrays
+    (transform/slice/aggregate — codegen, zero shuffle, map-only
+    except the scan): the winnowed set is ~2/(w+1) of gram count, and
+    a downstream matcher joins on the sparse fingerprints instead of
+    every shingle — same structure as `docs_shared_passages`, ~75%
+    less join input at these parameters."""
+    from metastore_spark.dedup.ops import portable_hash60
+
+    K, W, MOD, BASE = 8, 4, 1 << 31, 1000003
+    d = _t(spark, sf_dir, "documents")
+    toks = ops.word_tokens(F.col("text"))
+    n = F.size(toks)
+    hv = F.transform(toks, lambda t: portable_hash60(t) % F.lit(MOD))
+    gram = lambda hs, g: F.aggregate(  # noqa: E731
+        F.slice(hs, g + 1, K),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * BASE + h) % F.lit(MOD),
+    )
+    base = d.select(
+        "doc_id",
+        F.when(
+            n >= K,
+            F.transform(
+                F.sequence(F.lit(0), n - K), lambda g: gram(hv, g)
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("gh"),
+    )
+    m = F.size("gh")
+    fps = (
+        F.when(m == 0, F.array().cast("array<bigint>"))
+        .when(m < W, F.array(F.array_min("gh")))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), m - W),
+                    lambda j: F.array_min(F.slice("gh", j + 1, W)),
+                )
+            )
+        )
+    )
+    return base.select(
+        "doc_id",
+        m.cast("bigint").alias("n_grams"),
+        F.size(fps).cast("bigint").alias("n_fingerprints"),
+        F.aggregate(
+            fps, F.lit(0).cast("bigint"), lambda a, h: a + h
+        ).alias("fp_checksum"),
+    )
