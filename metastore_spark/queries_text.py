@@ -1488,12 +1488,17 @@ def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines select identical fingerprint VALUES (the min-of-window
     set is tie-rule-independent even though positions aren't).
 
-    Scale shape: everything happens inside the row's own arrays
-    (transform/slice/aggregate — codegen, zero shuffle, map-only
-    except the scan): the winnowed set is ~2/(w+1) of gram count, and
-    a downstream matcher joins on the sparse fingerprints instead of
-    every shingle — same structure as `docs_shared_passages`, ~75%
-    less join input at these parameters."""
+    Scale shape: everything happens inside the row's own arrays,
+    map-only except the scan — and the gram chain is built from K−1
+    elementwise zip_with passes over SHIFTED arrays, not a per-gram
+    aggregate-over-slice (the naive nested fold allocates a fresh
+    K-slice per gram and ran 20 s at sf0.1; the shifted-zip form is
+    the hash-chain analogue of dedup.ops.shingle_stream's lesson and
+    runs in ~1 s for identical values). The winnowed set is ~2/(w+1)
+    of gram count, and a downstream matcher joins on the sparse
+    fingerprints instead of every shingle — same structure as
+    `docs_shared_passages`, ~75% less join input at these
+    parameters."""
     from metastore_spark.dedup.ops import portable_hash60
 
     K, W, MOD, BASE = 8, 4, 1 << 31, 1000003
@@ -1501,34 +1506,32 @@ def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = ops.word_tokens(F.col("text"))
     n = F.size(toks)
     hv = F.transform(toks, lambda t: portable_hash60(t) % F.lit(MOD))
-    gram = lambda hs, g: F.aggregate(  # noqa: E731
-        F.slice(hs, g + 1, K),
-        F.lit(0).cast("bigint"),
-        lambda acc, h: (acc * BASE + h) % F.lit(MOD),
+
+    def chain(arr, width, step):
+        # left fold over `width` SHIFTED views: width-1 elementwise
+        # zip_with passes, no per-position slicing
+        g = F.greatest(F.size(arr) - F.lit(width - 1), F.lit(0))
+        shifted = [F.slice(arr, j + 1, g) for j in range(width)]
+        acc = shifted[0]
+        for s in shifted[1:]:
+            acc = F.zip_with(acc, s, step)
+        return acc
+
+    gram_chain = chain(
+        hv, K, lambda a, h: (a * BASE + h) % F.lit(MOD)
     )
     base = d.select(
         "doc_id",
-        F.when(
-            n >= K,
-            F.transform(
-                F.sequence(F.lit(0), n - K), lambda g: gram(hv, g)
-            ),
-        )
+        F.when(n >= K, gram_chain)
         .otherwise(F.array().cast("array<bigint>"))
         .alias("gh"),
     )
     m = F.size("gh")
+    windowed = chain(F.col("gh"), W, lambda a, b: F.least(a, b))
     fps = (
         F.when(m == 0, F.array().cast("array<bigint>"))
         .when(m < W, F.array(F.array_min("gh")))
-        .otherwise(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), m - W),
-                    lambda j: F.array_min(F.slice("gh", j + 1, W)),
-                )
-            )
-        )
+        .otherwise(F.array_distinct(windowed))
     )
     return base.select(
         "doc_id",
