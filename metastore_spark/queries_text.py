@@ -1517,12 +1517,18 @@ def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = F.zip_with(acc, s, step)
         return acc
 
+    # materialize hv as a COLUMN before chaining: HOF expressions get
+    # no common-subexpression elimination, so chaining over the raw
+    # transform would re-run the per-token ph60 pass once per shifted
+    # view (measured 4.3 s vs 0.5 s at sf0.1 — the same lesson
+    # dedup.ops.shingle_stream documents for token arrays)
+    hvdf = d.select("doc_id", n.alias("n"), hv.alias("hv"))
     gram_chain = chain(
-        hv, K, lambda a, h: (a * BASE + h) % F.lit(MOD)
+        F.col("hv"), K, lambda a, h: (a * BASE + h) % F.lit(MOD)
     )
-    base = d.select(
+    base = hvdf.select(
         "doc_id",
-        F.when(n >= K, gram_chain)
+        F.when(F.col("n") >= K, gram_chain)
         .otherwise(F.array().cast("array<bigint>"))
         .alias("gh"),
     )
