@@ -645,3 +645,63 @@ def ann_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(index_root, ignore_errors=True)
+
+
+@query("ann_stream_ivf_compacted", oracle=_stream_ivf_oracle())
+def ann_stream_ivf_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming-ANN maintenance lifecycle, probed THROUGH
+    the manifest (VERDICT r5 task 3 — the compaction cutover is now
+    end-to-end, not caller-side): micro-batched ingest of 3/4 of the
+    corpus → `compact_index` with an INJECTED CRASH between the
+    manifest swap and the batch-dir retire (the folded dirs linger on
+    disk; the manifest must keep reads single-counted) → the remaining
+    quarter arrives and drains from the same checkpoint (the
+    post-compaction ingest tail) → `retire_folded` finishes the
+    crashed GC → the SAME top-10 probe as ann_ivf_topk runs against
+    `read_index` (compacted generation ∪ tail union) and must equal
+    the batch-built index's answer — the oracle reproduces it stage by
+    stage over the whole corpus, so any double-count from the crash
+    window, any row lost in the cutover, or any tail batch missed by
+    the union breaks the hash.
+
+    At 100 TB this is the serving story: ingest never pauses,
+    compaction cuts over atomically via a pointer file, readers prune
+    to nprobe centroid dirs in the generation plus a short batch tail,
+    and GC is idempotent after any crash."""
+    import shutil
+    import tempfile
+
+    from metastore_spark import similarity as sim
+    from metastore_spark.catalog import load_table
+    from metastore_spark.queries_similarity import _query_vec
+    from metastore_spark.streaming.ivf import (
+        compact_index,
+        ivf_ingest_stream,
+        read_index,
+        retire_folded,
+    )
+
+    src = tempfile.mkdtemp(prefix="ivfc_src_")
+    index_root = tempfile.mkdtemp(prefix="ivfc_index_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = sim.sampled_centroids(emb, k=8)
+        head = emb.filter(F.pmod(F.col("vec_id"), F.lit(4)) != 3)
+        tail = emb.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 3)
+        head.repartition(3).write.mode("overwrite").parquet(src)
+        ivf_ingest_stream(spark, src, index_root, centroids)
+        compact_index(spark, index_root, _crash_after_manifest=True)
+        tail.repartition(1).write.mode("append").parquet(src)
+        ivf_ingest_stream(spark, src, index_root, centroids)
+        retire_folded(index_root)
+        indexed = read_index(spark, index_root).select(
+            "vec_id", "embedding",
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+        )
+        qvec = _query_vec(spark, sf_dir, 0)
+        out = sim.ivf_topk(indexed, centroids, qvec, k=10, nprobe=3)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(index_root, ignore_errors=True)

@@ -31,11 +31,19 @@ discipline as layout.py).
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
 from metastore_spark.similarity import ivf_assign
+
+#: manifest file name — underscore-prefixed so Spark's parquet file
+#: listing ignores it (same convention as _checkpoint/_SUCCESS).
+_MANIFEST = "_MANIFEST.json"
 
 
 def apply_ivf_batch(
@@ -96,51 +104,182 @@ def ivf_ingest_stream(
     return index_root
 
 
+def read_manifest(index_root: str) -> dict | None:
+    """Load the store's manifest, or None for a store that has never
+    been compacted (pure per-batch layout)."""
+    try:
+        with open(os.path.join(index_root, _MANIFEST)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        # a torn manifest is impossible under the tmp+rename protocol;
+        # JSONDecodeError here means an empty store being initialized
+        return None
+
+
+def _write_manifest(index_root: str, man: dict) -> None:
+    """Atomic manifest swap: write-to-scratch then os.rename — readers
+    see the old pointer or the new one, never a partial file."""
+    tmp = os.path.join(
+        index_root, f".{_MANIFEST}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, os.path.join(index_root, _MANIFEST))
+
+
+def _live_batch_dirs(index_root: str, folded: set[str]) -> list[str]:
+    """Batch directories the manifest has NOT folded into a compacted
+    generation — the post-compaction ingest tail."""
+    return sorted(
+        os.path.join(index_root, d)
+        for d in os.listdir(index_root)
+        if d.startswith("batch=") and d not in folded
+    )
+
+
+def read_index(spark: SparkSession, index_root: str) -> DataFrame:
+    """THE read path for a maintained IVF store: resolve through the
+    manifest — current compacted generation UNION the batch dirs
+    ingested since that generation was cut. Probes filter on
+    ``centroid_id``; the predicate prunes to nprobe partition
+    directories in every unioned scan.
+
+    Correctness across the compaction race: ``folded_batches`` in the
+    manifest names exactly the batch dirs whose rows the compacted
+    generation contains, so a crash AFTER the manifest swap but BEFORE
+    the folded dirs are retired cannot double-count — the reader skips
+    folded dirs whether or not they still exist on disk."""
+    man = read_manifest(index_root)
+    folded = set(man["folded_batches"]) if man else set()
+    parts = []
+    if man is not None:
+        parts.append(
+            spark.read.parquet(os.path.join(index_root, man["compacted_root"]))
+        )
+    for d in _live_batch_dirs(index_root, folded):
+        parts.append(spark.read.parquet(d))
+    if not parts:
+        raise FileNotFoundError(f"empty IVF store at {index_root}")
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _owner_alive(name: str, marker: str) -> bool:
+    """True when ``name`` embeds ``<marker><pid>...`` of a live process
+    (same hands-off discipline as layout.py's scratch sweep,
+    layout.py:459-469)."""
+    pid_str = name.rpartition(marker)[2].split("-", 1)[0]
+    if not pid_str.isdigit():
+        return False
+    try:
+        os.kill(int(pid_str), 0)
+        return True  # owner alive: its build/swap is in flight
+    except ProcessLookupError:
+        return False  # dead owner — safe to reclaim
+    except PermissionError:
+        return True  # alive under another uid — hands off
+
+
+def retire_folded(index_root: str) -> None:
+    """Garbage-collect everything the current manifest supersedes:
+    folded batch dirs, non-current ``_gen=*`` generations, and dead
+    writers' scratch. Idempotent and crash-safe — it only ever deletes
+    state the manifest already excludes from reads, so running it
+    after a crash (or concurrently with readers) is always safe. A
+    scratch dir whose owning pid is still alive is a CONCURRENT
+    compaction in flight and is left alone."""
+    man = read_manifest(index_root)
+    if man is None:
+        return
+    folded = set(man["folded_batches"])
+    current = man["compacted_root"]
+    for d in os.listdir(index_root):
+        p = os.path.join(index_root, d)
+        if d in folded:
+            shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith("_gen=") and d != current:
+            if ".tmp-" in d and _owner_alive(d, ".tmp-"):
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith(f".{_MANIFEST}.tmp-") and not _owner_alive(
+            d, ".tmp-"
+        ):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+
 def compact_index(
     spark: SparkSession,
     index_root: str,
     target_partitions_per_centroid: int = 1,
+    _crash_after_manifest: bool = False,
 ) -> str:
     """Compact the per-batch index layout (``batch=*/centroid_id=*/``,
-    one small file per batch per centroid) into consolidated centroid
-    partitions (``centroid_id=*/``) — the background maintenance job
-    streaming ingest needs at scale, where thousands of micro-batches
-    would otherwise mean thousands of tiny files per probe.
+    one small file per batch per centroid) into a consolidated
+    generation (``_gen=<n>/centroid_id=*/``) and CUT READERS OVER —
+    the background maintenance job streaming ingest needs at scale,
+    where thousands of micro-batches would otherwise mean thousands of
+    tiny files per probe.
 
-    Protocol (same atomic discipline as layout.py/serve.py): the
-    compacted layout builds in a process-private ``.compact-<pid>``
-    scratch dir and os.renames into ``<index_root>.compacted``;
-    readers either see the old generation or the complete new one,
-    never a half-written mix. The source batch dirs are left intact —
-    the CALLER retires them after cutting readers over (in production
-    the manifest swap and the retire are one transaction; here the
-    two roots make the swap observable for tests).
+    End-to-end protocol (closes the round-5 caller-side gap):
 
-    Returns the compacted root. Reading it yields the identical rows
-    as reading ``index_root`` (pytest-asserted), with
-    ``target_partitions_per_centroid`` files per centroid instead of
-    one per (batch, centroid).
+    1. snapshot the manifest + live batch dirs; read everything
+       through `read_index` (so repeated compactions fold the previous
+       generation in, not just raw batches);
+    2. build generation ``n`` in a process-private
+       ``_gen=<n>.tmp-<pid>-<uuid>`` scratch, then os.rename it to
+       ``_gen=<n>`` (atomic publish of a complete directory);
+    3. swap the manifest (tmp+rename) to point at ``_gen=<n>`` with
+       ``folded_batches`` = previous folds + the snapshotted dirs —
+       from this instant `read_index` serves the new generation plus
+       only the ingest tail;
+    4. retire the folded batch dirs and the previous generation
+       (`retire_folded` — idempotent, pid-liveness-checked, safe to
+       re-run after a crash anywhere in this sequence).
+
+    A crash before (3) leaves the old manifest serving the old state;
+    a crash after (3) leaves extra directories the manifest already
+    excludes — `_crash_after_manifest` injects exactly that window for
+    tests/test_crash_recovery.py. Batches ingested DURING the
+    compaction are not in the snapshot, stay un-folded, and remain
+    visible through the union — no ingest/compact coordination needed.
     """
-    import shutil
+    man = read_manifest(index_root)
+    gen = (man["generation"] + 1) if man else 0
+    prev_folds = set(man["folded_batches"]) if man else set()
+    snapshot = [
+        os.path.basename(p) for p in _live_batch_dirs(index_root, prev_folds)
+    ]
+    df = read_index(spark, index_root)
 
-    dest = f"{index_root}.compacted"
-    tmp = f"{dest}.compact-{os.getpid()}"
-    df = spark.read.parquet(index_root).drop("batch")
+    gen_name = f"_gen={gen}"
+    tmp = os.path.join(
+        index_root, f"{gen_name}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
     (
         df.repartition(target_partitions_per_centroid, "centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(tmp)
     )
-    if os.path.exists(dest):
-        trash = f"{dest}.old-{os.getpid()}"
-        try:
-            os.rename(dest, trash)
-            shutil.rmtree(trash, ignore_errors=True)
-        except OSError:
-            pass
+    dest = os.path.join(index_root, gen_name)
     try:
         os.rename(tmp, dest)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
-    return dest
+        return index_root
+    _write_manifest(
+        index_root,
+        {
+            "generation": gen,
+            "compacted_root": gen_name,
+            "folded_batches": sorted(prev_folds | set(snapshot)),
+        },
+    )
+    if _crash_after_manifest:
+        return index_root  # test hook: die between swap and retire
+    retire_folded(index_root)
+    return index_root

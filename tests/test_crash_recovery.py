@@ -204,3 +204,61 @@ def test_rewrite_cells_spares_live_concurrent_scratch(spark, tmp_path):
         peer.kill()
         peer.wait()
         shutil.rmtree(live_scratch, ignore_errors=True)
+
+
+def test_ivf_compaction_crash_between_swap_and_retire(spark, tmp_path):
+    """Kill the compactor AFTER the manifest swap but BEFORE the
+    folded batch dirs are retired (the exact round-5 gap window):
+    the manifest must keep reads single-counted while the superseded
+    dirs linger, and `retire_folded` must finish the job without
+    touching a live peer's in-flight scratch."""
+    from metastore_spark.streaming.ivf import (
+        apply_ivf_batch,
+        compact_index,
+        read_index,
+        read_manifest,
+        retire_folded,
+    )
+
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, [float(i % 3), float((i + 1) % 2)]) for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    root = str(tmp_path / "ivf")
+    for b in range(3):
+        apply_ivf_batch(df.filter(f"vec_id % 3 = {b}"), b, root, centroids)
+
+    def rows_of():
+        return sorted(
+            (int(r["vec_id"]), int(r["centroid_id"]))
+            for r in read_index(spark, root).collect()
+        )
+
+    truth = rows_of()
+    compact_index(spark, root, _crash_after_manifest=True)
+
+    # crash window: manifest points at _gen=0, folded dirs still on
+    # disk — reads must NOT double-count them
+    assert read_manifest(root)["generation"] == 0
+    assert [d for d in os.listdir(root) if d.startswith("batch=")]
+    assert rows_of() == truth
+
+    # a live peer's scratch generation must survive the GC sweep;
+    # a dead writer's scratch must not
+    peer = subprocess.Popen(["sleep", "60"])
+    live_scratch = os.path.join(root, f"_gen=1.tmp-{peer.pid}-abcd1234")
+    os.makedirs(live_scratch)
+    reaped = subprocess.Popen(["true"])
+    reaped.wait()
+    dead_scratch = os.path.join(root, f"_gen=1.tmp-{reaped.pid}-deadbeef")
+    os.makedirs(dead_scratch)
+
+    try:
+        retire_folded(root)
+        assert not [d for d in os.listdir(root) if d.startswith("batch=")]
+        assert os.path.exists(live_scratch)
+        assert not os.path.exists(dead_scratch)
+        assert rows_of() == truth
+    finally:
+        peer.kill()
+        peer.wait()
+        shutil.rmtree(live_scratch, ignore_errors=True)

@@ -552,13 +552,20 @@ def test_ivf_ingest_replay_and_batching_invariance(spark, tmp_path):
     assert before == batch_truth
 
 
-def test_ivf_compaction_preserves_rows_and_consolidates_files(spark, tmp_path):
-    """compact_index must serve byte-identical assignments from a
-    consolidated centroid_id=* layout (no batch axis), atomically."""
+def test_ivf_compaction_cutover_end_to_end(spark, tmp_path):
+    """compact_index must cut readers over through the manifest:
+    identical rows before/after, consolidated centroid_id=* layout,
+    folded batch dirs retired, post-compaction ingest tail visible
+    through the union, repeat compaction folds the previous
+    generation (VERDICT r5 task 3)."""
     import os
 
-    from metastore_spark.similarity import ivf_assign
-    from metastore_spark.streaming.ivf import apply_ivf_batch, compact_index
+    from metastore_spark.streaming.ivf import (
+        apply_ivf_batch,
+        compact_index,
+        read_index,
+        read_manifest,
+    )
 
     centroids = [[1.0, 0.0], [0.0, 1.0]]
     rows = [(i, [float(i % 3), float((i + 1) % 2)]) for i in range(20)]
@@ -567,26 +574,43 @@ def test_ivf_compaction_preserves_rows_and_consolidates_files(spark, tmp_path):
     for b in range(4):
         apply_ivf_batch(df.filter(f"vec_id % 4 = {b}"), b, root, centroids)
 
-    compacted = compact_index(spark, root)
-
-    def rows_of(path):
+    def rows_of():
         return sorted(
             (int(r["vec_id"]), int(r["centroid_id"]))
-            for r in spark.read.parquet(path).collect()
+            for r in read_index(spark, root).collect()
         )
 
-    assert rows_of(compacted) == rows_of(root)
-    assert "batch" not in spark.read.parquet(compacted).columns
-    # one consolidated dir per centroid, each with 1 data file
-    cdirs = [d for d in os.listdir(compacted) if d.startswith("centroid_id=")]
+    truth = rows_of()
+    compact_index(spark, root)
+
+    man = read_manifest(root)
+    assert man["generation"] == 0
+    assert man["folded_batches"] == [f"batch={b}" for b in range(4)]
+    # folded dirs retired; reads go through the manifest
+    assert not [d for d in os.listdir(root) if d.startswith("batch=")]
+    assert rows_of() == truth
+    gen0 = os.path.join(root, man["compacted_root"])
+    cdirs = [d for d in os.listdir(gen0) if d.startswith("centroid_id=")]
     assert sorted(cdirs) == ["centroid_id=0", "centroid_id=1"]
-    for d in cdirs:
+    for d in cdirs:  # one consolidated data file per centroid
         files = [
             f
-            for f in os.listdir(os.path.join(compacted, d))
+            for f in os.listdir(os.path.join(gen0, d))
             if f.endswith(".parquet")
         ]
         assert len(files) == 1
-    # re-compaction is idempotent (atomic swap replaces the old gen)
-    again = compact_index(spark, root)
-    assert rows_of(again) == rows_of(root)
+
+    # ingest tail after the cutover is served through the union ...
+    tail = spark.createDataFrame(
+        [(100, [5.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    apply_ivf_batch(tail, 4, root, centroids)
+    assert rows_of() == sorted(truth + [(100, 0)])
+
+    # ... and the next compaction folds tail + previous generation
+    compact_index(spark, root)
+    man2 = read_manifest(root)
+    assert man2["generation"] == 1
+    assert "batch=4" in man2["folded_batches"]
+    assert not os.path.exists(gen0)
+    assert rows_of() == sorted(truth + [(100, 0)])
