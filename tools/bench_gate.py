@@ -31,6 +31,7 @@ import sys
 WARN_RATIO = 1.5
 FAIL_RATIO = 1.3
 NOISE_FLOOR_SEC = 0.25  # normalized; below this, scheduler jitter dominates
+SESSION_WINDOW_SEC = 4 * 3600  # runs this close together share the host state
 
 
 def _norm_factor(entry: dict) -> float:
@@ -85,6 +86,20 @@ def main() -> int:
     latest_n = _normed_queries(latest)
     hist_n = [_normed_queries(h) for h in history]
 
+    # Same-session peers: other history lines captured within
+    # SESSION_WINDOW_SEC of the gated run — identical code on the same
+    # host minutes apart. A query that regressed ONLY in the gated run
+    # while a same-session peer measured it inside the gate is host
+    # noise (external load can only ADD time), not a code regression;
+    # round 5 shipped 4 such WARNs that three peer runs already
+    # disproved. No peers -> conservatively adjudicate as regression.
+    latest_ts = latest.get("ts", 0)
+    session_n = [
+        _normed_queries(h)
+        for h in history
+        if abs(h.get("ts", 0) - latest_ts) <= SESSION_WINDOW_SEC
+    ]
+
     warns = []
     gated_total = 0.0
     median_total = 0.0
@@ -96,17 +111,30 @@ def main() -> int:
         gated_total += t
         median_total += med
         if t > WARN_RATIO * med and t > NOISE_FLOOR_SEC:
-            warns.append((q, med, t))
+            peers = [sn[q] for sn in session_n if q in sn]
+            kind = (
+                "noise"
+                if peers and min(peers) <= WARN_RATIO * med
+                else "regression"
+            )
+            warns.append((q, med, t, kind, min(peers) if peers else None))
 
-    for q, med, t in warns:
+    for q, med, t, kind, peer_best in warns:
+        peer_note = (
+            f"; same-session best {peer_best:.3f}s"
+            if peer_best is not None
+            else "; no same-session peer run"
+        )
         print(
-            f"WARN {q}: {t:.3f}s normalized vs history median "
-            f"{med:.3f}s ({t / med:.2f}x)"
+            f"WARN({kind}) {q}: {t:.3f}s normalized vs history median "
+            f"{med:.3f}s ({t / med:.2f}x){peer_note}"
         )
     verdict = {
         "queries_gated": sum(1 for q in latest_n if any(q in h for h in hist_n)),
         "queries_new": sum(1 for q in latest_n if not any(q in h for h in hist_n)),
         "per_query_warnings": len(warns),
+        "warns_noise": sum(1 for w in warns if w[3] == "noise"),
+        "warns_regression": sum(1 for w in warns if w[3] == "regression"),
         "normalized_total_common": round(gated_total, 3),
         "history_median_total_common": round(median_total, 3),
         "total_ratio": round(gated_total / median_total, 3)
