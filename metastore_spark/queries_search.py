@@ -593,3 +593,86 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.round(rrf, 6)), F.asc("doc_id"))
         .limit(10)
     )
+
+
+def _bm25_docs_oracle() -> str:
+    from metastore_spark.queries import REGISTRY
+
+    return REGISTRY["search_bm25_docs"].oracle
+
+
+@query("search_stream_index_refresh", oracle=_bm25_docs_oracle())
+def search_stream_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance end-to-end (VERDICT r5 task 6):
+    the segmented refresh path must make post-refresh BM25 scores
+    equal a cold full rebuild — same oracle as `search_bm25_docs`, so
+    the hash pins the merged corpus-global statistics, not just row
+    shapes.
+
+    Lifecycle exercised: 80% of the documents corpus becomes the base
+    segment; the remaining 20% lands as parquet files and drains
+    through an availableNow stream, one micro-batch per file, each
+    batch becoming a self-contained segment via `refresh_segment`
+    (analysis cost O(batch) — the corpus is never re-analyzed);
+    `compact_segments` then folds the tail into one segment (postings
+    rewrite, no re-analysis); the probe loads THROUGH the manifest and
+    scores the standard query. df sums exactly across disjoint
+    segments, num_docs sums, avgdl recombines from per-segment length
+    partials — so the refreshed index is the rebuilt index.
+
+    This is the ingest story for the reference's append-only events
+    kind (/root/reference/metastore/models.py:82-85): at 100 TB a
+    refresh touches only the drained batch plus vocabulary-sized
+    merges, and the compaction keeps the file count bounded."""
+    import tempfile
+
+    from metastore_spark.search.refresh import (
+        compact_segments,
+        load_segmented,
+        refresh_segment,
+    )
+
+    src = tempfile.mkdtemp(prefix="sidx_src_")
+    store = tempfile.mkdtemp(prefix="sidx_store_")
+    try:
+        docs = _t(spark, sf_dir, "documents")
+        base = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 4)
+        tail = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 4)
+        refresh_segment(
+            spark, base, store, "doc_id", ["text"], stem=False,
+            segment_name="base",
+        )
+        tail.repartition(2).write.mode("overwrite").parquet(src)
+
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda b, bid: refresh_segment(
+                    spark, b, store, "doc_id", ["text"], stem=False,
+                    segment_name=str(bid),
+                )
+            )
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", os.path.join(store, "_checkpoint")
+            )
+            .start()
+        )
+        q.awaitTermination()
+
+        compact_segments(spark, store)
+        idx = load_segmented(spark, store)
+        scores = bm25_scores(idx, _Q, {"text": 1.0}, stem=False)
+        out = (
+            scores.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+            .limit(20)
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)

@@ -1,0 +1,220 @@
+"""Incremental search-index refresh: a segmented postings store for
+streaming corpora (VERDICT r5 task 6).
+
+`search/serve.py` materializes the index once per corpus — right for
+a static snapshot, wrong for the reference's append-only ``events``
+kind (/root/reference/metastore/models.py:82-85), where per-refresh
+full rebuilds would re-analyze the whole corpus every drain. This
+module is the ingest side, mirroring streaming/ivf.py's store:
+
+- every micro-batch of NEW documents becomes a self-contained SEGMENT
+  directory (postings + doclen + per-segment docfreq + per-segment
+  length/count stats) — analysis cost is O(batch), never O(corpus);
+- an atomic ``_MANIFEST.json`` (tmp+rename) lists the live segments;
+  readers resolve through it, so a crashed refresh leaves the old
+  manifest serving the old segment set;
+- BM25's corpus-GLOBAL statistics are derived at load time by
+  merging per-segment partials: doc sets of segments are disjoint, so
+  ``df`` sums exactly, ``num_docs`` sums, and ``avgdl`` is
+  total_dl / total_rows — a vocabulary-sized aggregate, not a corpus
+  re-analysis. This is exactly how Lucene merges per-segment stats
+  under one IndexReader;
+- ``compact_segments`` folds the accumulated tail into one segment
+  (a postings-table rewrite, no re-analysis) with the same
+  manifest-swap + idempotent-retire discipline as
+  streaming/ivf.compact_index — the small-files maintenance job.
+
+The merged index is EQUAL to a cold full rebuild (hash-pinned by the
+``search_stream_index_refresh`` registry query): same postings rows,
+same df, same num_docs, avgdl identical up to float-sum association.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metastore_spark.search.index import SearchIndex, build_index
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _read_manifest(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, _MANIFEST)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _write_manifest(path: str, man: dict) -> None:
+    tmp = os.path.join(
+        path, f".{_MANIFEST}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, os.path.join(path, _MANIFEST))
+
+
+def _write_segment(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    fields: list[str],
+    seg_dir: str,
+    stem: bool,
+) -> None:
+    """Analyze ``df`` (new documents ONLY) into a self-contained
+    segment: postings, doclen, per-segment docfreq, and the partial
+    stats global BM25 needs (per-field dl sum/count, doc count)."""
+    idx = build_index(df, id_col, fields, stem=stem)
+    idx.postings.write.mode("overwrite").parquet(
+        os.path.join(seg_dir, "postings")
+    )
+    idx.doclen.write.mode("overwrite").parquet(os.path.join(seg_dir, "doclen"))
+    idx.docfreq.write.mode("overwrite").parquet(
+        os.path.join(seg_dir, "docfreq")
+    )
+    sums = {
+        r["field"]: (float(r["s"]), int(r["c"]))
+        for r in idx.doclen.groupBy("field")
+        .agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    stats = {"num_docs": idx.num_docs, "dl_sums": sums}
+    with open(os.path.join(seg_dir, "stats.json"), "w") as fh:
+        json.dump(stats, fh)
+    idx.unpersist()
+
+
+def refresh_segment(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str,
+    fields: list[str],
+    stem: bool = True,
+    segment_name: str | None = None,
+) -> str:
+    """Land one batch of new documents as a segment and publish it:
+    build in a process-private scratch, os.rename to ``seg-<name>``,
+    then swap the manifest. Replay-idempotent when ``segment_name`` is
+    the batch id — a replayed batch republishes identical content
+    under the same name (the manifest add is a set-union). foreachBatch
+    hook: ``lambda b, bid: refresh_segment(spark, b, path, ...,
+    segment_name=str(bid))``."""
+    os.makedirs(path, exist_ok=True)
+    name = f"seg-{segment_name or uuid.uuid4().hex[:8]}"
+    dest = os.path.join(path, name)
+    tmp = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    _write_segment(spark, new_docs, id_col, fields, tmp, stem)
+    if os.path.exists(dest):  # replay: identical content, swap it in
+        old = f"{dest}.old-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        os.rename(dest, old)
+        shutil.rmtree(old, ignore_errors=True)
+    os.rename(tmp, dest)
+    man = _read_manifest(path) or {"segments": []}
+    if name not in man["segments"]:
+        man["segments"] = sorted(man["segments"] + [name])
+    _write_manifest(path, man)
+    return dest
+
+
+def load_segmented(
+    spark: SparkSession, path: str, docs: DataFrame | None = None
+) -> SearchIndex:
+    """Open the segment store as ONE SearchIndex: postings/doclen are
+    the (disjoint) segment union; docfreq is the exact per-term sum of
+    segment partials; num_docs/avgdl recombine from the per-segment
+    sums. The merge work is vocabulary-sized — query-time term
+    predicates still push down into every segment's postings scan."""
+    man = _read_manifest(path)
+    if man is None or not man["segments"]:
+        raise FileNotFoundError(f"no segment manifest under {path}")
+    segs = [os.path.join(path, s) for s in man["segments"]]
+
+    def _union(sub: str) -> DataFrame:
+        return reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(os.path.join(s, sub)) for s in segs],
+        )
+
+    postings = _union("postings")
+    doclen = _union("doclen")
+    docfreq = (
+        _union("docfreq").groupBy("term", "field").agg(F.sum("df").alias("df"))
+    )
+    num_docs = 0
+    dl: dict[str, list[float]] = {}
+    for s in segs:
+        with open(os.path.join(s, "stats.json")) as fh:
+            st = json.load(fh)
+        num_docs += int(st["num_docs"])
+        for field, (ssum, cnt) in st["dl_sums"].items():
+            agg = dl.setdefault(field, [0.0, 0])
+            agg[0] += ssum
+            agg[1] += cnt
+    avgdl = {f: (s / c if c else 0.0) for f, (s, c) in dl.items()}
+    return SearchIndex(
+        postings=postings,
+        docfreq=docfreq,
+        doclen=doclen,
+        avgdl=avgdl,
+        num_docs=num_docs,
+        docs=docs,
+    )
+
+
+def compact_segments(spark: SparkSession, path: str) -> None:
+    """Fold every live segment into one (``seg-compacted-<n>``): a
+    rewrite of the unioned postings/doclen/docfreq tables — NO
+    re-analysis — then a manifest swap and idempotent retire of the
+    folded segment dirs. Mirrors streaming/ivf.compact_index; run it
+    when the refresh tail has accrued enough small files to matter."""
+    man = _read_manifest(path)
+    if man is None or len(man["segments"]) <= 1:
+        return
+    folded = list(man["segments"])
+    gen = man.get("generation", -1) + 1
+    name = f"seg-compacted-{gen}"
+    dest = os.path.join(path, name)
+    tmp = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    segs = [os.path.join(path, s) for s in folded]
+
+    def _union(sub: str) -> DataFrame:
+        return reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(os.path.join(s, sub)) for s in segs],
+        )
+
+    _union("postings").repartition("term").write.parquet(
+        os.path.join(tmp, "postings")
+    )
+    _union("doclen").coalesce(1).write.parquet(os.path.join(tmp, "doclen"))
+    _union("docfreq").groupBy("term", "field").agg(
+        F.sum("df").alias("df")
+    ).coalesce(1).write.parquet(os.path.join(tmp, "docfreq"))
+    num_docs = 0
+    dl: dict[str, list[float]] = {}
+    for s in segs:
+        with open(os.path.join(s, "stats.json")) as fh:
+            st = json.load(fh)
+        num_docs += int(st["num_docs"])
+        for field, (ssum, cnt) in st["dl_sums"].items():
+            agg = dl.setdefault(field, [0.0, 0])
+            agg[0] += ssum
+            agg[1] += cnt
+    with open(os.path.join(tmp, "stats.json"), "w") as fh:
+        json.dump({"num_docs": num_docs, "dl_sums": dl}, fh)
+    os.rename(tmp, dest)
+    _write_manifest(path, {"segments": [name], "generation": gen})
+    for s in segs:  # superseded by the manifest — idempotent retire
+        shutil.rmtree(s, ignore_errors=True)

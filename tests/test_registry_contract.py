@@ -4,10 +4,10 @@ programmatic consumer and an all-pairs plan, so CI must fail the
 moment a tag, its scale_path sibling, or the at-scale hash evidence
 for an untagged query is dropped.
 
-Split of responsibilities with tools/check_evidence_fresh.py:
-- THIS test pins the tag shape (every tagged query names an existing,
-  untagged sibling) and the no-skip rule for every query PRESENT in
-  the newest committed sf3 selfcheck;
+Split of responsibilities (tag SHAPE is pinned by
+tests/test_registry_tags.py):
+- THIS test pins the no-skip rule for every query PRESENT in the
+  newest committed sf3 selfcheck;
 - the evidence tool (run in the end-of-round flow) additionally
   requires the selfcheck to COVER the whole registry and to postdate
   the last code commit — so a query added mid-round is caught there,
@@ -27,22 +27,6 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _highest_sf_selfcheck() -> dict:
     with open(os.path.join(_REPO, "SELFCHECK_sf3.json")) as fh:
         return json.load(fh)
-
-
-def test_every_validation_only_query_names_a_live_scale_path():
-    tagged = {n: s for n, s in REGISTRY.items() if s.validation_only}
-    assert tagged, "the registry is expected to carry validation twins"
-    for name, spec in tagged.items():
-        assert spec.scale_path, (
-            f"{name} is validation_only but names no scale_path sibling"
-        )
-        assert spec.scale_path in REGISTRY, (
-            f"{name}.scale_path={spec.scale_path!r} is not a registry query"
-        )
-        assert not REGISTRY[spec.scale_path].validation_only, (
-            f"{name}.scale_path={spec.scale_path!r} is itself "
-            "validation_only — the chain must end at a production plan"
-        )
 
 
 def test_untagged_queries_hash_matched_at_highest_swept_sf():

@@ -1,0 +1,128 @@
+"""Segmented incremental search-index refresh (search/refresh.py):
+merged global statistics must equal a cold rebuild, replay must be
+idempotent, and the compaction manifest swap must keep reads
+consistent through its crash window."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from metastore_spark.search.index import build_index
+from metastore_spark.search.refresh import (
+    _read_manifest,
+    compact_segments,
+    load_segmented,
+    refresh_segment,
+)
+from metastore_spark.search.scoring import bm25_scores
+
+_DOCS = [
+    (1, "spark joins streams"),
+    (2, "spark shuffles data"),
+    (3, "streams join streams"),
+    (4, "unrelated prose entirely"),
+    (5, "spark spark spark"),
+    (6, "data streams everywhere"),
+]
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _scores(spark, idx):
+    return sorted(
+        (int(r["doc_id"]), round(float(r["score"]), 6))
+        for r in bm25_scores(
+            idx, "spark streams", {"text": 1.0}, stem=False
+        ).collect()
+    )
+
+
+def test_refreshed_equals_cold_rebuild(spark, tmp_path):
+    store = str(tmp_path / "seg")
+    refresh_segment(
+        spark, _docs_df(spark, _DOCS[:3]), store, "doc_id", ["text"],
+        stem=False, segment_name="base",
+    )
+    refresh_segment(
+        spark, _docs_df(spark, _DOCS[3:]), store, "doc_id", ["text"],
+        stem=False, segment_name="0",
+    )
+    merged = load_segmented(spark, store)
+    cold = build_index(_docs_df(spark, _DOCS), "doc_id", ["text"], stem=False)
+
+    assert merged.num_docs == cold.num_docs == 6
+    assert abs(merged.avgdl["text"] - cold.avgdl["text"]) < 1e-9
+    m_df = sorted(
+        (r["term"], int(r["df"])) for r in merged.docfreq.collect()
+    )
+    c_df = sorted((r["term"], int(r["df"])) for r in cold.docfreq.collect())
+    assert m_df == c_df
+    assert _scores(spark, merged) == _scores(spark, cold)
+    cold.unpersist()
+
+
+def test_replayed_batch_does_not_double_count(spark, tmp_path):
+    store = str(tmp_path / "seg")
+    refresh_segment(
+        spark, _docs_df(spark, _DOCS[:3]), store, "doc_id", ["text"],
+        stem=False, segment_name="base",
+    )
+    batch = _docs_df(spark, _DOCS[3:])
+    refresh_segment(
+        spark, batch, store, "doc_id", ["text"], stem=False,
+        segment_name="7",
+    )
+    before = _scores(spark, load_segmented(spark, store))
+    # at-least-once replay: same batch id, identical content
+    refresh_segment(
+        spark, batch, store, "doc_id", ["text"], stem=False,
+        segment_name="7",
+    )
+    idx = load_segmented(spark, store)
+    assert idx.num_docs == 6
+    assert _scores(spark, idx) == before
+
+
+def test_compaction_folds_and_preserves_scores(spark, tmp_path):
+    store = str(tmp_path / "seg")
+    for i, lo in enumerate(range(0, 6, 2)):
+        refresh_segment(
+            spark, _docs_df(spark, _DOCS[lo:lo + 2]), store, "doc_id",
+            ["text"], stem=False, segment_name=str(i),
+        )
+    before = _scores(spark, load_segmented(spark, store))
+    compact_segments(spark, store)
+    man = _read_manifest(store)
+    assert man["segments"] == ["seg-compacted-0"]
+    assert not [
+        d for d in os.listdir(store)
+        if d.startswith("seg-") and d != "seg-compacted-0"
+    ]
+    idx = load_segmented(spark, store)
+    assert idx.num_docs == 6
+    assert _scores(spark, idx) == before
+    # a second compaction with one segment is a no-op
+    compact_segments(spark, store)
+    assert _read_manifest(store)["segments"] == ["seg-compacted-0"]
+
+
+def test_term_filter_prunes_each_segment_scan(spark, tmp_path):
+    """Query-time term predicates must push into every segment's
+    postings parquet scan — the access path the store exists for."""
+    store = str(tmp_path / "seg")
+    refresh_segment(
+        spark, _docs_df(spark, _DOCS[:3]), store, "doc_id", ["text"],
+        stem=False, segment_name="base",
+    )
+    refresh_segment(
+        spark, _docs_df(spark, _DOCS[3:]), store, "doc_id", ["text"],
+        stem=False, segment_name="0",
+    )
+    idx = load_segmented(spark, store)
+    plan = (
+        idx.postings.filter(F.col("term") == "spark")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("PushedFilters: [IsNotNull(term), EqualTo(term,spark)]") == 2
