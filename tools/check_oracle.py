@@ -125,7 +125,18 @@ def main() -> int:
                 default=str,
             )
 
-    for name, fn in qs.items():
+    # api_*/search_* first: the driver's correctness sample hasn't
+    # drawn those families since r3, so the committed selfcheck keeps
+    # the freshest O3/O4/O13 evidence front-and-center — and a sweep
+    # that dies mid-run still banked them (VERDICT r5 task 7).
+    ordered = sorted(
+        qs.items(),
+        key=lambda kv: (
+            not kv[0].startswith(("api_", "search_")),
+            kv[0],
+        ),
+    )
+    for name, fn in ordered:
         if only and name not in only:
             continue
         if name in skip:
