@@ -540,6 +540,117 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_PQ_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    asg AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos('e.embedding::DOUBLE[]', 'c.cv')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cid FROM cent, q
+      ORDER BY {_cos('cv', 'qv')} DESC, cid
+      LIMIT 3
+    ),
+    pv AS (
+      SELECT vec_id FROM asg
+      WHERE centroid_id IN (SELECT cid FROM probe)
+    ),
+    s AS (
+      SELECT 127.0 / MAX(list_max(list_transform(embedding::DOUBLE[],
+                                                 x -> abs(x)))) AS scale
+      FROM embeddings
+    ),
+    vq AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS iv
+      FROM embeddings, s
+      WHERE vec_id IN (SELECT vec_id FROM pv)
+         OR vec_id < 16 OR vec_id = 0
+    ),
+    cb AS (SELECT vec_id AS c, iv AS cv FROM vq WHERE vec_id < 16),
+    assigns AS (
+      SELECT v.vec_id, sp.range AS sub, cb.c,
+             list_sum(list_transform(range(1, 9),
+               i -> (v.iv[sp.range*8+i] - cb.cv[sp.range*8+i])
+                    * (v.iv[sp.range*8+i] - cb.cv[sp.range*8+i]))) AS dist
+      FROM vq v CROSS JOIN range(0, 8) sp CROSS JOIN cb
+      WHERE v.vec_id IN (SELECT vec_id FROM pv) OR v.vec_id = 0
+    ),
+    codes AS (
+      SELECT vec_id, sub, c FROM (
+        SELECT vec_id, sub, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, c) AS rn
+        FROM assigns
+      ) WHERE rn = 1 AND vec_id IN (SELECT vec_id FROM pv)
+    ),
+    qdist AS (SELECT sub, c, dist FROM assigns WHERE vec_id = 0),
+    approx AS (
+      SELECT codes.vec_id, SUM(qd.dist) AS approx_dist
+      FROM codes JOIN qdist qd ON qd.sub = codes.sub AND qd.c = codes.c
+      GROUP BY 1
+    ),
+    cand AS (
+      SELECT a.vec_id, e.embedding
+      FROM approx a JOIN embeddings e USING (vec_id)
+      ORDER BY a.approx_dist, a.vec_id
+      LIMIT 50
+    )
+    SELECT vec_id,
+           ROUND({_cos('embedding::DOUBLE[]', 'qv')}, 4) AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("ann_ivf_pq_topk", oracle=_IVF_PQ_ORACLE)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (similarity.ivf_pq_topk): coarse routing
+    over the SAME served ivf8 store ann_ivf_topk probes (directory
+    pruning, nprobe=3 of 8 lists), int8-domain PQ asymmetric-distance
+    scoring inside the probed lists only, exact rerank of 50.
+
+    The at-scale serving architecture in one oracled query: scan cost
+    is nprobe/k of the corpus × n_sub code bytes per row, and the
+    oracle mirrors every stage — coarse assignment (ties to lowest
+    cid), probe cut, PQ encode/ADC (exact int64s), candidate and
+    final cuts — so IVF recall misses AND PQ candidate misses
+    hash-match across engines."""
+    emb, centroids, indexed = _served_ivf8(spark, sf_dir)
+    qvec = _query_vec(spark, sf_dir, 0)
+    pq_cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return sim.ivf_pq_topk(
+        indexed,
+        centroids,
+        pq_cents,
+        qvec,
+        sim.corpus_maxabs(emb),
+        k=10,
+        nprobe=3,
+        n_cand=50,
+    )
+
+
 @query(
     "emb_covariance",
     oracle="""

@@ -624,38 +624,20 @@ def corpus_maxabs(df: DataFrame, vec_col: str = "embedding") -> float:
     )
 
 
-def pq_topk(
+def _pq_adc_scores(
     df: DataFrame,
     qvec: list[float],
     centroids: list[list[float]],
     maxabs: float,
-    k: int = 10,
-    n_cand: int = 50,
-    n_sub: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    n_sub: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Product-quantization ANN in the int8 domain: encode every vector
-    as n_sub 4-bit codes (argmin centroid per subspace), score with an
-    asymmetric-distance lookup table built from the query, rerank the
-    top-n_cand exactly.
-
-    All PQ arithmetic happens on int8-quantized components
-    (floor(x*127/maxabs + 0.5)), so every subspace distance is an
-    exact int64 — encoding and candidate ranking are deterministic
-    and an external SQL engine can mirror them bit-for-bit (argmin
-    ties break to the lowest code on both sides). The codebook here
-    is data-sampled (caller passes the first len(centroids) vectors),
-    mirroring the IVF quantizer convention; a k-means-trained
-    codebook drops in without changing this kernel.
-
-    Scale shape: encoding + table lookup is one Arrow-vectorized map
-    pass (numpy broadcast argmin — no shuffle, no JVM<->Python row
-    loop); memory per vector afterwards is n_sub bytes (codes), the
-    PQ compression story. Candidate selection is a
-    TakeOrderedAndProject on (approx_dist, id); only n_cand rows see
-    full-precision math again.
-    """
+    """PQ encode + asymmetric-distance scoring shared by pq_topk and
+    ivf_pq_topk: one Arrow-vectorized map pass (numpy broadcast
+    argmin, no shuffle) yielding (id, approx_dist bigint) — every
+    subspace distance an exact int64 in the int8-quantized domain, so
+    candidate ranking is engine-reproducible bit-for-bit."""
     import numpy as np
     import pandas as pd
 
@@ -689,9 +671,23 @@ def pq_topk(
                 {id_col: pdf[id_col].values, "approx_dist": approx}
             )
 
-    scored = df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInPandas(
         encode_score, schema=out_schema
     )
+
+
+def _pq_rerank(
+    df: DataFrame,
+    scored: DataFrame,
+    qvec: list[float],
+    k: int,
+    n_cand: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Cut scored rows to the n_cand best (TakeOrderedAndProject on
+    (approx_dist, id)), broadcast the id set back onto the full-
+    precision rows, exact-cosine rerank to top-k."""
     cand = (
         scored.orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(n_cand)
@@ -704,6 +700,95 @@ def pq_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_topk(
+    df: DataFrame,
+    qvec: list[float],
+    centroids: list[list[float]],
+    maxabs: float,
+    k: int = 10,
+    n_cand: int = 50,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN in the int8 domain: encode every vector
+    as n_sub 4-bit codes (argmin centroid per subspace), score with an
+    asymmetric-distance lookup table built from the query, rerank the
+    top-n_cand exactly.
+
+    All PQ arithmetic happens on int8-quantized components
+    (floor(x*127/maxabs + 0.5)), so every subspace distance is an
+    exact int64 — encoding and candidate ranking are deterministic
+    and an external SQL engine can mirror them bit-for-bit (argmin
+    ties break to the lowest code on both sides). The codebook here
+    is data-sampled (caller passes the first len(centroids) vectors),
+    mirroring the IVF quantizer convention; a k-means-trained
+    codebook drops in without changing this kernel.
+
+    Scale shape: encoding + table lookup is one Arrow-vectorized map
+    pass (numpy broadcast argmin — no shuffle, no JVM<->Python row
+    loop); memory per vector afterwards is n_sub bytes (codes), the
+    PQ compression story. Candidate selection is a
+    TakeOrderedAndProject on (approx_dist, id); only n_cand rows see
+    full-precision math again.
+    """
+    scored = _pq_adc_scores(
+        df, qvec, centroids, maxabs, n_sub, id_col, vec_col
+    )
+    return _pq_rerank(df, scored, qvec, k, n_cand, id_col, vec_col)
+
+
+def ivf_pq_topk(
+    indexed: DataFrame,
+    coarse_centroids: list[list[float]],
+    pq_centroids: list[list[float]],
+    qvec: list[float],
+    maxabs: float,
+    k: int = 10,
+    nprobe: int = 3,
+    n_cand: int = 50,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse-quantizer routing to nprobe inverted lists, PQ
+    asymmetric-distance scoring INSIDE the probed lists only, exact
+    rerank of the n_cand survivors — the composed architecture large
+    ANN deployments actually serve (FAISS IndexIVFPQ shape; Jégou
+    et al., "Product Quantization for Nearest Neighbor Search").
+
+    Scale story, multiplicative: the probe filter on a
+    centroid_id-partitioned served store is DIRECTORY pruning (the
+    scan opens nprobe of k partition dirs — same plan shape
+    ann_ivf_topk pins in tests/test_plans.py), and inside those
+    lists the PQ pass reads codes-worth of data per row with no
+    shuffle. At 100 TB: nprobe/k of the corpus scanned × n_sub bytes
+    per vector scored, full-precision math on n_cand rows only.
+
+    Determinism contract is the intersection of the parents':
+    coarse routing breaks centroid ties to the lowest id (driver-side
+    argmax over a parameter-sized list), PQ distances are exact
+    int64s, candidate/final cuts order by (score, id) — so the SQL
+    oracle reproduces recall misses of unprobed lists AND
+    quantization-induced candidate misses bit-for-bit.
+    """
+    qnorm = math.sqrt(sum(x * x for x in qvec)) or 1.0
+
+    def centroid_sim(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(c, qvec)) / (cn * qnorm)
+
+    probe = sorted(
+        range(len(coarse_centroids)),
+        key=lambda ci: -centroid_sim(coarse_centroids[ci]),
+    )[:nprobe]
+    probed = indexed.filter(F.col("centroid_id").isin(probe))
+    scored = _pq_adc_scores(
+        probed, qvec, pq_centroids, maxabs, n_sub, id_col, vec_col
+    )
+    return _pq_rerank(probed, scored, qvec, k, n_cand, id_col, vec_col)
 
 
 def gram_matrix(
