@@ -119,6 +119,9 @@ HEADLINE = [
     "events_distribution_drift",
     "docs_bpe_trainer",
     "ann_ivf_recall",
+    "ann_pq_recall",
+    "ann_mrl_recall",
+    "ann_ivf_pq_topk",
     "search_hybrid_rrf",
     "dedup_substring_applied",
     "docs_bpe_encode",

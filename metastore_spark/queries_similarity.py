@@ -1139,3 +1139,357 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+_MRL_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    dims(trunc_dim) AS (VALUES (8), (16), (32)),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY COALESCE({_cos('e.embedding::DOUBLE[]', 'q.qv')},
+                                   -2.0) DESC, e.vec_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    trunc AS (
+      SELECT qid, trunc_dim, vec_id FROM (
+        SELECT q.qid, d.trunc_dim, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid, d.trunc_dim
+                 ORDER BY COALESCE({_cos('(e.embedding::DOUBLE[])[1:d.trunc_dim]',
+                                         '(q.qv)[1:d.trunc_dim]')},
+                                   -2.0) DESC, e.vec_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN q CROSS JOIN dims d
+      ) WHERE rn <= 10
+    ),
+    hit AS (
+      SELECT t.qid, t.trunc_dim, t.vec_id
+      FROM trunc t JOIN exact e ON e.qid = t.qid AND e.vec_id = t.vec_id
+    )
+    SELECT p.qid, p.trunc_dim,
+           CAST(COUNT(hit.vec_id) AS BIGINT) AS hits,
+           ROUND(COUNT(hit.vec_id) / 10.0, 4) AS recall_at_10
+    FROM (SELECT qid, trunc_dim FROM q CROSS JOIN dims) p
+    LEFT JOIN hit ON hit.qid = p.qid AND hit.trunc_dim = p.trunc_dim
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@query("ann_mrl_recall", oracle=_MRL_ORACLE)
+def ann_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality sweep: recall@10 of cosine search
+    over the first {8,16,32} of 64 embedding dims vs the full-dim
+    exact top-10, per panel query — the dimension-vs-recall curve a
+    deployment measures before serving truncated (MRL-style)
+    embeddings to cut index bytes 2-8x (Kusupati et al.,
+    "Matryoshka Representation Learning").
+
+    Scale shape: ONE corpus pass computes all 20 (panel x dim-level)
+    candidate streams — the truncated dots are prefix sums of the same
+    row's products (numpy cumsum, Arrow-batched), so the scan cost is
+    the full-dim scan, not 4x. Top-10s via grouped_topk
+    (per-partition Arrow partial top-k: the exchange carries <=
+    partitions x 20 x 10 rows). Recall join + agg on panel-sized
+    frames. At 100 TB the eval costs one read of the embedding
+    column, same as ann_ivf_recall.
+
+    Determinism: np.cumsum must emit every intermediate, so it is the
+    SAME left-to-right sequential double accumulation as
+    F.aggregate / DuckDB list_dot_product on the [1:d] slice — prefix
+    dots and norms are bit-identical across engines. Zero-norm
+    prefixes hit a NaN-vs-NULL engine seam (numpy 0/0 = NaN; DuckDB
+    x/0 = NULL) — both are pinned to the -2.0 sentinel explicitly.
+    """
+    from metastore_spark.operators.topk import grouped_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 5)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qvecs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    ]
+    dims = [8, 16, 32, 64]  # 64 = the exact baseline leg
+
+    # One Arrow-vectorized kernel computes all 20 (panel x dim-level)
+    # sims per corpus pass — the _pq_adc_scores precedent. 24
+    # interpreted HOF folds per row (fold form) measured ~10 s at
+    # sf0.01; numpy cumsum is the SAME left-to-right sequential
+    # accumulation as F.aggregate / DuckDB list_dot_product (cumsum
+    # must emit every intermediate, so it cannot reassociate), so
+    # prefix dots and prefix norms stay bit-identical to the oracle.
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    qmat = np.array([qv for _, qv in qvecs], dtype=np.float64)  # Q x D
+    qids_arr = [qid for qid, _ in qvecs]
+    qnorms = np.array(
+        [
+            [math.sqrt(sum(float(x) * float(x) for x in qv[:d])) for d in dims]
+            for _, qv in qvecs
+        ]
+    )  # Q x |dims|
+    d_idx = np.array(dims) - 1
+
+    def mrl_sims(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            csq = np.cumsum(X * X, axis=1)  # N x D prefix square-sums
+            nrm = np.sqrt(csq[:, d_idx])  # N x |dims|
+            out = []
+            for qi, qid in enumerate(qids_arr):
+                cdot = np.cumsum(X * qmat[qi], axis=1)[:, d_idx]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    raw = cdot / (nrm * qnorms[qi])
+                raw = np.where(np.isfinite(raw), raw, -2.0)
+                for di, d in enumerate(dims):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": pdf["vec_id"].values,
+                                "qid": np.int64(qid),
+                                "trunc_dim": np.int32(d),
+                                "raw": raw[:, di],
+                            }
+                        )
+                    )
+            yield pd.concat(out)
+
+    cands = emb.select("vec_id", "embedding").mapInPandas(
+        mrl_sims, schema="vec_id bigint, qid bigint, trunc_dim int, raw double"
+    )
+    topk = grouped_topk(
+        cands,
+        ["qid", "trunc_dim"],
+        [("raw", False), ("vec_id", True)],
+        10,
+    ).select("qid", "trunc_dim", "vec_id")
+
+    exact = topk.filter(F.col("trunc_dim") == 64).select("qid", "vec_id")
+    trunc = topk.filter(F.col("trunc_dim") < 64)
+    hits = (
+        trunc.join(exact, ["qid", "vec_id"])
+        .groupBy("qid", "trunc_dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    panel = spark.createDataFrame(
+        [(qid, d) for qid, _ in qvecs for d in dims if d < 64],
+        "qid bigint, trunc_dim int",
+    )
+    h = F.coalesce(F.col("hits"), F.lit(0)).cast("bigint")
+    return (
+        panel.join(hits, ["qid", "trunc_dim"], "left")
+        .select(
+            "qid",
+            "trunc_dim",
+            h.alias("hits"),
+            F.round(h / F.lit(10.0), 4).alias("recall_at_10"),
+        )
+        .orderBy("qid", "trunc_dim")
+    )
+
+
+_PQ_RECALL_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    s AS (
+      SELECT 127.0 / MAX(list_max(list_transform(embedding::DOUBLE[],
+                                                 x -> abs(x)))) AS scale
+      FROM embeddings
+    ),
+    vq AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS iv
+      FROM embeddings, s
+    ),
+    cb AS (SELECT vec_id AS c, iv AS cv FROM vq WHERE vec_id < 16),
+    assigns AS (
+      SELECT v.vec_id, sp.range AS sub, cb.c,
+             list_sum(list_transform(range(1, 9),
+               i -> (v.iv[sp.range*8+i] - cb.cv[sp.range*8+i])
+                    * (v.iv[sp.range*8+i] - cb.cv[sp.range*8+i]))) AS dist
+      FROM vq v CROSS JOIN range(0, 8) sp CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, sub, c FROM (
+        SELECT vec_id, sub, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, c) AS rn
+        FROM assigns
+      ) WHERE rn = 1
+    ),
+    qdist AS (
+      SELECT q.qid, a.sub, a.c, a.dist
+      FROM assigns a JOIN q ON a.vec_id = q.qid
+    ),
+    approx AS (
+      SELECT qd.qid, codes.vec_id, SUM(qd.dist) AS approx_dist
+      FROM codes JOIN qdist qd ON qd.sub = codes.sub AND qd.c = codes.c
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY approx_dist, vec_id) AS rn
+        FROM approx
+      ) WHERE rn <= 50
+    ),
+    pq AS (
+      SELECT qid, vec_id FROM (
+        SELECT c.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY c.qid
+                 ORDER BY COALESCE({_cos('e.embedding::DOUBLE[]', 'q.qv')},
+                                   -2.0) DESC, e.vec_id
+               ) AS rn
+        FROM cand c
+        JOIN embeddings e USING (vec_id)
+        JOIN q ON q.qid = c.qid
+      ) WHERE rn <= 10
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY COALESCE({_cos('e.embedding::DOUBLE[]', 'q.qv')},
+                                   -2.0) DESC, e.vec_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 10
+    ),
+    hit AS (
+      SELECT e.qid, e.vec_id
+      FROM exact e JOIN pq p ON e.qid = p.qid AND e.vec_id = p.vec_id
+    )
+    SELECT q.qid,
+           CAST(COUNT(hit.vec_id) AS BIGINT) AS hits,
+           ROUND(COUNT(hit.vec_id) / 10.0, 4) AS recall_at_10
+    FROM q LEFT JOIN hit ON q.qid = hit.qid
+    GROUP BY q.qid
+    ORDER BY q.qid
+    """
+
+
+@query("ann_pq_recall", oracle=_PQ_RECALL_ORACLE)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index QUALITY EVALUATION: recall@10 of int8-domain product
+    quantization (8 subspaces, 16-entry codebook, ADC scoring,
+    50-candidate exact rerank) vs the exact top-10, per panel query —
+    completes the eval matrix next to ann_ivf_recall so the
+    recall-vs-bytes trade of every served index variant is a
+    hash-checked number, not a claim.
+
+    Scale shape: the corpus is PQ-ENCODED ONCE per pass
+    (sim.pq_adc_scores_panel — numpy broadcast argmin, no shuffle);
+    each panel query adds only an (n_sub x n_cent) int table lookup,
+    so a Q-query eval costs one scan + Q table probes, not Q scans.
+    Candidate cuts via grouped_topk (exchange carries <= partitions x
+    panel x 50 rows); exact math only on the 250 candidate rows
+    (broadcast semi-join back to full precision). At 100 TB: eval
+    cost = the nightly index-build encode pass it would piggyback on.
+
+    Determinism: every ADC distance is an exact int64 in the
+    quantized domain (ties argmin -> lowest code; candidate and final
+    cuts order by (score, id)), so quantization-induced candidate
+    misses — the thing this eval measures — reproduce bit-for-bit in
+    the oracle's integer SQL."""
+    from metastore_spark.operators.topk import grouped_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 5)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qvecs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    ]
+    pq_cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    scored = sim.pq_adc_scores_panel(
+        emb, qvecs, pq_cents, sim.corpus_maxabs(emb)
+    )
+    cand = grouped_topk(
+        scored, ["qid"], [("approx_dist", True), ("vec_id", True)], 50
+    ).select("qid", "vec_id")
+
+    # exact rerank of the 250 candidates: per-qid literal cosine via a
+    # when-chain — parameter-sized input, the branch cost is nothing
+    rerank = emb.join(F.broadcast(cand), "vec_id")
+    sim_expr = None
+    for qid, qv in qvecs:
+        c = F.coalesce(
+            sim.cosine_sim_lit(F.col("embedding"), qv), F.lit(-2.0)
+        )
+        sim_expr = (
+            F.when(F.col("qid") == qid, c)
+            if sim_expr is None
+            else sim_expr.when(F.col("qid") == qid, c)
+        )
+    pq_leg = grouped_topk(
+        rerank.select("qid", "vec_id", sim_expr.alias("raw")),
+        ["qid"],
+        [("raw", False), ("vec_id", True)],
+        10,
+    ).select("qid", "vec_id")
+
+    # exact leg: one corpus pass, all panel sims folded into the plan
+    entries = [
+        F.struct(
+            F.lit(qid).cast("bigint").alias("qid"),
+            F.coalesce(
+                sim.cosine_sim_lit(F.col("embedding"), qv), F.lit(-2.0)
+            ).alias("raw"),
+        )
+        for qid, qv in qvecs
+    ]
+    exact_cands = emb.select(
+        "vec_id", F.explode(F.array(*entries)).alias("e")
+    ).select("vec_id", F.col("e.qid").alias("qid"), F.col("e.raw").alias("raw"))
+    exact = grouped_topk(
+        exact_cands, ["qid"], [("raw", False), ("vec_id", True)], 10
+    ).select("qid", "vec_id")
+
+    hits = (
+        exact.join(pq_leg, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    panel = spark.createDataFrame([(qid,) for qid, _ in qvecs], "qid bigint")
+    h = F.coalesce(F.col("hits"), F.lit(0)).cast("bigint")
+    return (
+        panel.join(hits, "qid", "left")
+        .select(
+            "qid",
+            h.alias("hits"),
+            F.round(h / F.lit(10.0), 4).alias("recall_at_10"),
+        )
+        .orderBy("qid")
+    )

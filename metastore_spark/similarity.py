@@ -676,6 +676,68 @@ def _pq_adc_scores(
     )
 
 
+def pq_adc_scores_panel(
+    df: DataFrame,
+    qpanel: list[tuple[int, list[float]]],
+    centroids: list[list[float]],
+    maxabs: float,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched ADC: PQ-encode the corpus ONCE and score it against a
+    panel of queries in the same Arrow pass, yielding (id, qid,
+    approx_dist). The batch-eval shape a recall harness needs — the
+    expensive step (argmin encoding, n x n_cent x n_sub integer
+    broadcast) is paid once, each extra query adds only an
+    (n_sub, n_cent) table lookup. Same exact-int64 determinism
+    contract as _pq_adc_scores."""
+    import numpy as np
+    import pandas as pd
+
+    scale = 127.0 / maxabs
+    dim = len(qpanel[0][1])
+    sub_d = dim // n_sub
+    n_cent = len(centroids)
+    C = np.floor(np.asarray(centroids, dtype=np.float64) * scale + 0.5).astype(
+        np.int64
+    ).reshape(n_cent, n_sub, sub_d)
+    qids = [qid for qid, _ in qpanel]
+    # (Q, n_sub, n_cent) distance tables, exact integers
+    dtables = []
+    for _, qv in qpanel:
+        qq = np.floor(
+            np.asarray(qv, dtype=np.float64) * scale + 0.5
+        ).astype(np.int64).reshape(n_sub, sub_d)
+        dtables.append(((qq[None, :, :] - C) ** 2).sum(axis=2).T)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, qid bigint, approx_dist bigint"
+    sub_idx = np.arange(n_sub)[None, :]
+
+    def encode_score(it):
+        for pdf in it:
+            V = np.floor(
+                np.stack(pdf[vec_col].values).astype(np.float64) * scale + 0.5
+            ).astype(np.int64).reshape(len(pdf), n_sub, sub_d)
+            d = ((V[:, None, :, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d.argmin(axis=1)  # (n, n_sub); ties -> lowest code
+            yield pd.concat(
+                pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        "qid": np.int64(qid),
+                        "approx_dist": dt[sub_idx, codes].sum(axis=1),
+                    }
+                )
+                for qid, dt in zip(qids, dtables)
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode_score, schema=out_schema
+    )
+
+
 def _pq_rerank(
     df: DataFrame,
     scored: DataFrame,
