@@ -36,6 +36,7 @@ import metastore_spark.queries_api  # noqa: F401,E402
 import metastore_spark.queries_sketch  # noqa: F401,E402
 import metastore_spark.queries_graph  # noqa: F401,E402
 import metastore_spark.queries_governance  # noqa: F401,E402
+import metastore_spark.queries_snapshots  # noqa: F401,E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -122,6 +122,7 @@ HEADLINE = [
     "ann_pq_recall",
     "ann_mrl_recall",
     "ann_ivf_pq_topk",
+    "events_snapshot_timetravel",
     "search_hybrid_rrf",
     "dedup_substring_applied",
     "docs_bpe_encode",

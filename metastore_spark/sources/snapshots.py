@@ -1,0 +1,254 @@
+"""Snapshot-isolated table format with time travel (Delta/Iceberg shape).
+
+Every commit writes IMMUTABLE parquet data files plus a JSON manifest
+listing exactly the files that make up that snapshot. The manifest
+file's creation IS the commit: ``meta/v<N>.json`` is created with
+exclusive-create semantics (hard link of a staged temp file — fails if
+vN already exists), so exactly one writer can ever own version N.
+Readers resolve head -> manifest -> file list, so they always see a
+complete snapshot — never a half-written commit — and any retained
+historical version stays readable (time travel). This is the
+table-format layer a 100 TB deployment needs under every other
+operator in this repo: ingest appends, GDPR deletes, and compaction
+all become manifest commits over immutable files, and a reader pinned
+to version N is immune to all of them.
+
+Design parallels (public formats, re-expressed for one shared FS):
+- Delta Lake: the _delta_log/<N>.json put-if-absent IS the optimistic
+  commit; a loser re-reads the head and retries at N+1.
+- Iceberg v1: manifest = file list; copy-on-write deletes rewrite only
+  AFFECTED files and carry the rest by reference.
+- The repo's own streaming stores (streaming/ivf.py manifest cutover,
+  serve.py winner-keeps rename) establish the crash-safety idiom;
+  this module adds multi-version retention + optimistic concurrency.
+
+Crash contract: a crash before the manifest link leaves orphan data
+files only (age-gated GC reclaims them); a crash after it is a
+completed commit. There is no intermediate state — single-phase
+commit was chosen precisely because a staged-manifest two-phase
+variant lets a losing racer clobber the winner's same-numbered
+manifest.
+
+Scale shape: commits touch O(delta) data + O(files) manifest JSON;
+reads open only the listed files (no directory listing of the whole
+table); copy-on-write rewrites only files that CONTAIN matching rows
+(found with ONE metadata-column scan), carrying every untouched file
+into the new manifest by reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META = "meta"
+_DATA = "data"
+# a data dir this stale with no manifest referencing it belongs to a
+# crashed commit; GC may reclaim it (same idiom as serve.py orphans)
+_ORPHAN_AGE_SEC = 86400
+
+
+class ConcurrentCommit(RuntimeError):
+    """Another writer committed this version first; re-read the head
+    and retry the commit against the new parent."""
+
+
+def _meta_dir(root: str) -> str:
+    return os.path.join(root, _META)
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_meta_dir(root), f"v{version}.json")
+
+
+def create_table(root: str) -> None:
+    os.makedirs(_meta_dir(root), exist_ok=True)
+    os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+
+
+def current_version(root: str) -> int:
+    """Head = highest committed manifest; 0 = empty table.
+
+    A meta-dir scan, not a pointer file: manifest creation is atomic
+    (exclusive link), so the listing can never observe a torn commit,
+    and there is no pointer to crash between states. O(#versions) —
+    bounded by retention."""
+    try:
+        names = os.listdir(_meta_dir(root))
+    except OSError:
+        return 0
+    versions = [
+        int(n[1:-5])
+        for n in names
+        if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+    ]
+    return max(versions, default=0)
+
+
+def read_manifest(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version)) as fh:
+        return json.load(fh)
+
+
+def _write_data_files(spark_df: DataFrame, root: str) -> list[str]:
+    """Write a new immutable data dir, return table-relative file paths.
+
+    Files are fully on disk before any manifest can reference them —
+    a crash after this point leaves an orphan dir, never a torn read.
+    """
+    dirname = f"{_DATA}/{uuid.uuid4().hex[:12]}"
+    out = os.path.join(root, dirname)
+    spark_df.write.parquet(out)
+    return sorted(
+        f"{dirname}/{name}"
+        for name in os.listdir(out)
+        if name.endswith(".parquet")
+    )
+
+
+def _commit(root: str, parent: int, op: str, files: list[str]) -> int:
+    """Single-phase optimistic commit: creating ``meta/v<N>.json`` IS
+    the commit. The staged temp file is HARD-LINKED to the manifest
+    name — link(2) fails with EEXIST if vN exists, so exactly one
+    writer ever owns a version; a loser raises ConcurrentCommit with
+    the winner's manifest untouched (Delta's log put-if-absent,
+    expressed in POSIX)."""
+    version = parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "ts": int(time.time()),
+        "files": files,
+    }
+    path = _manifest_path(root, version)
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ConcurrentCommit(
+            f"v{version} was committed by another writer; retry on the "
+            "new head"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def commit_append(spark: SparkSession, root: str, df: DataFrame) -> int:
+    """Append-only commit: new files + every parent file, by reference."""
+    create_table(root)
+    parent = current_version(root)
+    prev = read_manifest(root, parent)["files"] if parent else []
+    files = _write_data_files(df, root)
+    return _commit(root, parent, "append", prev + files)
+
+
+def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
+    """Copy-on-write delete: rewrite ONLY files containing matching
+    rows (survivor rows to a fresh dir), carry untouched files by
+    reference. Affected files are found with one scan of the hidden
+    ``_metadata.file_path`` column — no per-file probe jobs.
+
+    ``predicate`` is a Column over the table schema; rows where it
+    holds are deleted as of the new snapshot.
+    """
+    parent = current_version(root)
+    if not parent:
+        raise ValueError("cannot delete from an empty table")
+    prev = read_manifest(root, parent)["files"]
+    paths = [os.path.join(root, f) for f in prev]
+    # _metadata.file_path spells the local path as file:/... — strip
+    # the scheme so manifest-relative paths compare cleanly
+    with_file = spark.read.parquet(*paths).withColumn(
+        "_src",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+    )
+    affected = {
+        os.path.relpath(r["_src"], root)
+        for r in with_file.filter(predicate).select("_src").distinct().collect()
+    }
+    if not affected:
+        return _commit(root, parent, "delete", prev)
+    survivors = with_file.filter(
+        F.col("_src").isin([os.path.join(root, f) for f in sorted(affected)])
+        & ~predicate
+    ).drop("_src")
+    rewritten = _write_data_files(survivors, root)
+    kept = [f for f in prev if f not in affected]
+    return _commit(root, parent, "delete", kept + rewritten)
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the exact file list of ``version`` (default:
+    current head). Empty table -> raises like a missing parquet path
+    would; version 0 is not a readable snapshot."""
+    v = current_version(root) if version is None else version
+    files = read_manifest(root, v)["files"]
+    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+
+
+def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
+    """Retention GC: drop manifests older than the newest
+    ``keep_last`` (head always kept), then delete data files no kept
+    manifest references. Immutability makes this a pure set
+    difference, in two safety classes:
+
+    - files referenced ONLY by expired manifests were fully committed
+      once — no in-flight writer can be mid-write to them — so they
+      delete immediately;
+    - files referenced by NO manifest at all are either crashed-commit
+      orphans or a commit staged between our manifest listing and the
+      sweep — age-gated (same idiom as serve.py's build orphans).
+
+    Returns deleted paths (for tests/audit)."""
+    head = current_version(root)
+    if not head:
+        return []
+    versions = sorted(
+        int(name[1:-5])
+        for name in os.listdir(_meta_dir(root))
+        if name.startswith("v") and name.endswith(".json")
+    )
+    keep = {v for v in versions if v > head - keep_last} | {head}
+    live: set[str] = set()
+    expired_refs: set[str] = set()
+    for v in versions:
+        files = read_manifest(root, v)["files"]
+        (live if v in keep else expired_refs).update(files)
+    deleted: list[str] = []
+    for v in versions:
+        if v not in keep:
+            os.remove(_manifest_path(root, v))
+            deleted.append(f"meta/v{v}.json")
+    data_root = os.path.join(root, _DATA)
+    now = time.time()
+    for d in sorted(os.listdir(data_root)):
+        ddir = os.path.join(data_root, d)
+        for name in sorted(os.listdir(ddir)):
+            rel = f"{_DATA}/{d}/{name}"
+            if rel in live:
+                continue
+            if rel not in expired_refs and (
+                not name.endswith(".parquet")
+                or now - os.stat(os.path.join(ddir, name)).st_mtime
+                < _ORPHAN_AGE_SEC
+            ):
+                continue
+            os.remove(os.path.join(ddir, name))
+            deleted.append(rel)
+        # a dir whose parquet files are all gone holds only write
+        # markers (_SUCCESS) — reclaim it whole
+        if not any(n.endswith(".parquet") for n in os.listdir(ddir)):
+            shutil.rmtree(ddir, ignore_errors=True)
+    return deleted

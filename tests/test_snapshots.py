@@ -1,0 +1,111 @@
+"""Snapshot table format: time travel, COW deletes, optimistic
+concurrency, crash recovery, retention GC
+(metastore_spark/sources/snapshots.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metastore_spark.sources import snapshots as snap
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = snap.commit_append(spark, root, _df(spark, 0, 100))
+    v2 = snap.commit_append(spark, root, _df(spark, 100, 150))
+    assert (v1, v2) == (1, 2)
+    assert snap.current_version(root) == 2
+    assert snap.read_snapshot(spark, root, 1).count() == 100
+    assert snap.read_snapshot(spark, root, 2).count() == 150
+    # head read == explicit-head read
+    assert snap.read_snapshot(spark, root).count() == 150
+
+
+def test_cow_delete_rewrites_only_affected_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark, root, _df(spark, 0, 400).repartitionByRange(4, "k")
+    )
+    snap.commit_delete_where(spark, root, F.col("k") < 50)
+    m2, m3 = snap.read_manifest(root, 1), snap.read_manifest(root, 2)
+    carried = set(m2["files"]) & set(m3["files"])
+    rewritten = set(m3["files"]) - set(m2["files"])
+    # range layout localizes the range delete: most files carry over
+    # by reference, at least one is rewritten
+    assert carried and rewritten
+    got = snap.read_snapshot(spark, root, 2)
+    assert got.count() == 350
+    assert got.agg(F.min("k")).first()[0] == 50
+    # the historical version still reads the pre-delete rows
+    assert snap.read_snapshot(spark, root, 1).count() == 400
+
+
+def test_delete_with_no_matches_is_metadata_only(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+    snap.commit_delete_where(spark, root, F.col("k") > 1000)
+    m1, m2 = snap.read_manifest(root, 1), snap.read_manifest(root, 2)
+    assert m1["files"] == m2["files"]
+    assert snap.read_snapshot(spark, root, 2).count() == 10
+
+
+def test_concurrent_commit_rejected(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+    # a racing writer advances the head between our parent snapshot
+    # and our pointer swap
+    files = snap._write_data_files(_df(spark, 10, 20), root)
+    snap.commit_append(spark, root, _df(spark, 20, 30))  # the racer wins
+    with pytest.raises(snap.ConcurrentCommit):
+        snap._commit(root, parent=1, op="append", files=files)
+    # exclusive-create lost: the WINNER's v2 manifest is untouched
+    # (a rename-based commit would have clobbered it)
+    assert snap.current_version(root) == 2
+    assert snap.read_snapshot(spark, root, 2).count() == 20
+
+
+def test_crashed_commit_leaves_readable_head(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+    # crash AFTER the data write, BEFORE the manifest link: the only
+    # possible torn state in the single-phase design — orphan data
+    # files, no manifest
+    snap._write_data_files(_df(spark, 10, 20), root)
+    assert snap.current_version(root) == 1
+    assert snap.read_snapshot(spark, root).count() == 10
+    # the next live commit proceeds normally at v2
+    v = snap.commit_append(spark, root, _df(spark, 50, 55))
+    assert v == 2
+    assert snap.read_snapshot(spark, root, 2).count() == 15
+    # the orphan is invisible to every snapshot and too young for GC
+    deleted = snap.expire_snapshots(root, keep_last=5)
+    assert deleted == []
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark, root, _df(spark, 0, 200).repartitionByRange(4, "k")
+    )
+    snap.commit_delete_where(spark, root, F.col("k") < 150)
+    snap.commit_append(spark, root, _df(spark, 500, 510))
+    deleted = snap.expire_snapshots(root, keep_last=1)
+    # v1/v2 manifests dropped; files referenced only by them are gone
+    assert "meta/v1.json" in deleted and "meta/v2.json" in deleted
+    assert any(p.endswith(".parquet") for p in deleted)
+    with pytest.raises(OSError):
+        snap.read_manifest(root, 1)
+    # the head still reads completely
+    assert snap.read_snapshot(spark, root).count() == 60
+    # every file the head references is still on disk
+    for f in snap.read_manifest(root, 3)["files"]:
+        assert os.path.exists(os.path.join(root, f))
+    # a second expire is a no-op (idempotent)
+    assert snap.expire_snapshots(root, keep_last=1) == []
