@@ -123,6 +123,7 @@ HEADLINE = [
     "ann_mrl_recall",
     "ann_ivf_pq_topk",
     "events_snapshot_timetravel",
+    "events_stream_snapshot_ingest",
     "search_hybrid_rrf",
     "dedup_substring_applied",
     "docs_bpe_encode",

@@ -144,3 +144,71 @@ def events_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out.orderBy("version")
+
+
+@query(
+    "events_stream_snapshot_ingest",
+    oracle="""
+    SELECT 5 AS head_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM events
+    """,
+)
+def events_stream_snapshot_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingest INTO the snapshot table format, end-to-end:
+    the event feed split into 4 micro-batches (maxFilesPerTrigger=1)
+    drives foreachBatch exactly-once commits (one snapshot version per
+    batch, idempotence ledger = the manifest history itself), then
+    compaction rewrites the 4 small-file versions into one file as
+    v5 with the IDENTICAL row set. The head read must equal the batch
+    aggregate over the full feed — proving no batch was dropped,
+    double-committed, or lost in the compaction cutover. head_version
+    pins the structure: 4 ingest commits + 1 compact, exactly.
+
+    Scale shape: this is the 100 TB ingest loop — micro-batch appends
+    cost O(delta) each, compaction amortizes the small-files tax
+    without blocking readers (older versions stay readable), and a
+    crash at ANY point replays into the same history
+    (tests/test_snapshots.py crash-injection)."""
+    import hashlib
+    import tempfile
+
+    from metastore_spark.catalog import load_table
+    from metastore_spark.streaming.events import read_event_stream
+
+    src = tempfile.mkdtemp(prefix="snap_src_")
+    ckpt = tempfile.mkdtemp(prefix="snap_ckpt_")
+    root = os.path.join(tempfile.mkdtemp(prefix="snap_tbl_"), "t")
+    try:
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).repartition(4).write.mode("overwrite").parquet(src)
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        snap.ingest_stream(
+            stream,
+            root,
+            ckpt,
+            stream_id=hashlib.md5(ckpt.encode()).hexdigest()[:12],
+        )
+        snap.compact(spark, root, target_files=1)
+        out = snap.read_snapshot(spark, root).agg(
+            F.lit(snap.current_version(root)).cast("int").alias("head_version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+            ).cast("bigint").alias("value_cents_sum"),
+        )
+        # the tmp table must outlive the driver's collect: materialize
+        # the 1-row result before cleanup
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

@@ -112,7 +112,13 @@ def _write_data_files(spark_df: DataFrame, root: str) -> list[str]:
     )
 
 
-def _commit(root: str, parent: int, op: str, files: list[str]) -> int:
+def _commit(
+    root: str,
+    parent: int,
+    op: str,
+    files: list[str],
+    extra: dict | None = None,
+) -> int:
     """Single-phase optimistic commit: creating ``meta/v<N>.json`` IS
     the commit. The staged temp file is HARD-LINKED to the manifest
     name — link(2) fails with EEXIST if vN exists, so exactly one
@@ -126,6 +132,7 @@ def _commit(root: str, parent: int, op: str, files: list[str]) -> int:
         "op": op,
         "ts": int(time.time()),
         "files": files,
+        **(extra or {}),
     }
     path = _manifest_path(root, version)
     tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -252,3 +259,105 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
         if not any(n.endswith(".parquet") for n in os.listdir(ddir)):
             shutil.rmtree(ddir, ignore_errors=True)
     return deleted
+
+
+def _find_stream_commit(root: str, stream_id: str, batch_id: int) -> int | None:
+    """Version already holding this (stream, batch), or None. Scan is
+    O(retained versions) of small JSON — the idempotence ledger is the
+    manifest history itself, no side state to drift."""
+    try:
+        names = os.listdir(_meta_dir(root))
+    except OSError:
+        return None
+    for name in sorted(names, reverse=True):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        m = read_manifest(root, int(name[1:-5]))
+        if m.get("stream_id") == stream_id and m.get("batch_id") == batch_id:
+            return m["version"]
+    return None
+
+
+def _commit_with_retry(
+    root: str, op: str, new_files: list[str], extra: dict | None = None
+) -> int:
+    """Append-shaped commit loop: on ConcurrentCommit, re-read the new
+    head and retry — new_files are immutable, so only the carried
+    prefix changes."""
+    while True:
+        parent = current_version(root)
+        prev = read_manifest(root, parent)["files"] if parent else []
+        manifest_extra = dict(extra or {})
+        try:
+            return _commit(root, parent, op, prev + new_files, manifest_extra)
+        except ConcurrentCommit:
+            continue
+
+
+def snapshot_sink(root: str, stream_id: str):
+    """foreachBatch writer committing each micro-batch as a snapshot
+    append with EXACTLY-ONCE semantics: the manifest records
+    (stream_id, batch_id), and a re-delivered batch (crash between
+    the manifest link and the checkpoint commit) is recognized and
+    skipped. A crash between the data write and the manifest link
+    re-runs the batch — the first attempt's files are unreferenced
+    orphans, never double-counted. Usage:
+
+        stream.writeStream.foreachBatch(snapshot_sink(root, sid))
+              .option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start()
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _find_stream_commit(root, stream_id, batch_id) is not None:
+            return  # re-delivered after a post-commit crash
+        create_table(root)
+        files = _write_data_files(batch_df, root)
+        _commit_with_retry(
+            root,
+            "append",
+            files,
+            {"stream_id": stream_id, "batch_id": batch_id},
+        )
+
+    return write_batch
+
+
+def ingest_stream(
+    stream: DataFrame, root: str, checkpoint_dir: str, stream_id: str
+) -> None:
+    """Drain an availableNow stream into the snapshot table — each
+    micro-batch one committed, replay-idempotent version."""
+    (
+        stream.writeStream.foreachBatch(snapshot_sink(root, stream_id))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
+    """Small-files maintenance: rewrite the head snapshot's files into
+    ``target_files``, commit as op=compact with the IDENTICAL row set.
+    Readers pinned to older versions keep their files (retention GC
+    reclaims them later); concurrent appends are preserved — if the
+    head moves mid-compaction, the retry carries every file added
+    since the compacted parent instead of silently dropping it."""
+    parent = current_version(root)
+    if not parent:
+        raise ValueError("cannot compact an empty table")
+    base = read_manifest(root, parent)["files"]
+    df = spark.read.parquet(*[os.path.join(root, f) for f in base])
+    rewritten = _write_data_files(df.coalesce(target_files), root)
+    while True:
+        head = current_version(root)
+        added = [
+            f
+            for f in read_manifest(root, head)["files"]
+            if f not in set(base)
+        ]
+        try:
+            return _commit(root, head, "compact", rewritten + added)
+        except ConcurrentCommit:
+            continue

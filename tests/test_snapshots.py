@@ -109,3 +109,109 @@ def test_expire_snapshots_gc(spark, tmp_path):
         assert os.path.exists(os.path.join(root, f))
     # a second expire is a no-op (idempotent)
     assert snap.expire_snapshots(root, keep_last=1) == []
+
+
+def _ingest_events(spark, tmp_path, n_files=4):
+    src = str(tmp_path / "src")
+    _df(spark, 0, 1000).repartition(n_files).write.parquet(src)
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("k bigint, v bigint")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    snap.ingest_stream(stream, root, ckpt, stream_id="s1")
+    return root
+
+
+def test_stream_ingest_one_version_per_batch(spark, tmp_path):
+    root = _ingest_events(spark, tmp_path)
+    assert snap.current_version(root) == 4
+    assert snap.read_snapshot(spark, root).count() == 1000
+    for v in range(1, 5):
+        m = snap.read_manifest(root, v)
+        assert m["stream_id"] == "s1" and m["batch_id"] == v - 1
+
+
+def test_stream_ingest_replay_after_post_commit_crash(spark, tmp_path):
+    root = _ingest_events(spark, tmp_path)
+    # crash AFTER the manifest link, BEFORE the checkpoint commit:
+    # the source re-delivers batch 2 — the sink must recognize and
+    # skip it, not double-append
+    sink = snap.snapshot_sink(root, "s1")
+    sink(_df(spark, 0, 250), 2)
+    assert snap.current_version(root) == 4
+    assert snap.read_snapshot(spark, root).count() == 1000
+
+
+def test_stream_ingest_rerun_after_pre_commit_crash(spark, tmp_path):
+    root = _ingest_events(spark, tmp_path)
+    # crash AFTER the batch's data write, BEFORE its manifest link:
+    # the files are unreferenced orphans; the re-run batch commits once
+    snap._write_data_files(_df(spark, 2000, 2100), root)
+    snap.snapshot_sink(root, "s1")(_df(spark, 2000, 2100), 4)
+    assert snap.current_version(root) == 5
+    assert snap.read_snapshot(spark, root).count() == 1100
+
+
+def test_sink_retries_through_concurrent_append(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+    orig = snap._write_data_files
+    state = {"raced": False}
+
+    def hooked(df, r):
+        files = orig(df, r)
+        if not state["raced"]:
+            state["raced"] = True
+            snap.commit_append(spark, root, _df(spark, 500, 520))  # racer
+        return files
+
+    monkeypatch.setattr(snap, "_write_data_files", hooked)
+    snap.snapshot_sink(root, "s9")(_df(spark, 100, 130), 0)
+    # the sink's first link lost v2 to the racer and retried at v3
+    # carrying the racer's files — nothing dropped on either side
+    assert snap.current_version(root) == 3
+    assert snap.read_snapshot(spark, root).count() == 60
+
+
+def test_compact_carries_concurrent_append(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(4))
+    snap.commit_append(spark, root, _df(spark, 100, 200).repartition(4))
+    orig = snap._write_data_files
+    state = {"raced": False}
+
+    def hooked(df, r):
+        files = orig(df, r)
+        if not state["raced"]:
+            state["raced"] = True
+            snap.commit_append(spark, root, _df(spark, 900, 950))  # racer
+        return files
+
+    monkeypatch.setattr(snap, "_write_data_files", hooked)
+    v = snap.compact(spark, root, target_files=1)
+    # the racer landed between compaction's base read and its commit;
+    # the compacted manifest must carry the racer's files by reference
+    assert v == 4
+    assert snap.read_snapshot(spark, root).count() == 250
+    m = snap.read_manifest(root, 4)
+    assert m["op"] == "compact"
+    racer_files = set(snap.read_manifest(root, 3)["files"]) - set(
+        snap.read_manifest(root, 2)["files"]
+    )
+    assert racer_files <= set(m["files"])
+
+
+def test_compact_shrinks_files_keeps_history(spark, tmp_path):
+    root = _ingest_events(spark, tmp_path)
+    n_before = len(snap.read_manifest(root, 4)["files"])
+    v2_rows = snap.read_snapshot(spark, root, 2).count()
+    snap.compact(spark, root, target_files=1)
+    m = snap.read_manifest(root, 5)
+    assert len(m["files"]) == 1 and n_before > 1
+    assert snap.read_snapshot(spark, root, 5).count() == 1000
+    # pre-compaction versions still read their original files
+    assert snap.read_snapshot(spark, root, 2).count() == v2_rows > 0
