@@ -59,6 +59,12 @@ class ConcurrentCommit(RuntimeError):
     and retry the commit against the new parent."""
 
 
+class SchemaEvolutionError(ValueError):
+    """Rejected schema change: only ADDING columns is supported —
+    dropping or retyping a column would corrupt historical reads that
+    share the old files."""
+
+
 def _meta_dir(root: str) -> str:
     return os.path.join(root, _META)
 
@@ -150,13 +156,56 @@ def _commit(
     return version
 
 
+def _schema_extra(df: DataFrame) -> dict:
+    return {"schema": json.loads(df.schema.json())}
+
+
+def _check_add_only(parent_manifest: dict, df: DataFrame) -> None:
+    """Add-only schema evolution: every parent column must survive
+    with its type. New columns are fine — the stored snapshot schema
+    null-fills them when reading older files."""
+    ps = parent_manifest.get("schema")
+    if not ps:
+        return
+    new = {f.name: f.dataType.jsonValue() for f in df.schema.fields}
+    for field in ps["fields"]:
+        name = field["name"]
+        if name not in new:
+            raise SchemaEvolutionError(f"append drops column {name!r}")
+        if new[name] != field["type"]:
+            raise SchemaEvolutionError(
+                f"column {name!r} changed type {field['type']!r} -> "
+                f"{new[name]!r}"
+            )
+
+
+def _read_files(spark: SparkSession, root: str, manifest: dict) -> DataFrame:
+    """Read a manifest's exact file list under its COMMITTED schema
+    (Iceberg-style: schema lives in metadata, so readers never pay a
+    footer-merge pass, and files written before an added column
+    null-fill it)."""
+    paths = [os.path.join(root, f) for f in manifest["files"]]
+    reader = spark.read
+    if "schema" in manifest:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(manifest["schema"]))
+    return reader.parquet(*paths)
+
+
 def commit_append(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Append-only commit: new files + every parent file, by reference."""
+    """Append-only commit: new files + every parent file, by
+    reference. The committed snapshot schema is the APPEND's schema
+    (add-only evolution enforced), so a widened append upgrades the
+    table for readers of this and later versions while older versions
+    keep their own committed schema."""
     create_table(root)
     parent = current_version(root)
-    prev = read_manifest(root, parent)["files"] if parent else []
+    prev_manifest = read_manifest(root, parent) if parent else {}
+    _check_add_only(prev_manifest, df)
+    prev = prev_manifest.get("files", [])
     files = _write_data_files(df, root)
-    return _commit(root, parent, "append", prev + files)
+    return _commit(root, parent, "append", prev + files, _schema_extra(df))
 
 
 def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
@@ -171,11 +220,11 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
     parent = current_version(root)
     if not parent:
         raise ValueError("cannot delete from an empty table")
-    prev = read_manifest(root, parent)["files"]
-    paths = [os.path.join(root, f) for f in prev]
+    prev_manifest = read_manifest(root, parent)
+    prev = prev_manifest["files"]
     # _metadata.file_path spells the local path as file:/... — strip
     # the scheme so manifest-relative paths compare cleanly
-    with_file = spark.read.parquet(*paths).withColumn(
+    with_file = _read_files(spark, root, prev_manifest).withColumn(
         "_src",
         F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
     )
@@ -183,15 +232,20 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
         os.path.relpath(r["_src"], root)
         for r in with_file.filter(predicate).select("_src").distinct().collect()
     }
+    schema_extra = (
+        {"schema": prev_manifest["schema"]}
+        if "schema" in prev_manifest
+        else None
+    )
     if not affected:
-        return _commit(root, parent, "delete", prev)
+        return _commit(root, parent, "delete", prev, schema_extra)
     survivors = with_file.filter(
         F.col("_src").isin([os.path.join(root, f) for f in sorted(affected)])
         & ~predicate
     ).drop("_src")
     rewritten = _write_data_files(survivors, root)
     kept = [f for f in prev if f not in affected]
-    return _commit(root, parent, "delete", kept + rewritten)
+    return _commit(root, parent, "delete", kept + rewritten, schema_extra)
 
 
 def read_snapshot(
@@ -201,8 +255,7 @@ def read_snapshot(
     current head). Empty table -> raises like a missing parquet path
     would; version 0 is not a readable snapshot."""
     v = current_version(root) if version is None else version
-    files = read_manifest(root, v)["files"]
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    return _read_files(spark, root, read_manifest(root, v))
 
 
 def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
@@ -317,7 +370,11 @@ def snapshot_sink(root: str, stream_id: str):
             root,
             "append",
             files,
-            {"stream_id": stream_id, "batch_id": batch_id},
+            {
+                "stream_id": stream_id,
+                "batch_id": batch_id,
+                **_schema_extra(batch_df),
+            },
         )
 
     return write_batch
@@ -347,8 +404,9 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     parent = current_version(root)
     if not parent:
         raise ValueError("cannot compact an empty table")
-    base = read_manifest(root, parent)["files"]
-    df = spark.read.parquet(*[os.path.join(root, f) for f in base])
+    base_manifest = read_manifest(root, parent)
+    base = base_manifest["files"]
+    df = _read_files(spark, root, base_manifest)
     rewritten = _write_data_files(df.coalesce(target_files), root)
     while True:
         head = current_version(root)
@@ -357,7 +415,15 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
             for f in read_manifest(root, head)["files"]
             if f not in set(base)
         ]
+        head_manifest = read_manifest(root, head)
+        schema_extra = (
+            {"schema": head_manifest["schema"]}
+            if "schema" in head_manifest
+            else None
+        )
         try:
-            return _commit(root, head, "compact", rewritten + added)
+            return _commit(
+                root, head, "compact", rewritten + added, schema_extra
+            )
         except ConcurrentCommit:
             continue

@@ -215,3 +215,43 @@ def test_compact_shrinks_files_keeps_history(spark, tmp_path):
     assert snap.read_snapshot(spark, root, 5).count() == 1000
     # pre-compaction versions still read their original files
     assert snap.read_snapshot(spark, root, 2).count() == v2_rows > 0
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+    snap.commit_append(
+        spark, root, _df(spark, 10, 20).withColumn("w", F.col("k") + 1)
+    )
+    head = snap.read_snapshot(spark, root)
+    assert set(head.columns) == {"k", "v", "w"}
+    # old files null-fill the added column; new rows carry it
+    assert head.filter(F.col("w").isNull()).count() == 10
+    assert head.filter(F.col("w") == F.col("k") + 1).count() == 10
+    # the historical version keeps ITS committed schema
+    assert set(snap.read_snapshot(spark, root, 1).columns) == {"k", "v"}
+
+
+def test_schema_evolution_survives_cow_delete(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+    snap.commit_append(
+        spark, root, _df(spark, 10, 20).withColumn("w", F.lit(7))
+    )
+    snap.commit_delete_where(spark, root, F.col("k") == 3)
+    head = snap.read_snapshot(spark, root)
+    assert head.count() == 19
+    assert set(head.columns) == {"k", "v", "w"}
+    assert head.filter(F.col("w").isNull()).count() == 9
+
+
+def test_schema_evolution_rejects_drop_and_retype(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+    with pytest.raises(snap.SchemaEvolutionError):
+        snap.commit_append(spark, root, _df(spark, 0, 5).drop("v"))
+    with pytest.raises(snap.SchemaEvolutionError):
+        snap.commit_append(
+            spark, root, _df(spark, 0, 5).withColumn("v", F.lit("s"))
+        )
+    assert snap.current_version(root) == 1
