@@ -1460,21 +1460,14 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).select("qid", "vec_id")
 
-    # exact leg: one corpus pass, all panel sims folded into the plan
-    entries = [
-        F.struct(
-            F.lit(qid).cast("bigint").alias("qid"),
-            F.coalesce(
-                sim.cosine_sim_lit(F.col("embedding"), qv), F.lit(-2.0)
-            ).alias("raw"),
-        )
-        for qid, qv in qvecs
-    ]
-    exact_cands = emb.select(
-        "vec_id", F.explode(F.array(*entries)).alias("e")
-    ).select("vec_id", F.col("e.qid").alias("qid"), F.col("e.raw").alias("raw"))
+    # exact leg: one corpus pass through the Arrow panel-cosine kernel
+    # (bit-identical to the fold form; ~4x the interpreted-HOF speed —
+    # SCALE.md round-6 'HOF-fold tax')
     exact = grouped_topk(
-        exact_cands, ["qid"], [("raw", False), ("vec_id", True)], 10
+        sim.panel_cosine_scores(emb, qvecs),
+        ["qid"],
+        [("raw", False), ("vec_id", True)],
+        10,
     ).select("qid", "vec_id")
 
     hits = (

@@ -954,3 +954,57 @@ def int_gram_partials(
         partial, "g array<long>, n long"
     ).collect()
     return [([int(x) for x in r["g"]], int(r["n"])) for r in rows]
+
+
+def panel_cosine_scores(
+    df: DataFrame,
+    qpanel: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine of every row against a literal query panel in ONE
+    Arrow pass, yielding (id, qid, raw). np.cumsum's last element is
+    the same left-to-right sequential double accumulation as
+    F.aggregate / DuckDB list_dot_product (cumsum cannot reassociate
+    — it must emit every prefix), so scores are bit-identical to the
+    fold form at a fraction of its interpreted-HOF cost (SCALE.md
+    round-6 'HOF-fold tax'). Zero-norm rows pin to the -2.0 sentinel
+    (numpy NaN vs DuckDB NULL-on-div-0 — both mapped explicitly)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    qmat = np.array([qv for _, qv in qpanel], dtype=np.float64)
+    qids = [qid for qid, _ in qpanel]
+    qnorms = [
+        math.sqrt(sum(float(x) * float(x) for x in qv)) for _, qv in qpanel
+    ]
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, qid bigint, raw double"
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nrm = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+            out = []
+            for qi, qid in enumerate(qids):
+                dot = np.cumsum(X * qmat[qi], axis=1)[:, -1]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    raw = dot / (nrm * qnorms[qi])
+                raw = np.where(np.isfinite(raw), raw, -2.0)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].values,
+                            "qid": np.int64(qid),
+                            "raw": raw,
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    return df.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
