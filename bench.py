@@ -214,12 +214,24 @@ def main() -> int:
         acc += i
     calib_py = round(time.time() - t0, 3)
 
+    # Subset mode (A/B adjudication legs, quick local iteration):
+    # SPARK_GRAFT_BENCH_ONLY="q1,q2" restricts the run; such runs are
+    # NOT appended to history (a few-query line would skew the
+    # common-set total the gate compares). SPARK_GRAFT_BENCH_REPS
+    # widens best-of-N for noise-sensitive adjudication runs.
+    only = [
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if q.strip()
+    ]
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in only or HEADLINE:
         if name not in REGISTRY:
             continue
         best = None
-        for _ in range(3):  # best-of-3: this box's noise is ±2×
+        for _ in range(reps):  # best-of-N: this box's noise is ±2×
             t0 = time.time()
             df = REGISTRY[name].fn(spark, sf_dir)
             # noop sink evaluates EVERY column of every row — count()
@@ -269,13 +281,34 @@ def main() -> int:
     print(json.dumps(result))
     # Append to the per-query history log so round-over-round regression
     # detection is mechanical (compare same query across lines; the
-    # driver's BENCH_r{N}.json only keeps the latest run).
+    # driver's BENCH_r{N}.json only keeps the latest run). git_head
+    # stamps which code produced the line: the gate's noise-vs-
+    # regression adjudication only trusts peers that ran THIS code.
+    try:
+        import subprocess
+
+        git_head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:
+        git_head = None
+    if only:
+        print(
+            "# subset run (SPARK_GRAFT_BENCH_ONLY): history append and "
+            "gate skipped",
+            file=sys.stderr,
+        )
+        return 0
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_HISTORY.jsonl"), "a"
         ) as fh:
-            fh.write(json.dumps({"ts": int(time.time()), **result}) + "\n")
+            fh.write(json.dumps(
+                {"ts": int(time.time()), "git_head": git_head, **result}
+            ) + "\n")
     except OSError:
         pass  # history is best-effort; the stdout contract is the product
     # Regression gate (stderr only — stdout stays ONE JSON line): flag

@@ -215,13 +215,19 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
     ``_metadata.file_path`` column — no per-file probe jobs.
 
     ``predicate`` is a Column over the table schema; rows where it
-    holds are deleted as of the new snapshot.
+    evaluates TRUE are deleted as of the new snapshot. SQL DELETE
+    semantics: rows where it evaluates NULL (e.g. a NULL column in the
+    condition) are KEPT, exactly like FALSE — only TRUE removes.
     """
     parent = current_version(root)
     if not parent:
         raise ValueError("cannot delete from an empty table")
     prev_manifest = read_manifest(root, parent)
     prev = prev_manifest["files"]
+    # three-valued logic pinned once and reused by BOTH the affected-
+    # file scan and the survivor filter, so they can never disagree on
+    # a NULL-predicate row
+    hit = F.coalesce(predicate.cast("boolean"), F.lit(False))
     # _metadata.file_path spells the local path as file:/... — strip
     # the scheme so manifest-relative paths compare cleanly
     with_file = _read_files(spark, root, prev_manifest).withColumn(
@@ -230,7 +236,7 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
     )
     affected = {
         os.path.relpath(r["_src"], root)
-        for r in with_file.filter(predicate).select("_src").distinct().collect()
+        for r in with_file.filter(hit).select("_src").distinct().collect()
     }
     schema_extra = (
         {"schema": prev_manifest["schema"]}
@@ -241,7 +247,7 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
         return _commit(root, parent, "delete", prev, schema_extra)
     survivors = with_file.filter(
         F.col("_src").isin([os.path.join(root, f) for f in sorted(affected)])
-        & ~predicate
+        & ~hit
     ).drop("_src")
     rewritten = _write_data_files(survivors, root)
     kept = [f for f in prev if f not in affected]
@@ -295,6 +301,7 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     now = time.time()
     for d in sorted(os.listdir(data_root)):
         ddir = os.path.join(data_root, d)
+        swept_expired = False
         for name in sorted(os.listdir(ddir)):
             rel = f"{_DATA}/{d}/{name}"
             if rel in live:
@@ -307,9 +314,17 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
                 continue
             os.remove(os.path.join(ddir, name))
             deleted.append(rel)
+            swept_expired = swept_expired or rel in expired_refs
         # a dir whose parquet files are all gone holds only write
-        # markers (_SUCCESS) — reclaim it whole
-        if not any(n.endswith(".parquet") for n in os.listdir(ddir)):
+        # markers (_SUCCESS) — reclaim it whole. Gate: an in-flight
+        # _write_data_files dir ALSO has no top-level parquet yet
+        # (only _temporary/), so a dir is reclaimed only when we just
+        # emptied it of once-committed expired files (that write
+        # finished long ago — data dirs are write-once) or it has
+        # aged past the same orphan gate the per-file sweep uses.
+        if not any(n.endswith(".parquet") for n in os.listdir(ddir)) and (
+            swept_expired or now - os.stat(ddir).st_mtime >= _ORPHAN_AGE_SEC
+        ):
             shutil.rmtree(ddir, ignore_errors=True)
     return deleted
 
@@ -400,7 +415,14 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     Readers pinned to older versions keep their files (retention GC
     reclaims them later); concurrent appends are preserved — if the
     head moves mid-compaction, the retry carries every file added
-    since the compacted parent instead of silently dropping it."""
+    since the compacted parent instead of silently dropping it.
+
+    Conflict rule (Delta/Iceberg shape): a concurrent commit that
+    REMOVED any base file (a COW delete, or another compaction)
+    invalidates the rewrite — the rewritten data was built from the
+    pre-delete base, so committing it would silently resurrect the
+    deleted rows. That conflict raises ConcurrentCommit; the caller
+    re-runs compaction against the new head."""
     parent = current_version(root)
     if not parent:
         raise ValueError("cannot compact an empty table")
@@ -410,11 +432,16 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     rewritten = _write_data_files(df.coalesce(target_files), root)
     while True:
         head = current_version(root)
-        added = [
-            f
-            for f in read_manifest(root, head)["files"]
-            if f not in set(base)
-        ]
+        head_files = read_manifest(root, head)["files"]
+        removed = set(base) - set(head_files)
+        if removed:
+            raise ConcurrentCommit(
+                f"{len(removed)} base file(s) were removed by a "
+                "concurrent commit (delete/compact); committing this "
+                "rewrite would resurrect their deleted rows — re-run "
+                "compaction on the new head"
+            )
+        added = [f for f in head_files if f not in set(base)]
         head_manifest = read_manifest(root, head)
         schema_extra = (
             {"schema": head_manifest["schema"]}

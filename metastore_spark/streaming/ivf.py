@@ -182,26 +182,50 @@ def _owner_alive(name: str, marker: str) -> bool:
 
 
 def retire_folded(index_root: str) -> None:
-    """Garbage-collect everything the current manifest supersedes:
-    folded batch dirs, non-current ``_gen=*`` generations, and dead
-    writers' scratch. Idempotent and crash-safe — it only ever deletes
-    state the manifest already excludes from reads, so running it
-    after a crash (or concurrently with readers) is always safe. A
-    scratch dir whose owning pid is still alive is a CONCURRENT
-    compaction in flight and is left alone."""
+    """Garbage-collect what the current manifest supersedes: folded
+    batch dirs, SUPERSEDED ``_gen=*`` generations, and dead writers'
+    scratch. Idempotent and crash-safe to re-run after a crash.
+
+    Generation ordering + pid-stamped names make the compactor race
+    decidable without age gates: a compactor always builds generation
+    ``manifest.generation + 1`` under a process-unique name
+    (``_gen=<n>.pid-<pid>-<uuid>``), so
+
+    - ``K < current generation`` is definitively superseded (every
+      manifest at generation >= K+1 folded its rows) — delete;
+    - ``K >= current`` under a different name is an in-flight
+      compactor between build and manifest swap, or a crashed one —
+      pid-liveness decides (alive: hands off; dead: reclaim);
+    - legacy ``.tmp-`` scratch stays pid-gated as before.
+
+    Concurrency caveat (same as every deferred-GC table format): a
+    reader that resolved the OLD manifest just before a swap may
+    still be scanning the superseded generation this call deletes.
+    Single-process maintenance loops (ingest -> compact -> retire, as
+    `compact_index` runs it) are safe because their own reads resolve
+    after the swap; deployments with long-lived concurrent readers
+    should delay retirement by their max query latency (retention
+    window), exactly as Delta's VACUUM does."""
     man = read_manifest(index_root)
     if man is None:
         return
     folded = set(man["folded_batches"])
     current = man["compacted_root"]
+    current_gen = int(man["generation"])
     for d in os.listdir(index_root):
         p = os.path.join(index_root, d)
         if d in folded:
             shutil.rmtree(p, ignore_errors=True)
         elif d.startswith("_gen=") and d != current:
-            if ".tmp-" in d and _owner_alive(d, ".tmp-"):
+            if ".tmp-" in d:
+                if not _owner_alive(d, ".tmp-"):
+                    shutil.rmtree(p, ignore_errors=True)
                 continue
-            shutil.rmtree(p, ignore_errors=True)
+            gen_str = d[len("_gen="):].split(".", 1)[0]
+            if not gen_str.isdigit():
+                continue
+            if int(gen_str) < current_gen or not _owner_alive(d, ".pid-"):
+                shutil.rmtree(p, ignore_errors=True)
         elif d.startswith(f".{_MANIFEST}.tmp-") and not _owner_alive(
             d, ".tmp-"
         ):
@@ -229,13 +253,18 @@ def compact_index(
     1. snapshot the manifest + live batch dirs; read everything
        through `read_index` (so repeated compactions fold the previous
        generation in, not just raw batches);
-    2. build generation ``n`` in a process-private
-       ``_gen=<n>.tmp-<pid>-<uuid>`` scratch, then os.rename it to
-       ``_gen=<n>`` (atomic publish of a complete directory);
-    3. swap the manifest (tmp+rename) to point at ``_gen=<n>`` with
-       ``folded_batches`` = previous folds + the snapshotted dirs —
-       from this instant `read_index` serves the new generation plus
-       only the ingest tail;
+    2. build generation ``n`` directly under a PROCESS-UNIQUE name
+       ``_gen=<n>.pid-<pid>-<uuid>`` — nobody reads it until the
+       manifest points at it, and the unique name removes the rename
+       collision a bare ``_gen=<n>`` had (a compactor that crashed
+       between rename and swap used to deadlock the generation; now
+       its orphan is pid-dead and GC'd, and concurrent compactors at
+       the same generation resolve by last-manifest-swap-wins with
+       identical-content losers reclaimed once their pid exits);
+    3. swap the manifest (tmp+rename) to point at the new generation
+       with ``folded_batches`` = previous folds + the snapshotted
+       dirs — from this instant `read_index` serves the new
+       generation plus only the ingest tail;
     4. retire the folded batch dirs and the previous generation
        (`retire_folded` — idempotent, pid-liveness-checked, safe to
        re-run after a crash anywhere in this sequence).
@@ -255,22 +284,13 @@ def compact_index(
     ]
     df = read_index(spark, index_root)
 
-    gen_name = f"_gen={gen}"
-    tmp = os.path.join(
-        index_root, f"{gen_name}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    )
+    gen_name = f"_gen={gen}.pid-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     (
         df.repartition(target_partitions_per_centroid, "centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
-        .parquet(tmp)
+        .parquet(os.path.join(index_root, gen_name))
     )
-    dest = os.path.join(index_root, gen_name)
-    try:
-        os.rename(tmp, dest)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
-        return index_root
     _write_manifest(
         index_root,
         {

@@ -262,3 +262,70 @@ def test_ivf_compaction_crash_between_swap_and_retire(spark, tmp_path):
         peer.kill()
         peer.wait()
         shutil.rmtree(live_scratch, ignore_errors=True)
+
+
+def test_ivf_crashed_winner_does_not_block_compaction(spark, tmp_path):
+    """ADVICE r6 on retire_folded: a compactor that crashed between
+    publishing its generation dir and swapping the manifest used to
+    leave a bare ``_gen=<n>`` that (a) a concurrent GC could delete
+    out from under a live winner and (b) blocked every later
+    compaction targeting generation n. Generations are now published
+    under pid-unique names: the dead winner's orphan is reclaimed by
+    pid-liveness, a LIVE peer's same-generation dir is left alone,
+    and compaction at that generation proceeds."""
+    from metastore_spark.streaming.ivf import (
+        apply_ivf_batch,
+        compact_index,
+        read_index,
+        read_manifest,
+        retire_folded,
+    )
+
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, [float(i % 3), float((i + 1) % 2)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    root = str(tmp_path / "ivf")
+    for b in range(2):
+        apply_ivf_batch(df.filter(f"vec_id % 2 = {b}"), b, root, centroids)
+
+    def rows_of():
+        return sorted(
+            (int(r["vec_id"]), int(r["centroid_id"]))
+            for r in read_index(spark, root).collect()
+        )
+
+    truth = rows_of()
+    compact_index(spark, root)  # manifest at generation 0
+
+    # dead winner: published _gen=1 dir, crashed before the swap
+    reaped = subprocess.Popen(["true"])
+    reaped.wait()
+    dead_gen = os.path.join(root, f"_gen=1.pid-{reaped.pid}-deadbeef")
+    os.makedirs(dead_gen)
+    # live peer mid-compaction at the same generation
+    peer = subprocess.Popen(["sleep", "60"])
+    live_gen = os.path.join(root, f"_gen=1.pid-{peer.pid}-abcd1234")
+    os.makedirs(live_gen)
+
+    try:
+        retire_folded(root)
+        assert not os.path.exists(dead_gen)
+        assert os.path.exists(live_gen)
+
+        # a new ingest batch + compaction at generation 1 succeeds
+        # despite the peer's same-generation dir (unique names)
+        tail = spark.createDataFrame(
+            [(100, [5.0, 0.0])], "vec_id bigint, embedding array<float>"
+        )
+        apply_ivf_batch(tail, 2, root, centroids)
+        compact_index(spark, root)
+        man = read_manifest(root)
+        assert man["generation"] == 1
+        assert rows_of() == sorted(truth + [(100, 0)])
+        # the live peer's dir is K == current under another name:
+        # pid-gated, still untouched
+        assert os.path.exists(live_gen)
+    finally:
+        peer.kill()
+        peer.wait()
+        shutil.rmtree(live_gen, ignore_errors=True)

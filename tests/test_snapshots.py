@@ -255,3 +255,62 @@ def test_schema_evolution_rejects_drop_and_retype(spark, tmp_path):
             spark, root, _df(spark, 0, 5).withColumn("v", F.lit("s"))
         )
     assert snap.current_version(root) == 1
+
+
+def test_compact_aborts_on_concurrent_delete(spark, tmp_path, monkeypatch):
+    """ADVICE r6: compact's retry used to carry only files ADDED since
+    its base, silently resurrecting rows a concurrent
+    commit_delete_where removed. A removed base file must now abort
+    the compaction (ConcurrentCommit), leaving the delete intact."""
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark, root, _df(spark, 0, 400).repartitionByRange(4, "k")
+    )
+    orig = snap._write_data_files
+    state = {"raced": False}
+
+    def hooked(df, r):
+        files = orig(df, r)
+        if not state["raced"]:
+            state["raced"] = True
+            snap.commit_delete_where(spark, root, F.col("k") < 50)
+        return files
+
+    monkeypatch.setattr(snap, "_write_data_files", hooked)
+    with pytest.raises(snap.ConcurrentCommit):
+        snap.compact(spark, root, target_files=1)
+    # the delete's result is the head, un-resurrected
+    head = snap.read_snapshot(spark, root)
+    assert head.count() == 350
+    assert head.agg(F.min("k")).first()[0] == 50
+    # and a rerun against the new head succeeds with the same rows
+    monkeypatch.setattr(snap, "_write_data_files", orig)
+    v = snap.compact(spark, root, target_files=1)
+    assert snap.read_snapshot(spark, root, v).count() == 350
+
+
+def test_delete_null_predicate_keeps_null_rows(spark, tmp_path):
+    """SQL DELETE semantics: a predicate evaluating NULL keeps the
+    row (only TRUE deletes) — ADVICE r6 on commit_delete_where."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None)], "k int, v int"
+    )
+    snap.commit_append(spark, root, df)
+    snap.commit_delete_where(spark, root, F.col("v") > 15)
+    got = snap.read_snapshot(spark, root)
+    # only v=30 deleted; NULL-v rows survive like v=10 does
+    assert sorted(r["k"] for r in got.collect()) == [1, 2, 4]
+
+
+def test_expire_skips_inflight_write_dir(spark, tmp_path):
+    """ADVICE r6: the whole-dir sweep must not rmtree a fresh data dir
+    that has no top-level parquet yet (an in-flight _write_data_files
+    shows only _temporary/ until job commit) — the age gate applies
+    to directories too."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+    inflight = os.path.join(root, "data", "deadbeef0000")
+    os.makedirs(os.path.join(inflight, "_temporary", "0"))
+    snap.expire_snapshots(root, keep_last=1)
+    assert os.path.isdir(inflight)

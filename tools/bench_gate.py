@@ -52,7 +52,11 @@ def _normed_queries(entry: dict) -> dict[str, float]:
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "BENCH_HISTORY.jsonl")) as fh:
-        history = [json.loads(l) for l in fh.read().strip().splitlines()]
+        lines = [json.loads(l) for l in fh.read().strip().splitlines()]
+    # adjudication records (tools/ab_bench.py verdicts) live in the
+    # same ledger but are not bench runs — split them out
+    ab_records = [l for l in lines if l.get("kind") == "ab_adjudication"]
+    history = [l for l in lines if "kind" not in l]
     if len(sys.argv) > 1:
         with open(sys.argv[1]) as fh:
             latest = json.load(fh)
@@ -87,17 +91,23 @@ def main() -> int:
     hist_n = [_normed_queries(h) for h in history]
 
     # Same-session peers: other history lines captured within
-    # SESSION_WINDOW_SEC of the gated run — identical code on the same
-    # host minutes apart. A query that regressed ONLY in the gated run
-    # while a same-session peer measured it inside the gate is host
-    # noise (external load can only ADD time), not a code regression;
-    # round 5 shipped 4 such WARNs that three peer runs already
-    # disproved. No peers -> conservatively adjudicate as regression.
+    # SESSION_WINDOW_SEC of the gated run AND stamped with the SAME
+    # git HEAD — identical code on the same host minutes apart. The
+    # hash requirement (ADVICE r6) closes the hole where an older-code
+    # run inside the window could launder a real mid-session
+    # regression into WARN(noise). A query that regressed ONLY in the
+    # gated run while a same-code peer measured it inside the gate is
+    # host noise (external load can only ADD time), not a code
+    # regression. No hash on the gated run, or no matching peers ->
+    # conservatively adjudicate as regression.
     latest_ts = latest.get("ts", 0)
+    latest_head = latest.get("git_head")
     session_n = [
         _normed_queries(h)
         for h in history
         if abs(h.get("ts", 0) - latest_ts) <= SESSION_WINDOW_SEC
+        and latest_head is not None
+        and h.get("git_head") == latest_head
     ]
 
     warns = []
@@ -121,14 +131,54 @@ def main() -> int:
 
     for q, med, t, kind, peer_best in warns:
         peer_note = (
-            f"; same-session best {peer_best:.3f}s"
+            f"; same-session same-code best {peer_best:.3f}s"
             if peer_best is not None
-            else "; no same-session peer run"
+            else "; no same-session same-code peer run"
         )
         print(
             f"WARN({kind}) {q}: {t:.3f}s normalized vs history median "
             f"{med:.3f}s ({t / med:.2f}x){peer_note}"
         )
+
+    # Escalation for WARNs that survive same-session adjudication
+    # (VERDICT r6 task 6): a same-host code A/B against the most
+    # recent PRIOR-code history line separates "host got slower" from
+    # "code got slower" in one measurement. If an adjudication record
+    # already covers the query, report its verdict; otherwise emit the
+    # ready-to-run command.
+    regressions = [w[0] for w in warns if w[3] == "regression"]
+    if regressions:
+        adjudicated = {}
+        for rec in ab_records:
+            for q, v in rec.get("verdict", {}).items():
+                adjudicated[q] = (v, rec)
+        open_qs = []
+        for q in regressions:
+            if q in adjudicated:
+                v, rec = adjudicated[q]
+                print(
+                    f"WARN(regression) {q}: prior A/B verdict={v} "
+                    f"(baseline {rec.get('baseline')}, ts {rec.get('ts')})"
+                )
+            else:
+                open_qs.append(q)
+        if open_qs:
+            baseline = next(
+                (
+                    h.get("git_head")
+                    for h in reversed(history)
+                    if h.get("git_head")
+                    and h.get("git_head") != latest_head
+                ),
+                None,
+            )
+            base_arg = baseline or "<prior-round-commit>"
+            print(
+                "ESCALATE: adjudicate surviving WARN(regression) with a "
+                "same-host code A/B:\n"
+                f"  python tools/ab_bench.py --baseline {base_arg} "
+                f"--queries {','.join(open_qs)}"
+            )
     verdict = {
         "queries_gated": sum(1 for q in latest_n if any(q in h for h in hist_n)),
         "queries_new": sum(1 for q in latest_n if not any(q in h for h in hist_n)),
