@@ -1,45 +1,60 @@
 """Snapshot-isolated table format with time travel (Delta/Iceberg shape).
 
-Every commit writes IMMUTABLE parquet data files plus a JSON manifest
-listing exactly the files that make up that snapshot. The manifest
-file's creation IS the commit: ``meta/v<N>.json`` is created with
-exclusive-create semantics (hard link of a staged temp file — fails if
-vN already exists), so exactly one writer can ever own version N.
-Readers resolve head -> manifest -> file list, so they always see a
-complete snapshot — never a half-written commit — and any retained
-historical version stays readable (time travel). This is the
-table-format layer a 100 TB deployment needs under every other
-operator in this repo: ingest appends, GDPR deletes, and compaction
-all become manifest commits over immutable files, and a reader pinned
-to version N is immune to all of them.
+Every commit writes IMMUTABLE parquet data files plus metadata in two
+tiers (Iceberg's manifest-list shape, re-expressed for one shared FS):
 
-Design parallels (public formats, re-expressed for one shared FS):
+- ``meta/s-<uuid>.json`` — an immutable SEGMENT: a bounded list of
+  data-file paths. Segments are shared across versions by reference
+  and never rewritten.
+- ``meta/v<N>.json``     — the COMMIT file: the ordered list of
+  segment names (plus op/schema/lineage). Its creation IS the commit:
+  it is created with exclusive-create semantics (hard link of a
+  staged temp file — fails if vN already exists), so exactly one
+  writer can ever own version N.
+
+Readers resolve head -> commit file -> segments -> file list, so they
+always see a complete snapshot — never a half-written commit — and
+any retained historical version stays readable (time travel).
+
+Why two tiers: with the round-6 single-JSON design every commit
+rewrote the full O(table files) list — the commit bottleneck at
+100 TB (millions of files). Now an append writes ONE new segment
+(O(delta files)) plus a commit file that is O(#segments), independent
+of the table's file count; a COW delete rewrites only the segments
+that reference affected files and carries every untouched segment by
+name. Segment count is bounded operationally by `compact` (which
+folds to one segment) exactly as Iceberg rewrites manifests.
+
+Design parallels (public formats):
 - Delta Lake: the _delta_log/<N>.json put-if-absent IS the optimistic
   commit; a loser re-reads the head and retries at N+1.
-- Iceberg v1: manifest = file list; copy-on-write deletes rewrite only
-  AFFECTED files and carry the rest by reference.
+- Iceberg v1: manifest list -> manifests -> data files; copy-on-write
+  deletes rewrite only AFFECTED manifests/files.
 - The repo's own streaming stores (streaming/ivf.py manifest cutover,
   serve.py winner-keeps rename) establish the crash-safety idiom;
   this module adds multi-version retention + optimistic concurrency.
 
-Crash contract: a crash before the manifest link leaves orphan data
-files only (age-gated GC reclaims them); a crash after it is a
-completed commit. There is no intermediate state — single-phase
-commit was chosen precisely because a staged-manifest two-phase
-variant lets a losing racer clobber the winner's same-numbered
-manifest.
+Crash contract: a crash before the commit-file link leaves orphan
+data files and/or orphan segment JSONs only (age-gated `vacuum`
+reclaims them); a crash after it is a completed commit. There is no
+intermediate state — single-phase commit was chosen precisely because
+a staged-manifest two-phase variant lets a losing racer clobber the
+winner's same-numbered manifest.
 
-Scale shape: commits touch O(delta) data + O(files) manifest JSON;
-reads open only the listed files (no directory listing of the whole
-table); copy-on-write rewrites only files that CONTAIN matching rows
-(found with ONE metadata-column scan), carrying every untouched file
-into the new manifest by reference.
+Conflict rules (optimistic concurrency, Delta/Iceberg shape):
+- append vs append: loser retries on the new head, nothing lost;
+- compact vs delete/compact: a base file REMOVED from the head
+  invalidates the rewrite (it would resurrect deleted rows) — the
+  compactor aborts with ConcurrentCommit;
+- `commit_with_retry` packages the re-read/retry loop with bounded
+  exponential backoff for arbitrary commit callables.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import random
 import shutil
 import time
 import uuid
@@ -49,8 +64,8 @@ from pyspark.sql import functions as F
 
 _META = "meta"
 _DATA = "data"
-# a data dir this stale with no manifest referencing it belongs to a
-# crashed commit; GC may reclaim it (same idiom as serve.py orphans)
+# a data dir / segment JSON this stale with no manifest referencing it
+# belongs to a crashed commit; GC may reclaim it (serve.py idiom)
 _ORPHAN_AGE_SEC = 86400
 
 
@@ -102,6 +117,42 @@ def read_manifest(root: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _segment_path(root: str, name: str) -> str:
+    return os.path.join(_meta_dir(root), f"{name}.json")
+
+
+def _write_segment(root: str, files: list[str]) -> str:
+    """Persist an immutable segment (bounded file list) and return its
+    name. Written BEFORE the commit file that references it — a crash
+    in between leaves an orphan JSON for `vacuum`, never a torn read."""
+    name = f"s-{uuid.uuid4().hex[:16]}"
+    with open(_segment_path(root, name), "w") as fh:
+        json.dump({"files": sorted(files)}, fh)
+    return name
+
+
+def _read_segment(root: str, name: str) -> list[str]:
+    with open(_segment_path(root, name)) as fh:
+        return json.load(fh)["files"]
+
+
+def manifest_files(root: str, manifest: dict) -> list[str]:
+    """Resolve a commit file to its full data-file list. Two-tier
+    manifests concatenate their segments; legacy single-tier commit
+    files (round 6, inline ``files``) resolve as-is."""
+    if "files" in manifest:
+        return list(manifest["files"])
+    out: list[str] = []
+    for seg in manifest["segments"]:
+        out.extend(_read_segment(root, seg))
+    return out
+
+
+def files_of(root: str, version: int) -> list[str]:
+    """Convenience: the data-file list of ``version`` (tests/audit)."""
+    return manifest_files(root, read_manifest(root, version))
+
+
 def _write_data_files(spark_df: DataFrame, root: str) -> list[str]:
     """Write a new immutable data dir, return table-relative file paths.
 
@@ -122,7 +173,7 @@ def _commit(
     root: str,
     parent: int,
     op: str,
-    files: list[str],
+    segments: list[str],
     extra: dict | None = None,
 ) -> int:
     """Single-phase optimistic commit: creating ``meta/v<N>.json`` IS
@@ -130,14 +181,15 @@ def _commit(
     name — link(2) fails with EEXIST if vN exists, so exactly one
     writer ever owns a version; a loser raises ConcurrentCommit with
     the winner's manifest untouched (Delta's log put-if-absent,
-    expressed in POSIX)."""
+    expressed in POSIX). Payload: O(#segments) names, never the data
+    file list."""
     version = parent + 1
     manifest = {
         "version": version,
         "parent": parent,
         "op": op,
         "ts": int(time.time()),
-        "files": files,
+        "segments": segments,
         **(extra or {}),
     }
     path = _manifest_path(root, version)
@@ -154,6 +206,16 @@ def _commit(
     finally:
         os.unlink(tmp)
     return version
+
+
+def _parent_segments(root: str, manifest: dict) -> list[str]:
+    """Parent's segment list; a legacy inline-files parent is folded
+    into one fresh segment on first contact (lazy upgrade)."""
+    if "segments" in manifest:
+        return list(manifest["segments"])
+    if manifest.get("files"):
+        return [_write_segment(root, manifest["files"])]
+    return []
 
 
 def _schema_extra(df: DataFrame) -> dict:
@@ -184,7 +246,7 @@ def _read_files(spark: SparkSession, root: str, manifest: dict) -> DataFrame:
     (Iceberg-style: schema lives in metadata, so readers never pay a
     footer-merge pass, and files written before an added column
     null-fill it)."""
-    paths = [os.path.join(root, f) for f in manifest["files"]]
+    paths = [os.path.join(root, f) for f in manifest_files(root, manifest)]
     reader = spark.read
     if "schema" in manifest:
         from pyspark.sql.types import StructType
@@ -194,25 +256,34 @@ def _read_files(spark: SparkSession, root: str, manifest: dict) -> DataFrame:
 
 
 def commit_append(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Append-only commit: new files + every parent file, by
-    reference. The committed snapshot schema is the APPEND's schema
-    (add-only evolution enforced), so a widened append upgrades the
-    table for readers of this and later versions while older versions
-    keep their own committed schema."""
+    """Append-only commit: ONE new segment for the new files, every
+    parent segment carried by name — O(delta) data + O(delta) segment
+    metadata + an O(#segments) commit file, independent of the
+    table's total file count. The committed snapshot schema is the
+    APPEND's schema (add-only evolution enforced), so a widened append
+    upgrades the table for readers of this and later versions while
+    older versions keep their own committed schema."""
     create_table(root)
     parent = current_version(root)
     prev_manifest = read_manifest(root, parent) if parent else {}
     _check_add_only(prev_manifest, df)
-    prev = prev_manifest.get("files", [])
+    prev_segs = _parent_segments(root, prev_manifest) if parent else []
     files = _write_data_files(df, root)
-    return _commit(root, parent, "append", prev + files, _schema_extra(df))
+    seg = _write_segment(root, files)
+    return _commit(root, parent, "append", prev_segs + [seg], _schema_extra(df))
 
 
 def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
     """Copy-on-write delete: rewrite ONLY files containing matching
-    rows (survivor rows to a fresh dir), carry untouched files by
-    reference. Affected files are found with one scan of the hidden
-    ``_metadata.file_path`` column — no per-file probe jobs.
+    rows (survivor rows to a fresh dir), carry untouched SEGMENTS by
+    name and untouched files of affected segments into replacement
+    segments. Affected files are found with one scan of the hidden
+    ``_metadata.file_path`` column — no per-file probe jobs — and the
+    survivor filter subsets the scan with a broadcast semi-join on the
+    affected set (kept distributed; no O(affected) IN-literal in the
+    plan). Only the MANIFEST DIFF — the affected paths themselves —
+    is enumerated on the driver, because rewriting the affected
+    segments requires exactly that set and nothing more.
 
     ``predicate`` is a Column over the table schema; rows where it
     evaluates TRUE are deleted as of the new snapshot. SQL DELETE
@@ -223,7 +294,7 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
     if not parent:
         raise ValueError("cannot delete from an empty table")
     prev_manifest = read_manifest(root, parent)
-    prev = prev_manifest["files"]
+    prev_segs = _parent_segments(root, prev_manifest)
     # three-valued logic pinned once and reused by BOTH the affected-
     # file scan and the survivor filter, so they can never disagree on
     # a NULL-predicate row
@@ -234,9 +305,9 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
         "_src",
         F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
     )
+    affected_df = with_file.filter(hit).select("_src").distinct()
     affected = {
-        os.path.relpath(r["_src"], root)
-        for r in with_file.filter(hit).select("_src").distinct().collect()
+        os.path.relpath(r["_src"], root) for r in affected_df.collect()
     }
     schema_extra = (
         {"schema": prev_manifest["schema"]}
@@ -244,14 +315,24 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
         else None
     )
     if not affected:
-        return _commit(root, parent, "delete", prev, schema_extra)
-    survivors = with_file.filter(
-        F.col("_src").isin([os.path.join(root, f) for f in sorted(affected)])
-        & ~hit
-    ).drop("_src")
+        return _commit(root, parent, "delete", prev_segs, schema_extra)
+    survivors = (
+        with_file.join(F.broadcast(affected_df), "_src", "left_semi")
+        .filter(~hit)
+        .drop("_src")
+    )
     rewritten = _write_data_files(survivors, root)
-    kept = [f for f in prev if f not in affected]
-    return _commit(root, parent, "delete", kept + rewritten, schema_extra)
+    new_segs: list[str] = []
+    for seg in prev_segs:
+        seg_files = _read_segment(root, seg)
+        kept = [f for f in seg_files if f not in affected]
+        if len(kept) == len(seg_files):
+            new_segs.append(seg)  # untouched segment: carried by name
+        elif kept:
+            new_segs.append(_write_segment(root, kept))
+    if rewritten:
+        new_segs.append(_write_segment(root, rewritten))
+    return _commit(root, parent, "delete", new_segs, schema_extra)
 
 
 def read_snapshot(
@@ -266,16 +347,16 @@ def read_snapshot(
 
 def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     """Retention GC: drop manifests older than the newest
-    ``keep_last`` (head always kept), then delete data files no kept
-    manifest references. Immutability makes this a pure set
-    difference, in two safety classes:
+    ``keep_last`` (head always kept), then delete segments and data
+    files no kept manifest references. Immutability makes this a pure
+    set difference, in two safety classes:
 
-    - files referenced ONLY by expired manifests were fully committed
-      once — no in-flight writer can be mid-write to them — so they
-      delete immediately;
-    - files referenced by NO manifest at all are either crashed-commit
-      orphans or a commit staged between our manifest listing and the
-      sweep — age-gated (same idiom as serve.py's build orphans).
+    - files/segments referenced ONLY by expired manifests were fully
+      committed once — no in-flight writer can be mid-write to them —
+      so they delete immediately;
+    - files/segments referenced by NO manifest at all are either
+      crashed-commit orphans or a commit staged between our manifest
+      listing and the sweep — age-gated (serve.py's orphan idiom).
 
     Returns deleted paths (for tests/audit)."""
     head = current_version(root)
@@ -289,16 +370,35 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     keep = {v for v in versions if v > head - keep_last} | {head}
     live: set[str] = set()
     expired_refs: set[str] = set()
+    live_segs: set[str] = set()
+    expired_segs: set[str] = set()
     for v in versions:
-        files = read_manifest(root, v)["files"]
-        (live if v in keep else expired_refs).update(files)
+        m = read_manifest(root, v)
+        (live if v in keep else expired_refs).update(manifest_files(root, m))
+        (live_segs if v in keep else expired_segs).update(
+            m.get("segments", [])
+        )
     deleted: list[str] = []
     for v in versions:
         if v not in keep:
             os.remove(_manifest_path(root, v))
             deleted.append(f"meta/v{v}.json")
-    data_root = os.path.join(root, _DATA)
     now = time.time()
+    # segment JSONs: same two safety classes as data files
+    for name in sorted(os.listdir(_meta_dir(root))):
+        if not (name.startswith("s-") and name.endswith(".json")):
+            continue
+        seg = name[:-5]
+        if seg in live_segs:
+            continue
+        p = os.path.join(_meta_dir(root), name)
+        if seg not in expired_segs and (
+            now - os.stat(p).st_mtime < _ORPHAN_AGE_SEC
+        ):
+            continue  # possibly a commit in flight: age-gated
+        os.remove(p)
+        deleted.append(f"meta/{name}")
+    data_root = os.path.join(root, _DATA)
     for d in sorted(os.listdir(data_root)):
         ddir = os.path.join(data_root, d)
         swept_expired = False
@@ -329,6 +429,50 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     return deleted
 
 
+def vacuum(root: str, keep_last: int = 2) -> list[str]:
+    """Full table maintenance (public op, VERDICT r6 task 7): retention
+    GC via `expire_snapshots` (manifests + segments + data files under
+    the documented age gates) PLUS reclamation of dead writers'
+    staging scratch — ``*.tmp-<pid>-*`` files a crashed `_commit` left
+    in the meta dir, pid-liveness-gated exactly like streaming/ivf.py
+    scratch (a live pid's tmp is an in-flight commit stage; hands
+    off). Returns every reclaimed path.
+
+    Safety ledger, matching the module's crash contract:
+    - retained versions are untouched (every file/segment they
+      reference survives — `expire_snapshots` computes the live set
+      from ALL kept manifests first);
+    - a crashed pre-link commit = orphan data dir + orphan segment
+      JSON + (possibly) a tmp manifest: the first two age-gate, the
+      tmp is reclaimed as soon as its owner pid is gone;
+    - nothing younger than the age gate and unreferenced is touched —
+      it may be the staging of a commit racing this vacuum."""
+    deleted = expire_snapshots(root, keep_last=keep_last)
+    meta = _meta_dir(root)
+    try:
+        names = os.listdir(meta)
+    except OSError:
+        return deleted
+    for name in names:
+        if ".tmp-" not in name:
+            continue
+        pid_str = name.rpartition(".tmp-")[2].split("-", 1)[0]
+        if pid_str.isdigit():
+            try:
+                os.kill(int(pid_str), 0)
+                continue  # owner alive: commit stage in flight
+            except ProcessLookupError:
+                pass  # dead owner — reclaim
+            except PermissionError:
+                continue  # alive under another uid — hands off
+        try:
+            os.remove(os.path.join(meta, name))
+            deleted.append(f"meta/{name}")
+        except OSError:
+            pass
+    return deleted
+
+
 def _find_stream_commit(root: str, stream_id: str, batch_id: int) -> int | None:
     """Version already holding this (stream, batch), or None. Scan is
     O(retained versions) of small JSON — the idempotence ledger is the
@@ -346,18 +490,54 @@ def _find_stream_commit(root: str, stream_id: str, batch_id: int) -> int | None:
     return None
 
 
-def _commit_with_retry(
-    root: str, op: str, new_files: list[str], extra: dict | None = None
+def commit_with_retry(
+    root: str,
+    build_fn,
+    max_attempts: int = 8,
+    base_backoff_sec: float = 0.05,
+) -> int:
+    """Optimistic-commit retry loop (public, VERDICT r6 task 5): call
+    ``build_fn()`` — any commit operation that re-reads the head
+    itself, e.g. ``lambda: commit_append(spark, root, df)`` — and on
+    ConcurrentCommit retry with bounded exponential backoff + jitter
+    (decorrelates N writers hammering the same head). Raises the final
+    ConcurrentCommit after ``max_attempts`` losses.
+
+    Data written by a losing attempt is immutable orphan files that
+    `vacuum` age-gates away — correctness never depends on cleanup.
+    Append-heavy paths that want write-once data across retries should
+    use `snapshot_sink`'s internal loop, which stages files once and
+    retries only the O(#segments) commit."""
+    for attempt in range(max_attempts):
+        try:
+            return build_fn()
+        except ConcurrentCommit:
+            if attempt == max_attempts - 1:
+                raise
+            time.sleep(
+                base_backoff_sec * (2**attempt) * (0.5 + random.random())
+            )
+    raise AssertionError("unreachable")
+
+
+def _commit_segments_with_retry(
+    root: str, op: str, new_segments: list[str], extra: dict | None = None
 ) -> int:
     """Append-shaped commit loop: on ConcurrentCommit, re-read the new
-    head and retry — new_files are immutable, so only the carried
-    prefix changes."""
+    head and retry — new_segments are immutable, so only the carried
+    prefix changes. Write-once: the data AND segment files are staged
+    exactly once; each retry re-links an O(#segments) commit file."""
     while True:
         parent = current_version(root)
-        prev = read_manifest(root, parent)["files"] if parent else []
-        manifest_extra = dict(extra or {})
+        prev = (
+            _parent_segments(root, read_manifest(root, parent))
+            if parent
+            else []
+        )
         try:
-            return _commit(root, parent, op, prev + new_files, manifest_extra)
+            return _commit(
+                root, parent, op, prev + new_segments, dict(extra or {})
+            )
         except ConcurrentCommit:
             continue
 
@@ -381,10 +561,11 @@ def snapshot_sink(root: str, stream_id: str):
             return  # re-delivered after a post-commit crash
         create_table(root)
         files = _write_data_files(batch_df, root)
-        _commit_with_retry(
+        seg = _write_segment(root, files)
+        _commit_segments_with_retry(
             root,
             "append",
-            files,
+            [seg],
             {
                 "stream_id": stream_id,
                 "batch_id": batch_id,
@@ -411,29 +592,35 @@ def ingest_stream(
 
 def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     """Small-files maintenance: rewrite the head snapshot's files into
-    ``target_files``, commit as op=compact with the IDENTICAL row set.
-    Readers pinned to older versions keep their files (retention GC
-    reclaims them later); concurrent appends are preserved — if the
-    head moves mid-compaction, the retry carries every file added
-    since the compacted parent instead of silently dropping it.
+    ``target_files`` (one fresh segment), commit as op=compact with
+    the IDENTICAL row set. Readers pinned to older versions keep
+    their files (retention GC reclaims them later); concurrent appends
+    are preserved — if the head moves mid-compaction, the retry
+    carries every segment added since the compacted parent instead of
+    silently dropping it.
 
     Conflict rule (Delta/Iceberg shape): a concurrent commit that
     REMOVED any base file (a COW delete, or another compaction)
     invalidates the rewrite — the rewritten data was built from the
     pre-delete base, so committing it would silently resurrect the
     deleted rows. That conflict raises ConcurrentCommit; the caller
-    re-runs compaction against the new head."""
+    re-runs compaction against the new head (`commit_with_retry`
+    wraps exactly this)."""
     parent = current_version(root)
     if not parent:
         raise ValueError("cannot compact an empty table")
     base_manifest = read_manifest(root, parent)
-    base = base_manifest["files"]
+    base_segs = set(_parent_segments(root, base_manifest))
+    base_files = set(manifest_files(root, base_manifest))
     df = _read_files(spark, root, base_manifest)
     rewritten = _write_data_files(df.coalesce(target_files), root)
+    folded_seg = _write_segment(root, rewritten)
     while True:
         head = current_version(root)
-        head_files = read_manifest(root, head)["files"]
-        removed = set(base) - set(head_files)
+        head_manifest = read_manifest(root, head)
+        head_segs = _parent_segments(root, head_manifest)
+        head_files = set(manifest_files(root, head_manifest))
+        removed = base_files - head_files
         if removed:
             raise ConcurrentCommit(
                 f"{len(removed)} base file(s) were removed by a "
@@ -441,8 +628,7 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
                 "rewrite would resurrect their deleted rows — re-run "
                 "compaction on the new head"
             )
-        added = [f for f in head_files if f not in set(base)]
-        head_manifest = read_manifest(root, head)
+        added_segs = [s for s in head_segs if s not in base_segs]
         schema_extra = (
             {"schema": head_manifest["schema"]}
             if "schema" in head_manifest
@@ -450,7 +636,7 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
         )
         try:
             return _commit(
-                root, head, "compact", rewritten + added, schema_extra
+                root, head, "compact", [folded_seg] + added_segs, schema_extra
             )
         except ConcurrentCommit:
             continue

@@ -3,6 +3,7 @@ concurrency, crash recovery, retention GC
 (metastore_spark/sources/snapshots.py)."""
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -34,9 +35,9 @@ def test_cow_delete_rewrites_only_affected_files(spark, tmp_path):
         spark, root, _df(spark, 0, 400).repartitionByRange(4, "k")
     )
     snap.commit_delete_where(spark, root, F.col("k") < 50)
-    m2, m3 = snap.read_manifest(root, 1), snap.read_manifest(root, 2)
-    carried = set(m2["files"]) & set(m3["files"])
-    rewritten = set(m3["files"]) - set(m2["files"])
+    f1, f2 = set(snap.files_of(root, 1)), set(snap.files_of(root, 2))
+    carried = f1 & f2
+    rewritten = f2 - f1
     # range layout localizes the range delete: most files carry over
     # by reference, at least one is rewritten
     assert carried and rewritten
@@ -52,7 +53,9 @@ def test_delete_with_no_matches_is_metadata_only(spark, tmp_path):
     snap.commit_append(spark, root, _df(spark, 0, 10))
     snap.commit_delete_where(spark, root, F.col("k") > 1000)
     m1, m2 = snap.read_manifest(root, 1), snap.read_manifest(root, 2)
-    assert m1["files"] == m2["files"]
+    # metadata-only: the same segments, carried by name
+    assert m1["segments"] == m2["segments"]
+    assert snap.files_of(root, 1) == snap.files_of(root, 2)
     assert snap.read_snapshot(spark, root, 2).count() == 10
 
 
@@ -62,9 +65,10 @@ def test_concurrent_commit_rejected(spark, tmp_path):
     # a racing writer advances the head between our parent snapshot
     # and our pointer swap
     files = snap._write_data_files(_df(spark, 10, 20), root)
+    seg = snap._write_segment(root, files)
     snap.commit_append(spark, root, _df(spark, 20, 30))  # the racer wins
     with pytest.raises(snap.ConcurrentCommit):
-        snap._commit(root, parent=1, op="append", files=files)
+        snap._commit(root, parent=1, op="append", segments=[seg])
     # exclusive-create lost: the WINNER's v2 manifest is untouched
     # (a rename-based commit would have clobbered it)
     assert snap.current_version(root) == 2
@@ -105,7 +109,7 @@ def test_expire_snapshots_gc(spark, tmp_path):
     # the head still reads completely
     assert snap.read_snapshot(spark, root).count() == 60
     # every file the head references is still on disk
-    for f in snap.read_manifest(root, 3)["files"]:
+    for f in snap.files_of(root, 3):
         assert os.path.exists(os.path.join(root, f))
     # a second expire is a no-op (idempotent)
     assert snap.expire_snapshots(root, keep_last=1) == []
@@ -199,19 +203,18 @@ def test_compact_carries_concurrent_append(spark, tmp_path, monkeypatch):
     assert snap.read_snapshot(spark, root).count() == 250
     m = snap.read_manifest(root, 4)
     assert m["op"] == "compact"
-    racer_files = set(snap.read_manifest(root, 3)["files"]) - set(
-        snap.read_manifest(root, 2)["files"]
-    )
-    assert racer_files <= set(m["files"])
+    racer_files = set(snap.files_of(root, 3)) - set(snap.files_of(root, 2))
+    assert racer_files <= set(snap.files_of(root, 4))
 
 
 def test_compact_shrinks_files_keeps_history(spark, tmp_path):
     root = _ingest_events(spark, tmp_path)
-    n_before = len(snap.read_manifest(root, 4)["files"])
+    n_before = len(snap.files_of(root, 4))
     v2_rows = snap.read_snapshot(spark, root, 2).count()
     snap.compact(spark, root, target_files=1)
-    m = snap.read_manifest(root, 5)
-    assert len(m["files"]) == 1 and n_before > 1
+    assert len(snap.files_of(root, 5)) == 1 and n_before > 1
+    # ... and into ONE segment: the manifest-list is reset, not grown
+    assert len(snap.read_manifest(root, 5)["segments"]) == 1
     assert snap.read_snapshot(spark, root, 5).count() == 1000
     # pre-compaction versions still read their original files
     assert snap.read_snapshot(spark, root, 2).count() == v2_rows > 0
@@ -314,3 +317,172 @@ def test_expire_skips_inflight_write_dir(spark, tmp_path):
     os.makedirs(os.path.join(inflight, "_temporary", "0"))
     snap.expire_snapshots(root, keep_last=1)
     assert os.path.isdir(inflight)
+
+
+def test_commit_payload_independent_of_table_file_count(spark, tmp_path):
+    """VERDICT r6 task 2: the two-tier manifest makes an append's
+    metadata payload O(delta files) + O(#segments) — NOT O(table
+    files). Two tables with the same segment count but 16x different
+    file counts must pay byte-identical-order metadata for the same
+    1-file append."""
+
+    def meta_bytes(root):
+        md = os.path.join(root, "meta")
+        return {n: os.path.getsize(os.path.join(md, n)) for n in os.listdir(md)}
+
+    def delta_commit_cost(n_base_files):
+        root = str(tmp_path / f"t{n_base_files}")
+        snap.commit_append(
+            spark, root, _df(spark, 0, 4000).repartition(n_base_files)
+        )
+        before = meta_bytes(root)
+        snap.commit_append(spark, root, _df(spark, 9000, 9010).coalesce(1))
+        after = meta_bytes(root)
+        return sum(v for k, v in after.items() if k not in before)
+
+    small = delta_commit_cost(4)
+    large = delta_commit_cost(64)
+    # same new-segment size, same 2-name commit file: equal payload
+    # modulo uuid-length jitter — nowhere near the 16x file-count gap
+    assert large < small * 1.5, (small, large)
+    # and the base table really does have 16x the files
+    assert len(snap.files_of(str(tmp_path / "t64"), 1)) == 64
+    assert len(snap.files_of(str(tmp_path / "t4"), 1)) == 4
+
+
+def test_delete_touches_only_affected_segments(spark, tmp_path):
+    """COW delete carries untouched SEGMENTS by name: appends landing
+    in separate segments mean a delete hitting only segment 1's key
+    range must not rewrite (or even re-list) segment 2."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).coalesce(1))
+    snap.commit_append(spark, root, _df(spark, 100, 200).coalesce(1))
+    segs_before = snap.read_manifest(root, 2)["segments"]
+    snap.commit_delete_where(spark, root, F.col("k") < 10)
+    segs_after = snap.read_manifest(root, 3)["segments"]
+    # the second append's segment survives by name; the first is
+    # replaced (its one file was affected -> fully rewritten)
+    assert segs_before[1] in segs_after
+    assert segs_before[0] not in segs_after
+    assert snap.read_snapshot(spark, root).count() == 190
+
+
+def test_commit_with_retry_multi_writer_serializes(spark, tmp_path):
+    """VERDICT r6 task 5: N concurrent writers through
+    commit_with_retry all land DISTINCT versions and the final table
+    equals the serial union — optimistic concurrency under real
+    thread interleaving."""
+    import threading
+
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+    results: dict[int, int] = {}
+    errors: list[Exception] = []
+
+    def writer(i):
+        try:
+            results[i] = snap.commit_with_retry(
+                root,
+                lambda: snap.commit_append(
+                    spark, root, _df(spark, 100 * (i + 1), 100 * (i + 1) + 10)
+                ),
+                max_attempts=20,
+            )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert sorted(results.values()) == [2, 3, 4, 5]  # distinct versions
+    head = snap.read_snapshot(spark, root)
+    assert head.count() == 50
+    ks = sorted(r["k"] for r in head.select("k").collect())
+    expect = sorted(
+        list(range(10))
+        + [100 * (i + 1) + j for i in range(4) for j in range(10)]
+    )
+    assert ks == expect
+
+
+def test_commit_with_retry_exhausts(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 5))
+
+    def always_loses():
+        raise snap.ConcurrentCommit("forced")
+
+    with pytest.raises(snap.ConcurrentCommit):
+        snap.commit_with_retry(
+            root, always_loses, max_attempts=3, base_backoff_sec=0.001
+        )
+
+
+def test_vacuum_reclaims_crashed_commit_preserves_versions(spark, tmp_path):
+    """VERDICT r6 task 7: vacuum after an injected pre-link crash
+    (orphan data dir + orphan segment JSON + dead writer's tmp
+    manifest) reclaims all three once aged, while every retained
+    version still reads its exact row set."""
+    import subprocess
+
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    snap.commit_append(spark, root, _df(spark, 100, 150))
+    v1_rows = snap.read_snapshot(spark, root, 1).count()
+
+    # inject the crash window: data written, segment written, tmp
+    # manifest staged — death before os.link
+    files = snap._write_data_files(_df(spark, 500, 600), root)
+    seg = snap._write_segment(root, files)
+    reaped = subprocess.Popen(["true"])
+    reaped.wait()
+    tmp_manifest = os.path.join(
+        root, "meta", f"v3.json.tmp-{reaped.pid}-cafe0123"
+    )
+    with open(tmp_manifest, "w") as fh:
+        fh.write("{}")
+
+    # too young: the age gate protects a possibly-in-flight commit
+    deleted = snap.vacuum(root, keep_last=5)
+    assert os.path.exists(snap._segment_path(root, seg))
+    assert os.path.exists(os.path.join(root, files[0]))
+    # the dead writer's tmp manifest is pid-gated, not age-gated
+    assert f"meta/{os.path.basename(tmp_manifest)}" in deleted
+
+    # age the orphans past the gate
+    old = time.time() - 2 * snap._ORPHAN_AGE_SEC
+    os.utime(snap._segment_path(root, seg), (old, old))
+    for f in files:
+        os.utime(os.path.join(root, f), (old, old))
+    os.utime(os.path.dirname(os.path.join(root, files[0])), (old, old))
+    deleted = snap.vacuum(root, keep_last=5)
+    assert not os.path.exists(snap._segment_path(root, seg))
+    assert not os.path.exists(os.path.join(root, files[0]))
+
+    # every retained version unharmed
+    assert snap.read_snapshot(spark, root, 1).count() == v1_rows == 100
+    assert snap.read_snapshot(spark, root, 2).count() == 150
+
+
+def test_legacy_inline_files_manifest_still_reads(spark, tmp_path):
+    """Round-6 tables carry inline ``files`` commit files; the v2
+    reader resolves them and the first NEW commit lazily upgrades the
+    parent to a segment."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 30))
+    # rewrite v1 as a legacy manifest (what round 6 wrote)
+    m = snap.read_manifest(root, 1)
+    legacy = {
+        k: v for k, v in m.items() if k != "segments"
+    } | {"files": snap.manifest_files(root, m)}
+    with open(snap._manifest_path(root, 1), "w") as fh:
+        import json as _json
+
+        _json.dump(legacy, fh)
+    assert snap.read_snapshot(spark, root, 1).count() == 30
+    v2 = snap.commit_append(spark, root, _df(spark, 30, 40))
+    assert snap.read_snapshot(spark, root, v2).count() == 40
+    assert "segments" in snap.read_manifest(root, v2)
