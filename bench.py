@@ -130,6 +130,8 @@ HEADLINE = [
     "docs_training_shards",
     "multimodal_resize_grid",
     "docs_winnowing_fingerprints",
+    # round 7 additions
+    "events_snapshot_serving",
 ]
 
 

@@ -212,3 +212,166 @@ def events_stream_snapshot_ingest(
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+def _serving_store(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """The events corpus SERVED through the snapshot table format
+    end-to-end (VERDICT r6 task 1) — the lifecycle a 100 TB metastore
+    runs on its one mutating table (the reference's append-only
+    events kind, /root/reference/metastore/models.py:82-85):
+
+    v1-v3  Structured Streaming ingest (maxFilesPerTrigger=1 ->
+           foreachBatch `snapshot_sink`), one exactly-once snapshot
+           commit per micro-batch;
+    v4     `compact` folds the small-files ingest tail (identical
+           rows, one segment);
+    v5     GDPR erasure as a `commit_delete_where` COW commit through
+           `commit_with_retry` — the victim user's rows are rewritten
+           out of affected files only.
+
+    Returns (root, victim_user). Built once per corpus fingerprint
+    (serve.py idiom: process-private build dir, atomic rename, losers
+    discard); ``ts`` is projected to epoch-micros int64 at ingest so
+    the stored table is encoding-canonical."""
+    from metastore_spark.serve import _fingerprint
+    from metastore_spark.ts import ts_us
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint([src])
+    root = os.path.join(_SNAP_ROOT, f"serving-{fp}")
+    victim_path = os.path.join(root, "victim.json")
+    if snap.current_version(root) >= 5 and os.path.exists(victim_path):
+        import json
+
+        with open(victim_path) as fh:
+            return root, json.load(fh)["user_id"]
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        ts_us("ts").alias("ts_us"),
+    )
+    victim = int(
+        base.filter(F.col("event_type") == "click")
+        .agg(F.min("user_id"))
+        .first()[0]
+    )
+    os.makedirs(_SNAP_ROOT, exist_ok=True)
+    import tempfile
+
+    tmp = f"{root}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    feed = tempfile.mkdtemp(prefix="snap_feed_")
+    ckpt = tempfile.mkdtemp(prefix="snap_ckpt_")
+    try:
+        base.repartition(3).write.mode("overwrite").parquet(feed)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        snap.ingest_stream(stream, tmp, ckpt, stream_id=f"events-{fp[:8]}")
+        assert snap.current_version(tmp) == 3
+        snap.commit_with_retry(
+            tmp, lambda: snap.compact(spark, tmp, target_files=1)
+        )
+        snap.commit_with_retry(
+            tmp,
+            lambda: snap.commit_delete_where(
+                spark, tmp, F.col("user_id") == victim
+            ),
+        )
+        import json
+
+        with open(os.path.join(tmp, "victim.json"), "w") as fh:
+            json.dump({"user_id": victim}, fh)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root, victim
+
+
+@query(
+    "events_snapshot_serving",
+    oracle="""
+    WITH victim AS (
+      SELECT MIN(user_id) AS u FROM events WHERE event_type = 'click'
+    ),
+    pre AS (SELECT * FROM events),
+    post AS (
+      SELECT e.* FROM events e, victim v WHERE e.user_id IS DISTINCT FROM v.u
+    )
+    SELECT 4 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM pre
+    UNION ALL
+    SELECT 5,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT),
+           CAST(MIN(epoch_us(ts)) AS BIGINT),
+           CAST(MAX(epoch_us(ts)) AS BIGINT)
+    FROM post
+    ORDER BY version
+    """,
+)
+def events_snapshot_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events served THROUGH the snapshot table format (VERDICT r6
+    task 1): the store is built by streaming ingest (3 exactly-once
+    micro-batch commits) + compaction + a COW GDPR-erasure commit, and
+    this query reads it at two isolation points:
+
+    - version 4 (PINNED pre-delete): a reader holding the pre-erasure
+      snapshot still reproduces the full corpus bit-for-bit — the
+      oracle leg recomputes it from the raw table, so a COW delete
+      that touched a carried file, or a compaction that dropped an
+      ingest batch, hash-mismatches;
+    - version 5 (head): the erased user is gone and everything else
+      is untouched — the oracle filters the raw table by the same
+      deterministic victim (MIN user_id among clicks; NULL-safe
+      semantics on both engines).
+
+    Scale shape: each leg opens exactly its manifest's segment file
+    lists; the erasure rewrote only affected files (the corpus was
+    just compacted, so here that is the one folded segment — on a
+    user_id-clustered production layout it is the victim's cell
+    files, cf. layout.forget_user); aggregates are exact int64. At
+    100 TB this is the architecture: ingest appends O(batch), GDPR
+    deletes O(affected), pinned readers immune to both, one commit
+    protocol under all three."""
+    root, _victim = _serving_store(spark, sf_dir)
+    assert snap.read_manifest(root, 5)["op"] == "delete"
+    legs = []
+    for v in (4, 5):
+        legs.append(
+            snap.read_snapshot(spark, root, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                F.sum(
+                    (F.col("event_type") == "click").cast("bigint")
+                ).cast("bigint").alias("n_clicks"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("value_cents_sum"),
+                F.min("ts_us").cast("bigint").alias("min_ts_us"),
+                F.max("ts_us").cast("bigint").alias("max_ts_us"),
+            )
+        )
+    return legs[0].unionAll(legs[1]).orderBy("version")
