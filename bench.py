@@ -132,6 +132,8 @@ HEADLINE = [
     "docs_winnowing_fingerprints",
     # round 7 additions
     "events_snapshot_serving",
+    "ann_pq_recall_trained",
+    "ann_ivf_recall_trained",
 ]
 
 

@@ -1008,3 +1008,202 @@ def panel_cosine_scores(
             yield pd.concat(out)
 
     return df.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    maxabs: float,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    offset: int = 128,
+) -> list[tuple[list[int], "object"]]:
+    """TRAIN per-subspace PQ codebooks with quantized Lloyd's — the
+    emb_kmeans_quantized machinery composed into the index build
+    (VERDICT r6 task 3), replacing the vec_id<16 data-prefix stand-in.
+
+    Everything runs in the OFFSET int domain ``floor(x*scale+0.5) +
+    offset`` (all values positive), so the centroid-update mean's
+    truncating division equals floor division on Spark AND DuckDB —
+    the same dodge as emb_kmeans_quantized's +1e6 — and every
+    distance/assignment is exact int64, reproducible bit-for-bit by
+    an unrolled-CTE SQL oracle. Seeds are the first ``n_cent``
+    vectors' subvectors (cid = seed vec_id, labels preserved); empty
+    clusters DROP, exactly like the oracle's per-iteration GROUP BY.
+
+    Distributed shape: each Lloyd iteration is ONE Arrow map pass
+    (numpy broadcast argmin over all subspaces at once) emitting
+    per-partition partial sums — the exchange carries at most
+    partitions x (n_sub*n_cent*sub_d) int rows, the sufficient
+    statistics, never vectors. Centroids live driver-side between
+    iterations (n_sub x n_cent x sub_d ints — parameters).
+
+    Returns one (sorted cid list, int64 ndarray [len(cids), sub_d])
+    per subspace, in the offset domain.
+    """
+    import numpy as np
+    import pandas as pd
+
+    scale = 127.0 / maxabs
+    dim = len(df.select(vec_col).first()[0])
+    sub_d = dim // n_sub
+
+    ov = F.expr(
+        f"transform(cast({vec_col} as array<double>), x -> "
+        f"cast(floor(x * {scale!r} + 0.5) as bigint) + {offset})"
+    )
+    e = df.select(F.col(id_col).alias("_id"), ov.alias("_ov"))
+
+    seed_rows = (
+        e.filter(F.col("_id") < n_cent).orderBy("_id").collect()
+    )
+    books: list[tuple[list[int], np.ndarray]] = []
+    for s in range(n_sub):
+        cids = [int(r["_id"]) for r in seed_rows]
+        C = np.array(
+            [
+                [int(x) for x in r["_ov"][s * sub_d : (s + 1) * sub_d]]
+                for r in seed_rows
+            ],
+            dtype=np.int64,
+        )
+        books.append((cids, C))
+
+    for _ in range(iters - 1):
+        bks = books  # capture for the closure
+
+        def partial_stats(it):
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                V = np.stack(pdf["_ov"].values).astype(np.int64).reshape(
+                    len(pdf), n_sub, sub_d
+                )
+                frames = []
+                for s in range(n_sub):
+                    cids_s, C_s = bks[s]
+                    d = ((V[:, s, None, :] - C_s[None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    code = d.argmin(axis=1)  # ties -> lowest index =
+                    # lowest cid (cids sorted ascending)
+                    for ci in np.unique(code):
+                        rows = V[code == ci, s, :]
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "sub": np.int32(s),
+                                    "cid": np.int64(cids_s[ci]),
+                                    "pos": np.arange(
+                                        sub_d, dtype=np.int32
+                                    ),
+                                    "psum": rows.sum(axis=0),
+                                    "pcnt": np.int64(len(rows)),
+                                }
+                            )
+                        )
+                yield pd.concat(frames)
+
+        stats = (
+            e.mapInPandas(
+                partial_stats,
+                schema="sub int, cid bigint, pos int, psum bigint, "
+                "pcnt bigint",
+            )
+            .groupBy("sub", "cid", "pos")
+            .agg(F.sum("psum").alias("s"), F.sum("pcnt").alias("n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+        for r in stats:
+            acc.setdefault((int(r["sub"]), int(r["cid"])), []).append(
+                (int(r["pos"]), int(r["s"]), int(r["n"]))
+            )
+        new_books: list[tuple[list[int], np.ndarray]] = []
+        for s in range(n_sub):
+            cids_s = sorted(c for (ss, c) in acc if ss == s)
+            C_s = np.zeros((len(cids_s), sub_d), dtype=np.int64)
+            for ci, c in enumerate(cids_s):
+                for pos, tot, n in acc[(s, c)]:
+                    C_s[ci, pos] = tot // n  # positive ints: trunc==floor
+            new_books.append((cids_s, C_s))
+        books = new_books
+    return books
+
+
+def pq_adc_scores_panel_books(
+    df: DataFrame,
+    qpanel: list[tuple[int, list[float]]],
+    books: list[tuple[list[int], "object"]],
+    maxabs: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    offset: int = 128,
+) -> DataFrame:
+    """`pq_adc_scores_panel` for TRAINED per-subspace int codebooks
+    (offset domain, possibly ragged after empty-cluster drops): encode
+    the corpus once, score the whole panel per pass. Distances are
+    offset-invariant, so ADC in the offset domain equals the
+    unshifted int8 domain exactly."""
+    import numpy as np
+    import pandas as pd
+
+    scale = 127.0 / maxabs
+    dim = len(qpanel[0][1])
+    n_sub = len(books)
+    sub_d = dim // n_sub
+    qids = [qid for qid, _ in qpanel]
+    # per (query, sub): distance table over that sub's codebook rows
+    dtables = []
+    for _, qv in qpanel:
+        qq = (
+            np.floor(np.asarray(qv, dtype=np.float64) * scale + 0.5).astype(
+                np.int64
+            )
+            + offset
+        ).reshape(n_sub, sub_d)
+        dtables.append(
+            [
+                ((qq[s][None, :] - books[s][1]) ** 2).sum(axis=1)
+                for s in range(n_sub)
+            ]
+        )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, qid bigint, approx_dist bigint"
+
+    def encode_score(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = (
+                np.floor(
+                    np.stack(pdf[vec_col].values).astype(np.float64) * scale
+                    + 0.5
+                ).astype(np.int64)
+                + offset
+            ).reshape(len(pdf), n_sub, sub_d)
+            codes = []
+            for s in range(n_sub):
+                d = ((V[:, s, None, :] - books[s][1][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes.append(d.argmin(axis=1))  # ties -> lowest cid
+            yield pd.concat(
+                pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        "qid": np.int64(qid),
+                        "approx_dist": sum(
+                            dt[s][codes[s]] for s in range(n_sub)
+                        ),
+                    }
+                )
+                for qid, dt in zip(qids, dtables)
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode_score, schema=out_schema
+    )
