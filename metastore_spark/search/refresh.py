@@ -103,6 +103,7 @@ def refresh_segment(
     fields: list[str],
     stem: bool = True,
     segment_name: str | None = None,
+    max_segments: int = 8,
 ) -> str:
     """Land one batch of new documents as a segment and publish it:
     build in a process-private scratch, os.rename to ``seg-<name>``,
@@ -110,11 +111,34 @@ def refresh_segment(
     the batch id — a replayed batch republishes identical content
     under the same name (the manifest add is a set-union). foreachBatch
     hook: ``lambda b, bid: refresh_segment(spark, b, path, ...,
-    segment_name=str(bid))``."""
+    segment_name=str(bid))``.
+
+    Segment growth is BOUNDED (VERDICT r6 task 4): when the publish
+    leaves more than ``max_segments`` live segments, the refresh
+    auto-folds them via `compact_segments` — so `load_segmented`'s
+    plan size and per-segment stats opens stay O(max_segments) no
+    matter how long the ingest runs, the same invariant
+    streaming/ivf.py keeps for batch dirs. Pass ``max_segments=0`` to
+    disable.
+
+    Replay safety across folds: the manifest keeps a ``folded``
+    ledger (streaming/ivf.py's folded_batches idiom). A batch
+    replayed AFTER its segment was folded into a compacted generation
+    (crash between the refresh and the stream's checkpoint commit)
+    re-lands identical content, is recognized in the ledger, and is
+    NOT re-added — its rows already live in the compacted segment, so
+    re-listing it would double-count every doc. The ledger is
+    name-only and prunable past the stream's replay horizon."""
     os.makedirs(path, exist_ok=True)
     name = f"seg-{segment_name or uuid.uuid4().hex[:8]}"
     dest = os.path.join(path, name)
     tmp = f"{dest}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    man = _read_manifest(path) or {"segments": []}
+    if name in man.get("folded", []):
+        # replayed batch, already folded: its content is in the
+        # compacted segment — discard the redundant rebuild
+        shutil.rmtree(tmp, ignore_errors=True)
+        return dest
     _write_segment(spark, new_docs, id_col, fields, tmp, stem)
     if os.path.exists(dest):  # replay: identical content, swap it in
         old = f"{dest}.old-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -122,9 +146,11 @@ def refresh_segment(
         shutil.rmtree(old, ignore_errors=True)
     os.rename(tmp, dest)
     man = _read_manifest(path) or {"segments": []}
-    if name not in man["segments"]:
+    if name not in man["segments"] and name not in man.get("folded", []):
         man["segments"] = sorted(man["segments"] + [name])
     _write_manifest(path, man)
+    if max_segments and len(man["segments"]) > max_segments:
+        compact_segments(spark, path)
     return dest
 
 
@@ -215,6 +241,16 @@ def compact_segments(spark: SparkSession, path: str) -> None:
     with open(os.path.join(tmp, "stats.json"), "w") as fh:
         json.dump({"num_docs": num_docs, "dl_sums": dl}, fh)
     os.rename(tmp, dest)
-    _write_manifest(path, {"segments": [name], "generation": gen})
+    _write_manifest(
+        path,
+        {
+            "segments": [name],
+            "generation": gen,
+            # fold ledger: names whose content lives in a compacted
+            # generation — refresh_segment consults it so a replayed
+            # batch can never re-list itself (see its docstring)
+            "folded": sorted(set(man.get("folded", [])) | set(folded)),
+        },
+    )
     for s in segs:  # superseded by the manifest — idempotent retire
         shutil.rmtree(s, ignore_errors=True)

@@ -126,3 +126,50 @@ def test_term_filter_prunes_each_segment_scan(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("PushedFilters: [IsNotNull(term), EqualTo(term,spark)]") == 2
+
+
+def test_auto_fold_bounds_segments_scores_equal_cold(spark, tmp_path):
+    """VERDICT r6 task 4: many drained micro-batches with
+    max_segments=3 must keep the live segment count bounded after
+    every refresh, with merged scores still equal to a cold rebuild
+    of the full corpus."""
+    store = str(tmp_path / "seg")
+    rows = [(i, f"spark streams data batch{i % 4}") for i in range(12)]
+    for i in range(12):
+        refresh_segment(
+            spark, _docs_df(spark, rows[i : i + 1]), store, "doc_id",
+            ["text"], stem=False, segment_name=str(i), max_segments=3,
+        )
+        assert len(_read_manifest(store)["segments"]) <= 3
+    merged = load_segmented(spark, store)
+    cold = build_index(_docs_df(spark, rows), "doc_id", ["text"], stem=False)
+    assert merged.num_docs == cold.num_docs == 12
+    assert _scores(spark, merged) == _scores(spark, cold)
+    cold.unpersist()
+
+
+def test_replay_after_fold_does_not_double_count(spark, tmp_path):
+    """The crash window between a refresh and the stream's checkpoint
+    commit can replay a batch whose segment was ALREADY folded into a
+    compacted generation: the manifest's fold ledger must recognize it
+    and keep the corpus single-counted."""
+    store = str(tmp_path / "seg")
+    for i in range(3):
+        refresh_segment(
+            spark, _docs_df(spark, _DOCS[2 * i : 2 * i + 2]), store,
+            "doc_id", ["text"], stem=False, segment_name=str(i),
+        )
+    compact_segments(spark, store)
+    man = _read_manifest(store)
+    assert man["segments"] == ["seg-compacted-0"]
+    assert "seg-1" in man["folded"]
+    before = _scores(spark, load_segmented(spark, store))
+
+    # at-least-once replay of folded batch 1 (identical content)
+    refresh_segment(
+        spark, _docs_df(spark, _DOCS[2:4]), store, "doc_id", ["text"],
+        stem=False, segment_name="1",
+    )
+    merged = load_segmented(spark, store)
+    assert merged.num_docs == 6  # NOT 8
+    assert _scores(spark, merged) == before
