@@ -134,6 +134,7 @@ HEADLINE = [
     "events_snapshot_serving",
     "ann_pq_recall_trained",
     "ann_ivf_recall_trained",
+    "events_snapshot_pruned_scan",
 ]
 
 

@@ -36,7 +36,9 @@ def _events_table(spark: SparkSession, sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "events.parquet")
     fp = _fingerprint([src])
-    root = os.path.join(_SNAP_ROOT, f"events-{fp}")
+    # v2 store key: v2 added manifest min/max stats on user_id —
+    # pre-stats stores must not satisfy the build-once check
+    root = os.path.join(_SNAP_ROOT, f"events-v2-{fp}")
     if snap.current_version(root) >= 3:
         return root
 
@@ -57,6 +59,7 @@ def _events_table(spark: SparkSession, sf_dir: str) -> str:
         base.filter(F.col("event_id") % 3 == 0).repartitionByRange(
             4, "user_id"
         ),
+        stats_cols=["user_id"],  # manifest min/max -> file skipping
     )
     snap.commit_append(
         spark,
@@ -375,3 +378,67 @@ def events_snapshot_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return legs[0].unionAll(legs[1]).orderBy("version")
+
+
+@query(
+    "events_snapshot_pruned_scan",
+    oracle="""
+    WITH cutoff AS (SELECT MAX(user_id) // 10 AS cu,
+                           MAX(user_id) * 3 // 4 AS lo FROM events),
+    v2 AS (
+      SELECT user_id, event_type, value FROM events
+      WHERE event_id % 3 IN (0, 1)
+    ),
+    v3 AS (
+      SELECT v2.* FROM v2, cutoff
+      WHERE NOT (user_id < cu AND event_type = 'click')
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM v3, cutoff
+    WHERE user_id >= lo
+    """,
+)
+def events_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-STATS FILE SKIPPING on the snapshot events table: the
+    store's appends are range-clustered on user_id with footer-lifted
+    min/max recorded per file in the segment manifests (stats_cols
+    opt-in, Iceberg data-skipping shape), so a top-quartile user_id
+    range read resolves its file list FROM METADATA — the query
+    self-checks that the pruned list is a strict subset of the head's
+    files before scanning, then applies the equivalent row filter and
+    aggregates. The oracle recomputes the head state (v3 of the
+    timetravel lifecycle) and the same range from the raw corpus.
+
+    Scale shape: this is the layer partition pruning can't reach —
+    files inside one directory, skipped by per-file stats without
+    opening a footer. On a 100 TB user_id-clustered events table a
+    user-range read (the GDPR audit shape) opens O(matching files);
+    the erasure-key clustering that made COW deletes cheap makes these
+    reads cheap for the same reason."""
+    root = _events_table(spark, sf_dir)
+    head = snap.current_version(root)
+    m = snap.read_manifest(root, head)
+    lo = int(
+        snap.read_snapshot(spark, root, head)
+        .agg(F.expr("max(user_id) * 3 div 4"))
+        .first()[0]
+    )
+    pruned = snap.pruned_manifest_files(root, m, {"user_id": (lo, None)})
+    n_all = len(snap.manifest_files(root, m))
+    assert 0 < len(pruned) < n_all, (len(pruned), n_all)
+    return (
+        snap.read_snapshot(spark, root, head, prune={"user_id": (lo, None)})
+        .filter(F.col("user_id") >= lo)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+            ).cast("bigint").alias("value_cents_sum"),
+        )
+    )

@@ -121,19 +121,63 @@ def _segment_path(root: str, name: str) -> str:
     return os.path.join(_meta_dir(root), f"{name}.json")
 
 
-def _write_segment(root: str, files: list[str]) -> str:
-    """Persist an immutable segment (bounded file list) and return its
-    name. Written BEFORE the commit file that references it — a crash
-    in between leaves an orphan JSON for `vacuum`, never a torn read."""
+def _write_segment(
+    root: str, files: list[str], stats: dict | None = None
+) -> str:
+    """Persist an immutable segment (bounded file list, optional
+    per-file column min/max stats) and return its name. Written BEFORE
+    the commit file that references it — a crash in between leaves an
+    orphan JSON for `vacuum`, never a torn read."""
     name = f"s-{uuid.uuid4().hex[:16]}"
+    seg: dict = {"files": sorted(files)}
+    if stats:
+        seg["stats"] = stats
     with open(_segment_path(root, name), "w") as fh:
-        json.dump({"files": sorted(files)}, fh)
+        json.dump(seg, fh)
     return name
 
 
-def _read_segment(root: str, name: str) -> list[str]:
+def _collect_file_stats(
+    root: str, files: list[str], cols: list[str]
+) -> dict:
+    """Per-file [min, max] of ``cols`` lifted from the PARQUET FOOTERS
+    (pyarrow metadata read — no data scan): the Iceberg manifest-stats
+    idea, giving readers file skipping WITHOUT opening data files.
+    A column whose footer lacks stats in some row group maps to null
+    (that file is never skipped)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for f in files:
+        md = pq.ParquetFile(os.path.join(root, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        fstats: dict[str, list] = {}
+        for col in cols:
+            if col not in idx:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                fstats[col] = [lo, hi]
+        if fstats:
+            out[f] = fstats
+    return out
+
+
+def _read_segment_obj(root: str, name: str) -> dict:
     with open(_segment_path(root, name)) as fh:
-        return json.load(fh)["files"]
+        return json.load(fh)
+
+
+def _read_segment(root: str, name: str) -> list[str]:
+    return _read_segment_obj(root, name)["files"]
 
 
 def manifest_files(root: str, manifest: dict) -> list[str]:
@@ -241,36 +285,106 @@ def _check_add_only(parent_manifest: dict, df: DataFrame) -> None:
             )
 
 
-def _read_files(spark: SparkSession, root: str, manifest: dict) -> DataFrame:
-    """Read a manifest's exact file list under its COMMITTED schema
-    (Iceberg-style: schema lives in metadata, so readers never pay a
-    footer-merge pass, and files written before an added column
-    null-fill it)."""
-    paths = [os.path.join(root, f) for f in manifest_files(root, manifest)]
+def pruned_manifest_files(
+    root: str, manifest: dict, prune: dict | None
+) -> list[str]:
+    """The manifest's file list after MIN/MAX SKIPPING: ``prune`` maps
+    column -> (lo, hi) (either bound None for open); a file is skipped
+    only when its recorded stats prove no value can fall in the range
+    (NULLs never match a range predicate, so all-null or stats-less
+    files are conservatively KEPT — the caller's own filter handles
+    them). This is manifest-level pruning: skipped files are never
+    listed into the plan, opened, or footer-read — the scan cost of a
+    clustered-predicate query is O(matching files), not O(table
+    files), exactly like Iceberg manifest stats / Delta data
+    skipping. Safe only as an optimization UNDER the equivalent row
+    filter, like partition pruning."""
+    if not prune:
+        return manifest_files(root, manifest)
+    if "files" in manifest:  # legacy manifest: no stats recorded
+        return list(manifest["files"])
+    out: list[str] = []
+    for seg in manifest["segments"]:
+        obj = _read_segment_obj(root, seg)
+        stats = obj.get("stats", {})
+        for f in obj["files"]:
+            keep = True
+            fstats = stats.get(f, {})
+            for col, (lo, hi) in prune.items():
+                if col not in fstats:
+                    continue
+                fmin, fmax = fstats[col]
+                if (hi is not None and fmin > hi) or (
+                    lo is not None and fmax < lo
+                ):
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+    return out
+
+
+def _read_files(
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    prune: dict | None = None,
+) -> DataFrame:
+    """Read a manifest's exact (optionally stats-pruned) file list
+    under its COMMITTED schema (Iceberg-style: schema lives in
+    metadata, so readers never pay a footer-merge pass, and files
+    written before an added column null-fill it)."""
+    paths = [
+        os.path.join(root, f)
+        for f in pruned_manifest_files(root, manifest, prune)
+    ]
     reader = spark.read
     if "schema" in manifest:
         from pyspark.sql.types import StructType
 
-        reader = reader.schema(StructType.fromJson(manifest["schema"]))
+        schema = StructType.fromJson(manifest["schema"])
+        if not paths:  # pruned to nothing: empty frame, right schema
+            return spark.createDataFrame([], schema)
+        reader = reader.schema(schema)
+    elif not paths:  # legacy manifest, no committed schema to stand on
+        full = [os.path.join(root, f) for f in manifest_files(root, manifest)]
+        return spark.read.parquet(*full).limit(0)
     return reader.parquet(*paths)
 
 
-def commit_append(spark: SparkSession, root: str, df: DataFrame) -> int:
+def commit_append(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Append-only commit: ONE new segment for the new files, every
     parent segment carried by name — O(delta) data + O(delta) segment
     metadata + an O(#segments) commit file, independent of the
     table's total file count. The committed snapshot schema is the
     APPEND's schema (add-only evolution enforced), so a widened append
     upgrades the table for readers of this and later versions while
-    older versions keep their own committed schema."""
+    older versions keep their own committed schema.
+
+    ``stats_cols`` opts the table into manifest min/max stats for
+    those columns (footer-lifted, no data scan): later reads with a
+    ``prune`` range skip non-overlapping files without opening them.
+    Once set it is INHERITED by every later commit (append / delete /
+    compact recompute stats for the files they write), so the skipping
+    guarantee never silently lapses mid-history."""
     create_table(root)
     parent = current_version(root)
     prev_manifest = read_manifest(root, parent) if parent else {}
     _check_add_only(prev_manifest, df)
     prev_segs = _parent_segments(root, prev_manifest) if parent else []
+    scols = stats_cols or prev_manifest.get("stats_cols") or []
     files = _write_data_files(df, root)
-    seg = _write_segment(root, files)
-    return _commit(root, parent, "append", prev_segs + [seg], _schema_extra(df))
+    stats = _collect_file_stats(root, files, scols) if scols else None
+    seg = _write_segment(root, files, stats)
+    extra = _schema_extra(df)
+    if scols:
+        extra["stats_cols"] = list(scols)
+    return _commit(root, parent, "append", prev_segs + [seg], extra)
 
 
 def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
@@ -315,34 +429,63 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
         else None
     )
     if not affected:
-        return _commit(root, parent, "delete", prev_segs, schema_extra)
+        extra = dict(schema_extra or {})
+        if prev_manifest.get("stats_cols"):
+            extra["stats_cols"] = list(prev_manifest["stats_cols"])
+        return _commit(root, parent, "delete", prev_segs, extra or None)
     survivors = (
         with_file.join(F.broadcast(affected_df), "_src", "left_semi")
         .filter(~hit)
         .drop("_src")
     )
+    scols = prev_manifest.get("stats_cols") or []
     rewritten = _write_data_files(survivors, root)
     new_segs: list[str] = []
     for seg in prev_segs:
-        seg_files = _read_segment(root, seg)
+        obj = _read_segment_obj(root, seg)
+        seg_files = obj["files"]
         kept = [f for f in seg_files if f not in affected]
         if len(kept) == len(seg_files):
             new_segs.append(seg)  # untouched segment: carried by name
         elif kept:
-            new_segs.append(_write_segment(root, kept))
+            # replacement segment: carry the kept files' existing
+            # stats forward (files unchanged -> stats unchanged)
+            old_stats = obj.get("stats", {})
+            kept_stats = {f: old_stats[f] for f in kept if f in old_stats}
+            new_segs.append(_write_segment(root, kept, kept_stats or None))
     if rewritten:
-        new_segs.append(_write_segment(root, rewritten))
-    return _commit(root, parent, "delete", new_segs, schema_extra)
+        new_segs.append(
+            _write_segment(
+                root,
+                rewritten,
+                _collect_file_stats(root, rewritten, scols)
+                if scols
+                else None,
+            )
+        )
+    if schema_extra is None:
+        schema_extra = {}
+    if scols:
+        schema_extra["stats_cols"] = list(scols)
+    return _commit(root, parent, "delete", new_segs, schema_extra or None)
 
 
 def read_snapshot(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Time-travel read: the exact file list of ``version`` (default:
     current head). Empty table -> raises like a missing parquet path
-    would; version 0 is not a readable snapshot."""
+    would; version 0 is not a readable snapshot.
+
+    ``prune`` = {col: (lo, hi)} applies manifest min/max file
+    skipping (see `pruned_manifest_files`) — an optimization only
+    valid under the caller's equivalent row filter, exactly like
+    partition pruning."""
     v = current_version(root) if version is None else version
-    return _read_files(spark, root, read_manifest(root, v))
+    return _read_files(spark, root, read_manifest(root, v), prune)
 
 
 def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
@@ -560,18 +703,26 @@ def snapshot_sink(root: str, stream_id: str):
         if _find_stream_commit(root, stream_id, batch_id) is not None:
             return  # re-delivered after a post-commit crash
         create_table(root)
-        files = _write_data_files(batch_df, root)
-        seg = _write_segment(root, files)
-        _commit_segments_with_retry(
-            root,
-            "append",
-            [seg],
-            {
-                "stream_id": stream_id,
-                "batch_id": batch_id,
-                **_schema_extra(batch_df),
-            },
+        head = current_version(root)
+        scols = (
+            read_manifest(root, head).get("stats_cols") or []
+            if head
+            else []
         )
+        files = _write_data_files(batch_df, root)
+        seg = _write_segment(
+            root,
+            files,
+            _collect_file_stats(root, files, scols) if scols else None,
+        )
+        extra = {
+            "stream_id": stream_id,
+            "batch_id": batch_id,
+            **_schema_extra(batch_df),
+        }
+        if scols:
+            extra["stats_cols"] = list(scols)
+        _commit_segments_with_retry(root, "append", [seg], extra)
 
     return write_batch
 
@@ -614,7 +765,12 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     base_files = set(manifest_files(root, base_manifest))
     df = _read_files(spark, root, base_manifest)
     rewritten = _write_data_files(df.coalesce(target_files), root)
-    folded_seg = _write_segment(root, rewritten)
+    scols = base_manifest.get("stats_cols") or []
+    folded_seg = _write_segment(
+        root,
+        rewritten,
+        _collect_file_stats(root, rewritten, scols) if scols else None,
+    )
     while True:
         head = current_version(root)
         head_manifest = read_manifest(root, head)
@@ -629,14 +785,20 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
                 "compaction on the new head"
             )
         added_segs = [s for s in head_segs if s not in base_segs]
-        schema_extra = (
+        extra = (
             {"schema": head_manifest["schema"]}
             if "schema" in head_manifest
-            else None
+            else {}
         )
+        if head_manifest.get("stats_cols"):
+            extra["stats_cols"] = list(head_manifest["stats_cols"])
         try:
             return _commit(
-                root, head, "compact", [folded_seg] + added_segs, schema_extra
+                root,
+                head,
+                "compact",
+                [folded_seg] + added_segs,
+                extra or None,
             )
         except ConcurrentCommit:
             continue

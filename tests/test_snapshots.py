@@ -544,3 +544,66 @@ def test_pinned_reader_isolated_from_concurrent_writer(spark, tmp_path):
     assert head.count() == 140
     assert head.agg(F.min("k")).first()[0] == 20
     assert len(snap.files_of(root, snap.current_version(root))) == 1
+
+
+def test_manifest_stats_prune_skips_files(spark, tmp_path):
+    """Manifest min/max file skipping (Iceberg data-skipping shape):
+    a range-clustered table with stats_cols opted in must answer a
+    clustered range read from a strict SUBSET of files — and the
+    pruned read under its own filter must equal the unpruned one."""
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark,
+        root,
+        _df(spark, 0, 400).repartitionByRange(4, "k"),
+        stats_cols=["k"],
+    )
+    m = snap.read_manifest(root, 1)
+    assert m["stats_cols"] == ["k"]
+    all_files = snap.files_of(root, 1)
+    pruned = snap.pruned_manifest_files(root, m, {"k": (300, None)})
+    assert 0 < len(pruned) < len(all_files)
+    got = snap.read_snapshot(spark, root, prune={"k": (300, None)}).filter(
+        F.col("k") >= 300
+    )
+    assert got.count() == 100
+    assert got.agg(F.min("k")).first()[0] == 300
+
+    # stats INHERIT through append / COW delete / compact
+    snap.commit_append(spark, root, _df(spark, 400, 500).coalesce(1))
+    snap.commit_delete_where(spark, root, F.col("k") < 50)
+    snap.compact(spark, root, target_files=4)
+    head_m = snap.read_manifest(root, snap.current_version(root))
+    assert head_m["stats_cols"] == ["k"]
+    # compact coalesces ranges arbitrarily, so just verify pruning
+    # still returns exactly the filtered rows from a (possibly)
+    # reduced file set
+    got = snap.read_snapshot(
+        spark, root, prune={"k": (450, None)}
+    ).filter(F.col("k") >= 450)
+    assert got.count() == 50
+
+    # a range beyond every file prunes to an EMPTY frame with the
+    # committed schema intact
+    empty = snap.read_snapshot(spark, root, prune={"k": (10_000, None)})
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+
+
+def test_stats_prune_keeps_statless_and_null_files(spark, tmp_path):
+    """Safety: files without recorded stats are never skipped, and a
+    prune range never drops NULL rows the caller's filter wouldn't
+    drop anyway (range predicates don't match NULL)."""
+    root = str(tmp_path / "t")
+    # v1 WITHOUT stats (no opt-in), v2 widens with stats on k
+    snap.commit_append(spark, root, _df(spark, 0, 10).coalesce(1))
+    snap.commit_append(
+        spark, root, _df(spark, 1000, 1010).coalesce(1), stats_cols=["k"]
+    )
+    m = snap.read_manifest(root, 2)
+    # the v1 file has no stats entry -> kept under any prune range
+    pruned = snap.pruned_manifest_files(root, m, {"k": (2000, None)})
+    assert len(pruned) == 1  # v1's stats-less file survives the prune
+    got = snap.read_snapshot(spark, root, prune={"k": (5, None)}).filter(
+        F.col("k") >= 5
+    )
+    assert got.count() == 15
