@@ -135,6 +135,7 @@ HEADLINE = [
     "ann_pq_recall_trained",
     "ann_ivf_recall_trained",
     "events_snapshot_pruned_scan",
+    "events_snapshot_incremental",
 ]
 
 

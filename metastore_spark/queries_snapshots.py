@@ -442,3 +442,35 @@ def events_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("value_cents_sum"),
         )
     )
+
+
+@query(
+    "events_snapshot_incremental",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM events WHERE event_id % 3 = 1
+    """,
+)
+def events_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CONSUMPTION of the snapshot events table (Delta
+    CDF's append slice): `read_appends(root, since_version=1)` returns
+    exactly the rows the v2 append committed — the downstream
+    training-pipeline checkpoint loop ("only the documents ingested
+    since my last run"). The window read opens ONLY the appending
+    commits' new segments (op-aware: the v3 COW delete contributes
+    nothing), so consumption costs O(delta files) by construction —
+    never a table scan, never a row diff. The oracle recomputes the
+    same slice from the raw corpus via the deterministic batch rule
+    (event_id % 3 = 1)."""
+    root = _events_table(spark, sf_dir)
+    inc = snap.read_appends(spark, root, since_version=1, until_version=3)
+    return inc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+        ).cast("bigint").alias("value_cents_sum"),
+    )

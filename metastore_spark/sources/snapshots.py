@@ -802,3 +802,49 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
             )
         except ConcurrentCommit:
             continue
+
+
+def read_appends(
+    spark: SparkSession,
+    root: str,
+    since_version: int,
+    until_version: int | None = None,
+) -> DataFrame:
+    """Incremental consumption (Delta CDF's append slice, the shape a
+    downstream training pipeline checkpoints on): the rows APPENDED by
+    commits in ``(since_version, until_version]`` — each append/stream
+    commit contributes exactly its own new segments, so the read costs
+    O(delta files), never a table scan or a row-level diff.
+
+    Op-aware by construction: compact rewrites carry no new rows and
+    contribute nothing; COW deletes likewise (their rewritten
+    survivors are not appends). Rows are returned AS OF their append —
+    a later delete does not retract them from this feed (consumers
+    needing erasure-compliant replays read snapshots, not the
+    changelog). Schema evolution unions by name with null-fill, so a
+    consumer sees the widest schema across its window."""
+    head = current_version(root)
+    until = head if until_version is None else until_version
+    parts: list[DataFrame] = []
+    for v in range(since_version + 1, until + 1):
+        m = read_manifest(root, v)
+        if m["op"] != "append":
+            continue
+        parent_segs = (
+            set(read_manifest(root, m["parent"]).get("segments", []))
+            if m["parent"]
+            else set()
+        )
+        new_segs = [s for s in m.get("segments", []) if s not in parent_segs]
+        if not new_segs:
+            continue
+        sub = dict(m)
+        sub["segments"] = new_segs
+        parts.append(_read_files(spark, root, sub))
+    if not parts:
+        # empty window: an empty frame under the window-end schema
+        return _read_files(spark, root, read_manifest(root, until)).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

@@ -607,3 +607,30 @@ def test_stats_prune_keeps_statless_and_null_files(spark, tmp_path):
         F.col("k") >= 5
     )
     assert got.count() == 15
+
+
+def test_read_appends_incremental_window(spark, tmp_path):
+    """CDC-shape incremental reads: each window returns exactly the
+    rows its append commits added — compact and COW-delete commits
+    contribute nothing, schema evolution null-fills, and the cost is
+    the new segments' files only."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))  # v1
+    snap.commit_append(spark, root, _df(spark, 100, 150))  # v2
+    snap.compact(spark, root, target_files=1)  # v3: no new rows
+    snap.commit_delete_where(spark, root, F.col("k") < 10)  # v4: none
+    snap.commit_append(  # v5: widened append
+        spark, root, _df(spark, 200, 220).withColumn("w", F.lit(7))
+    )
+
+    inc = snap.read_appends(spark, root, since_version=1)
+    assert inc.count() == 70  # v2's 50 + v5's 20; v3/v4 contribute 0
+    assert set(inc.columns) == {"k", "v", "w"}
+    assert inc.filter(F.col("w").isNull()).count() == 50
+    # the deleted k<10 rows were appended BEFORE the window: absent
+    assert inc.agg(F.min("k")).first()[0] == 100
+
+    # bounded window; empty window -> empty frame, schema intact
+    assert snap.read_appends(spark, root, 1, until_version=2).count() == 50
+    empty = snap.read_appends(spark, root, 3, until_version=4)
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
