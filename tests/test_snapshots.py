@@ -634,3 +634,49 @@ def test_read_appends_incremental_window(spark, tmp_path):
     assert snap.read_appends(spark, root, 1, until_version=2).count() == 50
     empty = snap.read_appends(spark, root, 3, until_version=4)
     assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+
+
+def _race_worker(args):
+    """Module-level (picklable) child for the cross-process race: 5
+    appends through commit_with_retry; the protocol is all disk."""
+    root, w = args
+    from metastore_spark.sources import snapshots as s
+
+    out = []
+    for i in range(5):
+        seg = s._write_segment(root, [f"data/w{w}-{i}.parquet"])
+
+        def attempt(seg=seg):
+            parent = s.current_version(root)
+            prev = (
+                s._parent_segments(root, s.read_manifest(root, parent))
+                if parent
+                else []
+            )
+            return s._commit(root, parent, "append", prev + [seg])
+
+        out.append(s.commit_with_retry(root, attempt, max_attempts=200))
+    return out
+
+
+def test_commit_race_across_processes(tmp_path):
+    """The exclusive-create claim is a POSIX link(2) property — prove
+    it across real PROCESSES, not just threads: N workers each try to
+    commit 5 appends through commit_with_retry; every (worker, i)
+    payload must land in exactly one version, versions must be the
+    dense range, and no two commits may share a version. Pure
+    metadata-protocol test (segments with synthetic file lists), no
+    Spark needed in the children."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "t")
+    snap.create_table(root)
+    with mp.get_context("fork").Pool(4) as pool:
+        results = pool.map(_race_worker, [(root, w) for w in range(4)])
+
+    versions = [v for r in results for v in r]
+    assert sorted(versions) == list(range(1, 21))  # dense, no dupes
+    head = snap.read_manifest(root, snap.current_version(root))
+    files = set(snap.manifest_files(root, head))
+    expect = {f"data/w{w}-{i}.parquet" for w in range(4) for i in range(5)}
+    assert files == expect  # nothing lost, nothing duplicated

@@ -51,7 +51,10 @@ def _normed_queries(entry: dict) -> dict[str, float]:
 
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_HISTORY.jsonl")) as fh:
+    hist_path = os.environ.get("BENCH_GATE_HISTORY") or os.path.join(
+        repo, "BENCH_HISTORY.jsonl"
+    )
+    with open(hist_path) as fh:
         lines = [json.loads(l) for l in fh.read().strip().splitlines()]
     # adjudication records (tools/ab_bench.py verdicts) live in the
     # same ledger but are not bench runs — split them out
