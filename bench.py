@@ -136,6 +136,7 @@ HEADLINE = [
     "ann_ivf_recall_trained",
     "events_snapshot_pruned_scan",
     "events_snapshot_incremental",
+    "ann_ivf_pq_topk_trained",
 ]
 
 

@@ -1805,3 +1805,177 @@ def ann_ivf_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["centroid_id"],
     )
     return _ivf_recall_eval(spark, emb, centroids, indexed, qvecs)
+
+
+def _ivf_pq_trained_oracle() -> str:
+    """The fully-TRAINED serving composition, unrolled: coarse k-means
+    (k=8, whole vectors) -> dequantized centroids -> cosine routing +
+    probe pruning; per-subspace PQ k-means (8x16) -> encoding of the
+    PROBED lists only -> ADC -> exact rerank. Every stage is a CTE
+    already proven in _ivf_trained_oracle / _pq_trained_oracle /
+    _IVF_PQ_ORACLE — this composes them."""
+    kdist = (
+        "list_sum(list_transform(range(64), i -> "
+        "({a}.ov[i+1] - {c}.cv[i+1]) * ({a}.ov[i+1] - {c}.cv[i+1])))"
+    )
+    pdist = (
+        "list_sum(list_transform(range(8), i -> "
+        "({a}.svec[i+1] - {c}.cv[i+1]) * ({a}.svec[i+1] - {c}.cv[i+1])))"
+    )
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    s AS (
+      SELECT 127.0 / MAX(list_max(list_transform(embedding::DOUBLE[],
+                                                 x -> abs(x)))) AS scale
+      FROM embeddings
+    ),
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * scale + 0.5) AS BIGINT)
+                                 + 128) AS ov
+      FROM embeddings, s
+    ),
+    kc0 AS (SELECT vec_id AS kid, ov AS cv FROM v WHERE vec_id < 8),
+    ka1 AS (
+      SELECT vec_id, kid FROM (
+        SELECT v.vec_id, kc0.kid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {kdist.format(a='v', c='kc0')},
+                                           kc0.kid) AS rn
+        FROM v CROSS JOIN kc0
+      ) WHERE rn = 1
+    ),
+    ku1 AS (
+      SELECT ka1.kid, t.range AS pos,
+             SUM(v.ov[t.range + 1]) // COUNT(*) AS cval
+      FROM ka1 JOIN v USING (vec_id) CROSS JOIN range(64) t
+      GROUP BY 1, 2
+    ),
+    kc1 AS (SELECT kid, list(cval ORDER BY pos) AS cv FROM ku1 GROUP BY kid),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY kid) - 1 AS cid,
+             list_transform(cv, x -> (x - 128)::DOUBLE / scale) AS cv
+      FROM kc1, s
+    ),
+    asg AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos('e.embedding::DOUBLE[]', 'c.cv')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cid FROM cent, q
+      ORDER BY {_cos('cv', 'qv')} DESC, cid
+      LIMIT 3
+    ),
+    pv AS (
+      SELECT vec_id FROM asg
+      WHERE centroid_id IN (SELECT cid FROM probe)
+    ),
+    sv AS (
+      SELECT vec_id, sp.range AS sub,
+             v.ov[sp.range*8 + 1 : sp.range*8 + 8] AS svec
+      FROM v CROSS JOIN range(0, 8) sp
+    ),
+    pc0 AS (SELECT sub, vec_id AS cid, svec AS cv FROM sv WHERE vec_id < 16),
+    pd1 AS (
+      SELECT sv.vec_id, sv.sub, pc0.cid,
+             {pdist.format(a='sv', c='pc0')} AS dist
+      FROM sv JOIN pc0 USING (sub)
+    ),
+    pa1 AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cid) AS rn
+        FROM pd1
+      ) WHERE rn = 1
+    ),
+    pu1 AS (
+      SELECT pa1.sub, pa1.cid, t.range AS pos,
+             SUM(sv.svec[t.range + 1]) // COUNT(*) AS cval
+      FROM pa1 JOIN sv USING (vec_id, sub) CROSS JOIN range(8) t
+      GROUP BY 1, 2, 3
+    ),
+    pc1 AS (
+      SELECT sub, cid, list(cval ORDER BY pos) AS cv FROM pu1 GROUP BY 1, 2
+    ),
+    pd2 AS (
+      SELECT sv.vec_id, sv.sub, pc1.cid,
+             {pdist.format(a='sv', c='pc1')} AS dist
+      FROM sv JOIN pc1 USING (sub)
+      WHERE sv.vec_id IN (SELECT vec_id FROM pv) OR sv.vec_id = 0
+    ),
+    codes AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cid) AS rn
+        FROM pd2
+      ) WHERE rn = 1 AND vec_id IN (SELECT vec_id FROM pv)
+    ),
+    qdist AS (SELECT sub, cid, dist FROM pd2 WHERE vec_id = 0),
+    approx AS (
+      SELECT codes.vec_id, SUM(qd.dist) AS approx_dist
+      FROM codes JOIN qdist qd ON qd.sub = codes.sub AND qd.cid = codes.cid
+      GROUP BY 1
+    ),
+    cand AS (
+      SELECT a.vec_id, e.embedding
+      FROM approx a JOIN embeddings e USING (vec_id)
+      ORDER BY a.approx_dist, a.vec_id
+      LIMIT 50
+    )
+    SELECT vec_id,
+           ROUND({_cos('embedding::DOUBLE[]', 'qv')}, 4) AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("ann_ivf_pq_topk_trained", oracle=_ivf_pq_trained_oracle())
+def ann_ivf_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY-TRAINED IVF-PQ serving path (VERDICT r6 task 3,
+    composed): k-means-trained coarse centroids route to nprobe=3 of 8
+    lists on the SAME served store ann_ivf_recall_trained builds
+    (directory pruning), k-means-trained per-subspace PQ codebooks
+    score inside the probed lists (exact-int64 ADC), exact rerank of
+    50 — no data-prefix stand-in anywhere in the index. The oracle
+    unrolls BOTH training loops and the whole retrieval pipeline as
+    CTEs, so training, routing, encoding, candidate, and final cuts
+    all hash-match.
+
+    Scale shape: identical to ann_ivf_pq_topk (nprobe/k of the corpus
+    x n_sub code bytes per row; full-precision math on 50 rows) plus
+    the training passes the index build pays once per corpus."""
+    import os
+
+    from metastore_spark import serve
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir, 0)
+    maxabs = sim.corpus_maxabs(emb)
+    (kids, KC) = sim.train_pq_codebooks(
+        emb, maxabs, n_sub=1, n_cent=8, iters=2
+    )[0]
+    scale = 127.0 / maxabs
+    centroids = [[(int(x) - 128) / scale for x in row] for row in KC]
+    books = sim.train_pq_codebooks(emb, maxabs, n_sub=8, n_cent=16, iters=2)
+    indexed = serve.materialized(
+        spark,
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        "ivf8t",
+        lambda: sim.ivf_assign(emb, centroids),
+        partition_by=["centroid_id"],
+    )
+    return sim.ivf_pq_topk_books(
+        indexed, centroids, books, qvec, maxabs, k=10, nprobe=3, n_cand=50
+    )

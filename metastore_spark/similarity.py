@@ -1207,3 +1207,38 @@ def pq_adc_scores_panel_books(
     return df.select(id_col, vec_col).mapInPandas(
         encode_score, schema=out_schema
     )
+
+
+def ivf_pq_topk_books(
+    indexed: DataFrame,
+    coarse_centroids: list[list[float]],
+    books: list[tuple[list[int], "object"]],
+    qvec: list[float],
+    maxabs: float,
+    k: int = 10,
+    nprobe: int = 3,
+    n_cand: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivf_pq_topk` with TRAINED per-subspace codebooks (the
+    train_pq_codebooks output) instead of float prototype vectors —
+    the fully-trained serving composition. Same probe-prune / ADC /
+    rerank shape and determinism contract."""
+    import math
+
+    qnorm = math.sqrt(sum(x * x for x in qvec)) or 1.0
+
+    def centroid_sim(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(c, qvec)) / (cn * qnorm)
+
+    probe = sorted(
+        range(len(coarse_centroids)),
+        key=lambda ci: -centroid_sim(coarse_centroids[ci]),
+    )[:nprobe]
+    probed = indexed.filter(F.col("centroid_id").isin(probe))
+    scored = pq_adc_scores_panel_books(
+        probed, [(0, qvec)], books, maxabs, id_col, vec_col
+    ).drop("qid")
+    return _pq_rerank(probed, scored, qvec, k, n_cand, id_col, vec_col)
