@@ -137,6 +137,7 @@ HEADLINE = [
     "events_snapshot_pruned_scan",
     "events_snapshot_incremental",
     "ann_ivf_pq_topk_trained",
+    "api_events_envelope_snapshot",
 ]
 
 

@@ -337,3 +337,101 @@ def docs_jsonl_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "api_events_envelope_snapshot",
+    oracle="""
+    WITH victim AS (
+      SELECT MIN(user_id) AS u FROM events WHERE event_type = 'click'
+    ),
+    base AS (
+      SELECT event_id, user_id, event_type, EPOCH_US(ts) AS ts_us,
+             ROUND(value, 2) AS value
+      FROM events, victim
+      WHERE user_id IS DISTINCT FROM u                -- GDPR-erased head
+    ),
+    filt AS (
+      SELECT * FROM base
+      WHERE (event_type = 'view' OR user_id = 7)      -- visibility (RLS)
+        AND event_type IN ('view', 'purchase')        -- term filter, OR-within
+        AND user_id IN (3, 7)                         -- AND-across fields
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             ROUND(SUM(value), 2)     AS total_bytes
+      FROM filt
+    ),
+    page AS (
+      SELECT event_id, user_id, event_type, ts_us, value
+      FROM filt ORDER BY ts_us DESC, event_id LIMIT 25 OFFSET 10
+    )
+    SELECT page.*, s.total, s.total_bytes FROM page, s
+    """,
+)
+def api_events_envelope_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's events envelope (O1-O10: visibility, term
+    filters, ts sort, page, total/totalBytes summary) SERVED FROM THE
+    SNAPSHOT TABLE FORMAT: the SearchEngine's events frame is the
+    serving store's head — the post-GDPR-erasure snapshot that
+    streaming ingest + compaction + a COW delete committed
+    (queries_snapshots._serving_store). Same request as
+    api_events_envelope; the oracle recomputes the head state (victim
+    excluded, NULL-safe) from the raw corpus and the identical
+    envelope on top.
+
+    This is the substrate claim made concrete: the reference's one
+    mutating table answers its production API from snapshot commits —
+    a reader mid-erasure sees the old version or the new one, never a
+    half-rewritten directory, and pinned replays of past envelopes
+    stay reproducible."""
+    from metastore_spark.queries_snapshots import _serving_store
+    from metastore_spark.sources import snapshots as snap
+
+    root, _victim = _serving_store(spark, sf_dir)
+    e = snap.read_snapshot(spark, root).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.round("value", 2).alias("value"),
+    )
+    engine = SearchEngine(
+        spark,
+        kinds={
+            "events": KindConfig(
+                table="events",
+                id_field="event_id",
+                findability_field="event_type",
+                owner_field="user_id",
+                timestamp_field="ts_us",
+                filter_mode="term",
+                bytes_field="value",
+                published_value="view",
+            )
+        },
+        dfs={"events": e},
+    )
+    env = engine.search(
+        "events",
+        userid=7,
+        params={
+            "size": "25",
+            "from": "10",
+            "sort": '"desc"',
+            "event_type": ['"view"', '"purchase"'],
+            "user_id": ["3", "7"],
+        },
+    )
+    assert "error" not in env, env.get("error")
+    rows = [
+        (
+            r["event_id"], r["user_id"], r["event_type"], r["ts_us"],
+            r["value"], env["summary"]["total"], env["summary"]["totalBytes"],
+        )
+        for r in env["results"]
+    ]
+    out = spark.createDataFrame(rows, _PAGE_SCHEMA_EVENTS)
+    return out.withColumn("total_bytes", F.round("total_bytes", 2))
