@@ -289,19 +289,28 @@ def main() -> int:
     print(json.dumps(result))
     # Append to the per-query history log so round-over-round regression
     # detection is mechanical (compare same query across lines; the
-    # driver's BENCH_r{N}.json only keeps the latest run). git_head
-    # stamps which code produced the line: the gate's noise-vs-
-    # regression adjudication only trusts peers that ran THIS code.
+    # driver's BENCH_r{N}.json only keeps the latest run). git_code_head
+    # stamps which CODE produced the line — the last commit touching
+    # the paths that can change query results or their measurement
+    # (same definition as tools/check_evidence_fresh.py, plus this
+    # harness) — so a docs/evidence commit does not strip a run of its
+    # legitimate same-code peers in the gate's noise adjudication.
+    # git_head (full HEAD) is kept for provenance.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
         import subprocess
 
         git_head = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, timeout=10,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10, cwd=repo_dir,
+        ).stdout.strip() or None
+        git_code_head = subprocess.run(
+            ["git", "log", "-1", "--format=%h", "--",
+             "metastore_spark", "__spark_entry__.py", "bench.py"],
+            capture_output=True, text=True, timeout=10, cwd=repo_dir,
         ).stdout.strip() or None
     except Exception:
-        git_head = None
+        git_head = git_code_head = None
     if only:
         print(
             "# subset run (SPARK_GRAFT_BENCH_ONLY): history append and "
@@ -315,7 +324,12 @@ def main() -> int:
                          "BENCH_HISTORY.jsonl"), "a"
         ) as fh:
             fh.write(json.dumps(
-                {"ts": int(time.time()), "git_head": git_head, **result}
+                {
+                    "ts": int(time.time()),
+                    "git_head": git_head,
+                    "git_code_head": git_code_head,
+                    **result,
+                }
             ) + "\n")
     except OSError:
         pass  # history is best-effort; the stdout contract is the product

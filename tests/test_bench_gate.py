@@ -88,3 +88,20 @@ def test_prior_ab_verdict_reported_instead_of_reescalating(tmp_path):
     out = _run_gate(tmp_path, lines).stdout
     assert "prior A/B verdict=host_drift" in out
     assert "ESCALATE" not in out
+
+
+def test_evidence_commit_does_not_strip_peers(tmp_path):
+    """git_code_head is the peer identity: a docs/evidence commit that
+    moves HEAD without touching code must not strip a run of its
+    same-code peers (the round-7 run-3 incident)."""
+    lines = [
+        _line(1000, "aaa", 1.0),
+        _line(2000, "aaa", 1.0),
+        _line(3000, "aaa", 1.0),
+        # same code, different full HEAD (evidence commit in between)
+        dict(_line(9000, "h1", 1.0), git_code_head="ccc"),
+        dict(_line(9100, "h2", 3.0), git_code_head="ccc"),
+    ]
+    out = _run_gate(tmp_path, lines).stdout
+    assert "WARN(noise) qx" in out
+    assert "ESCALATE" not in out

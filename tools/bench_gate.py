@@ -95,22 +95,29 @@ def main() -> int:
 
     # Same-session peers: other history lines captured within
     # SESSION_WINDOW_SEC of the gated run AND stamped with the SAME
-    # git HEAD — identical code on the same host minutes apart. The
+    # code hash — identical code on the same host minutes apart. The
     # hash requirement (ADVICE r6) closes the hole where an older-code
     # run inside the window could launder a real mid-session
-    # regression into WARN(noise). A query that regressed ONLY in the
-    # gated run while a same-code peer measured it inside the gate is
-    # host noise (external load can only ADD time), not a code
-    # regression. No hash on the gated run, or no matching peers ->
-    # conservatively adjudicate as regression.
+    # regression into WARN(noise). The code identity is git_code_head
+    # (last commit touching metastore_spark/__spark_entry__/bench —
+    # the check_evidence_fresh definition) so a docs/evidence commit
+    # between runs does not strip legitimate peers; pre-r7 lines fall
+    # back to their full-HEAD stamp. A query that regressed ONLY in
+    # the gated run while a same-code peer measured it inside the
+    # gate is host noise (external load can only ADD time), not a
+    # code regression. No hash on the gated run, or no matching
+    # peers -> conservatively adjudicate as regression.
+    def _code_id(entry: dict):
+        return entry.get("git_code_head") or entry.get("git_head")
+
     latest_ts = latest.get("ts", 0)
-    latest_head = latest.get("git_head")
+    latest_head = _code_id(latest)
     session_n = [
         _normed_queries(h)
         for h in history
         if abs(h.get("ts", 0) - latest_ts) <= SESSION_WINDOW_SEC
         and latest_head is not None
-        and h.get("git_head") == latest_head
+        and _code_id(h) == latest_head
     ]
 
     warns = []
@@ -168,10 +175,9 @@ def main() -> int:
         if open_qs:
             baseline = next(
                 (
-                    h.get("git_head")
+                    _code_id(h)
                     for h in reversed(history)
-                    if h.get("git_head")
-                    and h.get("git_head") != latest_head
+                    if _code_id(h) and _code_id(h) != latest_head
                 ),
                 None,
             )
