@@ -104,7 +104,7 @@ def refresh_segment(
     stem: bool = True,
     segment_name: str | None = None,
     max_segments: int = 8,
-) -> str:
+) -> str | None:
     """Land one batch of new documents as a segment and publish it:
     build in a process-private scratch, os.rename to ``seg-<name>``,
     then swap the manifest. Replay-idempotent when ``segment_name`` is
@@ -128,7 +128,11 @@ def refresh_segment(
     re-lands identical content, is recognized in the ledger, and is
     NOT re-added — its rows already live in the compacted segment, so
     re-listing it would double-count every doc. The ledger is
-    name-only and prunable past the stream's replay horizon."""
+    name-only and prunable past the stream's replay horizon.
+
+    Returns the published segment's directory path, or ``None`` when
+    the batch was a folded replay (its rows live in a compacted
+    segment; there is no live per-batch directory to open)."""
     os.makedirs(path, exist_ok=True)
     name = f"seg-{segment_name or uuid.uuid4().hex[:8]}"
     dest = os.path.join(path, name)
@@ -136,9 +140,11 @@ def refresh_segment(
     man = _read_manifest(path) or {"segments": []}
     if name in man.get("folded", []):
         # replayed batch, already folded: its content is in the
-        # compacted segment — discard the redundant rebuild
+        # compacted segment — discard the redundant rebuild. Return
+        # None, not `dest`: that directory was retired at compaction
+        # and no longer exists.
         shutil.rmtree(tmp, ignore_errors=True)
-        return dest
+        return None
     _write_segment(spark, new_docs, id_col, fields, tmp, stem)
     if os.path.exists(dest):  # replay: identical content, swap it in
         old = f"{dest}.old-{os.getpid()}-{uuid.uuid4().hex[:8]}"

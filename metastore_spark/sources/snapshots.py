@@ -669,17 +669,29 @@ def _commit_segments_with_retry(
     """Append-shaped commit loop: on ConcurrentCommit, re-read the new
     head and retry — new_segments are immutable, so only the carried
     prefix changes. Write-once: the data AND segment files are staged
-    exactly once; each retry re-links an O(#segments) commit file."""
+    exactly once; each retry re-links an O(#segments) commit file.
+
+    stats_cols inheritance is re-derived from the CURRENT parent on
+    every attempt (merged with the caller's own): if a concurrent
+    commit establishes stats_cols between the caller's head read and
+    the winning retry, the inheritance guarantee ("once set, never
+    silently lapses") still holds for this and all later commits. The
+    already-staged segments may lack stats for the newly-inherited
+    columns — safe: stats-less files are conservatively never skipped."""
     while True:
         parent = current_version(root)
-        prev = (
-            _parent_segments(root, read_manifest(root, parent))
-            if parent
-            else []
-        )
+        pm = read_manifest(root, parent) if parent else {}
+        prev = _parent_segments(root, pm) if parent else []
+        attempt_extra = dict(extra or {})
+        own = list(attempt_extra.get("stats_cols") or [])
+        inherited = [
+            c for c in (pm.get("stats_cols") or []) if c not in own
+        ]
+        if own or inherited:
+            attempt_extra["stats_cols"] = own + inherited
         try:
             return _commit(
-                root, parent, op, prev + new_segments, dict(extra or {})
+                root, parent, op, prev + new_segments, attempt_extra
             )
         except ConcurrentCommit:
             continue
@@ -784,7 +796,19 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
                 "rewrite would resurrect their deleted rows — re-run "
                 "compaction on the new head"
             )
-        added_segs = [s for s in head_segs if s not in base_segs]
+        # Segments added since the compacted base, by RESOLVED FILE
+        # diff, not segment name: `_parent_segments` mints a fresh
+        # s-<uuid> each time it lazily folds a legacy inline-files
+        # manifest, so a name diff against such a head would classify
+        # the entire legacy table as "added" and commit it alongside
+        # the rewrite — doubling every row. A segment whose files are
+        # all in the base carries no new rows and is excluded.
+        added_segs = [
+            s
+            for s in head_segs
+            if s not in base_segs
+            and not set(_read_segment(root, s)) <= base_files
+        ]
         extra = (
             {"schema": head_manifest["schema"]}
             if "schema" in head_manifest
@@ -830,12 +854,39 @@ def read_appends(
         m = read_manifest(root, v)
         if m["op"] != "append":
             continue
-        parent_segs = (
-            set(read_manifest(root, m["parent"]).get("segments", []))
-            if m["parent"]
-            else set()
-        )
-        new_segs = [s for s in m.get("segments", []) if s not in parent_segs]
+        pm = read_manifest(root, m["parent"]) if m["parent"] else {}
+        if "segments" in m and "segments" in pm:
+            parent_segs = set(pm["segments"])
+            new_segs = [s for s in m["segments"] if s not in parent_segs]
+        elif "segments" in m:
+            # legacy boundary: the parent is a round-6 inline-files
+            # manifest, so its lazily-folded segment carries a fresh
+            # s-<uuid> never present in the parent — a name diff would
+            # return the whole pre-existing table as this append's
+            # rows. Diff by resolved files instead: a segment whose
+            # files all exist in the parent contributes no new rows.
+            parent_files = (
+                set(manifest_files(root, pm)) if pm else set()
+            )
+            new_segs = [
+                s
+                for s in m["segments"]
+                if not set(_read_segment(root, s)) <= parent_files
+            ]
+        else:
+            # legacy append commit itself: inline files, no segments
+            parent_files = (
+                set(manifest_files(root, pm)) if pm else set()
+            )
+            new_files = [
+                f for f in m.get("files", []) if f not in parent_files
+            ]
+            if not new_files:
+                continue
+            sub = dict(m)
+            sub["files"] = new_files
+            parts.append(_read_files(spark, root, sub))
+            continue
         if not new_segs:
             continue
         sub = dict(m)

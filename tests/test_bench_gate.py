@@ -105,3 +105,73 @@ def test_evidence_commit_does_not_strip_peers(tmp_path):
     out = _run_gate(tmp_path, lines).stdout
     assert "WARN(noise) qx" in out
     assert "ESCALATE" not in out
+
+
+def test_ab_leg_refuses_wrong_code_root(tmp_path):
+    """ADVICE r7 (high): the A/B baseline leg must PROVE it imports
+    metastore_spark from the leg's code_root — sys.path[0] (the
+    script's dir, i.e. HEAD) used to outrank PYTHONPATH, so both legs
+    silently measured HEAD and every A/B laundered real regressions as
+    host_drift. A code_root without the package must abort the leg,
+    not fall back to HEAD."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(_GATE))
+    )
+    try:
+        import ab_bench
+    finally:
+        sys.path.pop(0)
+    empty = tmp_path / "not-a-checkout"
+    empty.mkdir()
+    try:
+        ab_bench._run_leg(
+            os.path.dirname(os.path.dirname(_GATE)),
+            str(empty),
+            ["qx"],
+            1,
+            "/root/testdata/sf0.01",
+        )
+    except RuntimeError as e:
+        assert "refusing" in str(e)
+    else:
+        raise AssertionError("leg ran against the wrong code root")
+
+
+def test_ab_leg_probe_accepts_real_code_root(tmp_path, monkeypatch):
+    """Positive leg: with a code_root that DOES hold the package, the
+    probe passes and the leg proceeds to invoke bench.py (stubbed via
+    a captured subprocess.run)."""
+    import shutil
+    import types
+
+    sys.path.insert(0, os.path.join(os.path.dirname(_GATE)))
+    try:
+        import ab_bench
+    finally:
+        sys.path.pop(0)
+    repo = os.path.dirname(os.path.dirname(_GATE))
+    code_root = tmp_path / "wt"
+    (code_root / "metastore_spark").mkdir(parents=True)
+    shutil.copy(
+        os.path.join(repo, "metastore_spark", "__init__.py"),
+        code_root / "metastore_spark" / "__init__.py",
+    )
+    calls = []
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kw):
+        if cmd[-1].endswith("bench.py"):
+            calls.append(kw["env"])
+            return types.SimpleNamespace(
+                stdout='{"queries": {"qx": 1.0}}\n', returncode=0,
+                stderr="",
+            )
+        return real_run(cmd, **kw)
+
+    monkeypatch.setattr(ab_bench.subprocess, "run", fake_run)
+    out = ab_bench._run_leg(
+        repo, str(code_root), ["qx"], 1, "/root/testdata/sf0.01"
+    )
+    assert out == {"qx": 1.0}
+    assert calls and calls[0]["PYTHONSAFEPATH"] == "1"
+    assert calls[0]["PYTHONPATH"] == str(code_root)

@@ -173,3 +173,27 @@ def test_replay_after_fold_does_not_double_count(spark, tmp_path):
     merged = load_segmented(spark, store)
     assert merged.num_docs == 6  # NOT 8
     assert _scores(spark, merged) == before
+
+
+def test_folded_replay_returns_none_live_publish_returns_path(
+    spark, tmp_path
+):
+    """ADVICE r7 (low): the folded-replay short-circuit used to return
+    the RETIRED segment path (removed at compaction) — callers opening
+    it would fail. Contract: a live publish returns its directory; a
+    folded replay returns None."""
+    import os
+
+    store = str(tmp_path / "seg")
+    for i in range(2):
+        got = refresh_segment(
+            spark, _docs_df(spark, _DOCS[2 * i : 2 * i + 2]), store,
+            "doc_id", ["text"], stem=False, segment_name=str(i),
+        )
+        assert got is not None and os.path.isdir(got)
+    compact_segments(spark, store)
+    replay = refresh_segment(
+        spark, _docs_df(spark, _DOCS[0:2]), store, "doc_id", ["text"],
+        stem=False, segment_name="0",
+    )
+    assert replay is None

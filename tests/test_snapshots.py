@@ -680,3 +680,83 @@ def test_commit_race_across_processes(tmp_path):
     files = set(snap.manifest_files(root, head))
     expect = {f"data/w{w}-{i}.parquet" for w in range(4) for i in range(5)}
     assert files == expect  # nothing lost, nothing duplicated
+
+
+def _rewrite_as_legacy(root, version):
+    """Rewrite a committed manifest in the round-6 single-tier shape:
+    inline ``files``, no ``segments`` (what old tables on disk hold)."""
+    import json as _json
+
+    m = snap.read_manifest(root, version)
+    legacy = {k: v for k, v in m.items() if k != "segments"} | {
+        "files": snap.manifest_files(root, m)
+    }
+    with open(snap._manifest_path(root, version), "w") as fh:
+        _json.dump(legacy, fh)
+
+
+def test_compact_legacy_inline_table_does_not_double_rows(spark, tmp_path):
+    """ADVICE r7 (high): compacting a legacy inline-files table must
+    not commit the lazily-folded parent segment ALONGSIDE the rewrite
+    — `_parent_segments` mints a fresh s-<uuid> per call for legacy
+    manifests, so a segment-NAME diff saw the whole table as
+    'concurrently added' and doubled every row."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 50).repartition(4))
+    _rewrite_as_legacy(root, 1)
+    v2 = snap.compact(spark, root, target_files=1)
+    assert snap.read_snapshot(spark, root, v2).count() == 50
+    # and the folded head keeps compacting stably
+    v3 = snap.compact(spark, root, target_files=1)
+    assert snap.read_snapshot(spark, root, v3).count() == 50
+
+
+def test_read_appends_across_legacy_parent_boundary(spark, tmp_path):
+    """ADVICE r7 (medium): an append whose PARENT is a legacy
+    inline-files manifest must report only its own rows — the parent's
+    lazily-folded segment is not a new append even though its name is
+    absent from the parent manifest."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 30))
+    _rewrite_as_legacy(root, 1)
+    snap.commit_append(spark, root, _df(spark, 30, 40))
+    got = snap.read_appends(spark, root, 1, 2)
+    assert got.count() == 10
+    assert got.agg(F.min("k"), F.max("k")).first() == (30, 39)
+
+
+def test_read_appends_legacy_append_commit(spark, tmp_path):
+    """A legacy append COMMIT itself (inline files, no segments)
+    contributes exactly the files it added over its parent."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 30))
+    snap.commit_append(spark, root, _df(spark, 30, 45))
+    _rewrite_as_legacy(root, 1)
+    _rewrite_as_legacy(root, 2)
+    got = snap.read_appends(spark, root, 1, 2)
+    assert got.count() == 15
+    assert got.agg(F.min("k"), F.max("k")).first() == (30, 44)
+
+
+def test_segment_commit_loop_inherits_concurrent_stats_cols(
+    spark, tmp_path
+):
+    """ADVICE r7 (low): stats_cols established by a concurrent commit
+    must be inherited by a stream commit whose own extra predates it —
+    `_commit_segments_with_retry` re-derives inheritance from the
+    CURRENT parent each attempt, so the 'never silently lapses'
+    guarantee holds under the race."""
+    root = str(tmp_path / "t")
+    # v1 establishes stats_cols AFTER the sink would have read the
+    # (empty) head — simulate by committing it first and calling the
+    # loop with extra that carries none
+    snap.commit_append(spark, root, _df(spark, 0, 10), stats_cols=["k"])
+    files = snap._write_data_files(_df(spark, 10, 20), root)
+    seg = snap._write_segment(root, files)
+    v2 = snap._commit_segments_with_retry(
+        root, "append", [seg], {"stream_id": "s", "batch_id": 0}
+    )
+    assert snap.read_manifest(root, v2)["stats_cols"] == ["k"]
+    # and a later plain append keeps inheriting
+    v3 = snap.commit_append(spark, root, _df(spark, 20, 30))
+    assert snap.read_manifest(root, v3)["stats_cols"] == ["k"]

@@ -40,13 +40,41 @@ CONTROL = "q1_pricing_summary"
 def _run_leg(
     repo: str, code_root: str, queries: list[str], reps: int, sf_dir: str
 ) -> dict[str, float]:
+    # PYTHONSAFEPATH: without it Python puts the SCRIPT's directory
+    # (the main repo, since we invoke repo/bench.py) at sys.path[0],
+    # AHEAD of PYTHONPATH — so `import metastore_spark` would resolve
+    # to HEAD in BOTH legs and every A/B would trivially report
+    # host_drift. Safe-path keeps the harness (bench.py) constant
+    # while the library code really comes from ``code_root``.
     env = dict(
         os.environ,
         PYTHONPATH=code_root,
+        PYTHONSAFEPATH="1",
         SPARK_GRAFT_BENCH_ONLY=",".join(queries),
         SPARK_GRAFT_BENCH_REPS=str(reps),
         SPARK_GRAFT_SF_DIR=sf_dir,
     )
+    # preflight under the leg's exact env: fail loudly if the leg
+    # would measure some other checkout's code
+    probe = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import os, metastore_spark; "
+            "print(os.path.abspath(metastore_spark.__file__))",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=code_root,
+    )
+    resolved = probe.stdout.strip()
+    want = os.path.abspath(code_root) + os.sep
+    if probe.returncode != 0 or not resolved.startswith(want):
+        raise RuntimeError(
+            f"leg would import metastore_spark from {resolved!r}, "
+            f"not {code_root!r} — refusing to record a bogus A/B"
+        )
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
         capture_output=True,
