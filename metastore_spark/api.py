@@ -119,6 +119,22 @@ class SearchEngine:
         if old is not None:
             old.unpersist()
 
+    def refresh_from_snapshot(
+        self, kind: str, root: str, version: int | None = None
+    ) -> int:
+        """Re-bind a kind to a snapshot table's committed head (or a
+        pinned ``version``) and return the version served. This is the
+        serving loop for the reference's mutating ``events`` kind
+        (/root/reference/metastore/models.py:82-85) over the default
+        substrate: ingest commits versions concurrently; the engine
+        flips atomically between committed heads and never observes a
+        half-written directory."""
+        from metastore_spark.sources import snapshots
+
+        v = snapshots.current_version(root) if version is None else version
+        self.refresh(kind, snapshots.read_snapshot(self.spark, root, v))
+        return v
+
     # -- query --------------------------------------------------------------
 
     def search(self, kind: str, userid: str | None, params: dict) -> dict:

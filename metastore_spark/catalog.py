@@ -5,6 +5,17 @@ indices (ENABLED_SEARCHES, metastore/models.py:14-35). Here a catalog
 is a directory of parquet tables; loading is a lazy ``spark.read``
 so Catalyst keeps full pushdown/pruning ability — no caching, no
 collect, no schema mangling.
+
+Mutating kinds read through the SNAPSHOT SUBSTRATE by default
+(round-8, VERDICT r7 task 1): the reference's ``events`` table is its
+one mutating collection (/root/reference/metastore/models.py:27-34,
+82-85 — an append-only activity log), and a deployment where ingest
+and query run concurrently needs every reader resolving a committed
+manifest head, not listing a directory mid-write. `load_table` serves
+``events`` from a snapshot-format table (built once per corpus
+content via `serve.snapshot_store`, reopened forever); the raw scan
+remains the fallback when the warehouse is unwritable and the
+explicit opt-out for debugging (``SPARK_GRAFT_RAW_TABLES=1``).
 """
 
 from __future__ import annotations
@@ -28,6 +39,11 @@ TABLES = (
     "embeddings",
 )
 
+# Kinds served through the snapshot table format: the reference's
+# mutating collections. Static TPC-H/docs corpora stay raw scans —
+# copying immutable reference data into a commit log buys nothing.
+SNAPSHOT_KINDS = ("events",)
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -35,30 +51,56 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan for one table.
-
-    ``events.ts`` is normalized to TIMESTAMP_NTZ here (see
-    :mod:`metastore_spark.ts`) so every downstream query sees one
-    canonical event-time type regardless of the physical parquet
-    encoding (timestamp[us] vs legacy bigint nanos).
-    """
+def _raw_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_ts(df)
     return df
 
 
+def snapshot_root(
+    spark: SparkSession, sf_dir: str, name: str
+) -> str | None:
+    """The snapshot-format table root serving ``name`` at ``sf_dir``
+    (built once per corpus content; None when the warehouse is
+    unwritable). The committed frame is the NORMALIZED table — the
+    snapshot schema is canonical (events.ts TIMESTAMP_NTZ), so
+    readers skip per-scan adaptation."""
+    from metastore_spark.serve import snapshot_store
+
+    src = table_path(sf_dir, name)
+    return snapshot_store(
+        spark, [src], name, lambda: _raw_table(spark, sf_dir, name)
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan for one table; mutating kinds (`SNAPSHOT_KINDS`)
+    resolve through their snapshot head.
+
+    ``events.ts`` is normalized to TIMESTAMP_NTZ (see
+    :mod:`metastore_spark.ts`) so every downstream query sees one
+    canonical event-time type regardless of the physical parquet
+    encoding (timestamp[us] vs legacy bigint nanos) — at commit time
+    on the snapshot path, at scan time on the raw path.
+    """
+    if name in SNAPSHOT_KINDS and not os.environ.get(
+        "SPARK_GRAFT_RAW_TABLES"
+    ):
+        root = snapshot_root(spark, sf_dir, name)
+        if root is not None:
+            from metastore_spark.sources import snapshots
+
+            return snapshots.read_snapshot(spark, root)
+    return _raw_table(spark, sf_dir, name)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All catalog tables that exist under ``sf_dir``."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
-        path = table_path(sf_dir, name)
-        if os.path.exists(path):
-            df = spark.read.parquet(path)
-            if name == "events":
-                df = normalize_ts(df)
-            out[name] = df
+        if os.path.exists(table_path(sf_dir, name)):
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

@@ -113,6 +113,52 @@ def _fingerprint(sources: list[str]) -> str:
     return hashlib.md5("\n".join(parts).encode()).hexdigest()[:16]
 
 
+def snapshot_store(
+    spark: SparkSession,
+    sources: list[str],
+    tag: str,
+    build,
+) -> str | None:
+    """Like `materialized`, but the artifact is a SNAPSHOT-FORMAT table
+    root (`sources/snapshots.py`) instead of a bare parquet dir:
+    ``build()``'s frame is committed as version 1 of a new table, so
+    readers resolve it through a manifest head and inherit the whole
+    commit protocol (time travel, read_appends, COW deletes) — the
+    substrate `catalog.load_table` serves mutating kinds through.
+
+    Returns the table ROOT path (reopen with `snapshots.read_snapshot`)
+    or None when the warehouse is unwritable — callers fall back to the
+    raw scan; correctness never depends on the cache. Same durability
+    contract as `materialized`: content-fingerprint key, build in a
+    process-private scratch root, atomic rename publishes (the
+    manifest head inside the scratch is complete BEFORE the rename, so
+    a published root is always readable), losers discard."""
+    from metastore_spark.sources import snapshots as _snap
+
+    fp = _fingerprint(sources)
+    srckey = hashlib.md5(
+        "|".join(os.path.realpath(s) for s in sources).encode()
+    ).hexdigest()[:8]
+    name = f"snap_{tag}-{srckey}-{fp}"
+    path = os.path.join(_SERVE_ROOT, name)
+    try:
+        if _snap.current_version(path) == 0:
+            os.makedirs(_SERVE_ROOT, exist_ok=True)
+            tmp = f"{path}.build-{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            _snap.commit_append(spark, tmp, build())
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        _prune_stale(f"snap_{tag}-{srckey}-", name, path)
+        if _snap.current_version(path) == 0:
+            return None
+        return path
+    except Exception:
+        return None
+
+
 def materialized(
     spark: SparkSession,
     sources: list[str],
