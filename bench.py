@@ -138,6 +138,9 @@ HEADLINE = [
     "events_snapshot_incremental",
     "ann_ivf_pq_topk_trained",
     "api_events_envelope_snapshot",
+    # round 8 additions
+    "events_snapshot_day_pruned",
+    "events_snapshot_partition_erasure",
 ]
 
 

@@ -474,3 +474,256 @@ def events_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100 + 0.5).cast("bigint")
         ).cast("bigint").alias("value_cents_sum"),
     )
+
+
+def _day_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once DAY-PARTITIONED snapshot events table (VERDICT r7
+    task 2): the partition spec lives IN the commits — two appends
+    (the second inherits the spec without restating it) lay files out
+    one day per file group with per-file day values in segment
+    metadata."""
+    from metastore_spark.serve import _fingerprint
+    from metastore_spark.ts import ts_us
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint([src])
+    root = os.path.join(_SNAP_ROOT, f"day-{fp}")
+    if snap.current_version(root) >= 2:
+        return root
+    base = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        ts_us("ts").alias("ts_us"),
+    )
+    os.makedirs(_SNAP_ROOT, exist_ok=True)
+    tmp = f"{root}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snap.commit_append(
+        spark,
+        tmp,
+        base.filter(F.col("event_id") % 2 == 0),
+        partition_by=["day"],
+    )
+    # spec inheritance is part of what the table serves: no restate
+    snap.commit_append(spark, tmp, base.filter(F.col("event_id") % 2 == 1))
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    return root
+
+
+@query(
+    "events_snapshot_day_pruned",
+    oracle="""
+    WITH bounds AS (
+      SELECT strftime(MIN(CAST(ts AS DATE)) + 10, '%Y-%m-%d') AS lo,
+             strftime(MIN(CAST(ts AS DATE)) + 19, '%Y-%m-%d') AS hi
+      FROM events
+    ),
+    d AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, value FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM d, bounds WHERE day >= lo AND day <= hi
+    """,
+)
+def events_snapshot_day_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC PRUNING in the snapshot table format: the events
+    table is committed day-partitioned (identity spec recorded in the
+    manifest, per-file day values in segment metadata — Iceberg's
+    partition spec + manifest entries shape), so a 10-day range read
+    resolves its file subset entirely from METADATA before any footer
+    or row is touched. The query self-checks that the resolved subset
+    is strict and that every resolved file's recorded day value lies
+    inside the range, then applies the equivalent row filter and
+    aggregates; the oracle recomputes the same range from the raw
+    corpus.
+
+    Scale shape: this is the coarse layer UNDER min/max stats —
+    directory-grain elimination by day that never opens a file, the
+    same pruning `layout.py`'s hive layout gives raw scans, now
+    composed INTO commits so COW deletes, compaction, and streaming
+    appends all preserve it (and `events_snapshot_partition_erasure`
+    scopes GDPR deletes with it). A year of 100 TB events = ~365
+    partitions; a dashboard's 10-day window plans O(10 days of files)
+    regardless of table size."""
+    root = _day_table(spark, sf_dir)
+    head = snap.current_version(root)
+    m = snap.read_manifest(root, head)
+    assert m["partition_spec"] == ["day"]
+    import datetime as _dt
+
+    min_day = (
+        snap.read_snapshot(spark, root, head).agg(F.min("day")).first()[0]
+    )
+    d0 = _dt.date.fromisoformat(min_day)
+    lo = (d0 + _dt.timedelta(days=10)).isoformat()
+    hi = (d0 + _dt.timedelta(days=19)).isoformat()
+    pruned = snap.pruned_manifest_files(root, m, {"day": (lo, hi)})
+    n_all = len(snap.manifest_files(root, m))
+    assert 0 < len(pruned) < n_all, (len(pruned), n_all)
+    for f in pruned:  # metadata-exact: only in-range days resolved
+        day = snap._partition_values(f, ["day"])["day"]
+        assert lo <= day <= hi, (f, day)
+    return (
+        snap.read_snapshot(spark, root, head, prune={"day": (lo, hi)})
+        .filter((F.col("day") >= lo) & (F.col("day") <= hi))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.countDistinct("day").cast("bigint").alias("n_days"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+            ).cast("bigint").alias("value_cents_sum"),
+        )
+    )
+
+
+def _zcell_table(spark: SparkSession, sf_dir: str) -> tuple[str, int, list]:
+    """Build-once Z-CELL-PARTITIONED snapshot events table with a
+    partition-scoped GDPR erasure committed on top (VERDICT r7 task
+    2): `layout.py`'s Z-order cells composed INTO the commit protocol
+    — v1 appends the corpus cell-partitioned, v2 erases the victim
+    user through `commit_delete_where(scan_prune=victim cells)`, so
+    the delete scans only the files the driver-side box decomposition
+    names. Returns (root, victim_user, victim_cells)."""
+    import json
+
+    from metastore_spark.layout import zcells_for_box, zorder_cell, zorder_shifts
+    from metastore_spark.serve import _fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint([src])
+    root = os.path.join(_SNAP_ROOT, f"zcells-{fp}")
+    meta_path = os.path.join(root, "erasure.json")
+    if snap.current_version(root) >= 2 and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            mm = json.load(fh)
+        return root, mm["victim"], mm["cells"]
+
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.max("user_id"),
+        F.min(F.to_date("ts")),
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))),
+        F.min(F.when(F.col("event_type") == "click", F.col("user_id"))),
+    ).first()
+    u_max, d0, d_max, victim = (
+        int(stats[0]),
+        stats[1],
+        int(stats[2]),
+        int(stats[3]),
+    )
+    u_shift, d_shift = zorder_shifts(u_max, d_max)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        zorder_cell(
+            F.col("user_id"),
+            F.datediff(F.to_date("ts"), F.lit(d0)),
+            u_shift,
+            d_shift,
+        ).alias("zcell"),
+    )
+    cells = zcells_for_box(victim, victim, 0, d_max, u_shift, d_shift)
+    os.makedirs(_SNAP_ROOT, exist_ok=True)
+    tmp = f"{root}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snap.commit_append(spark, tmp, base, partition_by=["zcell"])
+    snap.commit_with_retry(
+        tmp,
+        lambda: snap.commit_delete_where(
+            spark,
+            tmp,
+            F.col("user_id") == victim,
+            scan_prune={"zcell": cells},
+        ),
+    )
+    with open(os.path.join(tmp, "erasure.json"), "w") as fh:
+        json.dump({"victim": victim, "cells": cells}, fh)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    return root, victim, cells
+
+
+@query(
+    "events_snapshot_partition_erasure",
+    oracle="""
+    WITH victim AS (
+      SELECT MIN(user_id) AS u FROM events WHERE event_type = 'click'
+    ),
+    pre AS (SELECT * FROM events),
+    post AS (
+      SELECT e.* FROM events e, victim v WHERE e.user_id IS DISTINCT FROM v.u
+    )
+    SELECT 1 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM pre
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM post
+    ORDER BY version
+    """,
+)
+def events_snapshot_partition_erasure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SCOPED GDPR ERASURE under snapshot isolation:
+    `layout.py`'s Z-order cells recorded as the table's partition spec
+    at commit time, so `forget_user`-style erasure becomes a
+    `commit_delete_where` whose affected-file scan is pruned to the
+    victim's cell set (driver-side `zcells_for_box` decomposition,
+    parameter-sized). The query self-checks the file diff between the
+    pre- and post-erasure versions: every dropped AND every rewritten
+    file lies in a victim cell (everything else carried by name), then
+    hash-checks both versions' row sets against the raw corpus — the
+    pinned pre-delete version intact (snapshot isolation), the head
+    missing exactly the victim.
+
+    Scale shape: the erasure cost is O(victim's cells), not O(table) —
+    same win as `layout.forget_user`'s sidecar rewrite, now WITH
+    versioned isolation (pinned readers keep the pre-erasure snapshot
+    until retention expires it) and conflict detection (a concurrent
+    compact aborts instead of resurrecting the victim). At 100 TB a
+    user's data lives in a few hundred of ~65k cells; the delete scans
+    and rewrites only those."""
+    root, victim, cells = _zcell_table(spark, sf_dir)
+    f1, f2 = set(snap.files_of(root, 1)), set(snap.files_of(root, 2))
+    cellset = {str(c) for c in cells}
+    for f in (f1 - f2) | (f2 - f1):  # erasure touched ONLY victim cells
+        assert snap._partition_values(f, ["zcell"])["zcell"] in cellset, f
+    legs = []
+    for v in (1, 2):
+        legs.append(
+            snap.read_snapshot(spark, root, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                F.sum(
+                    (F.col("event_type") == "click").cast("bigint")
+                ).cast("bigint").alias("n_clicks"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("value_cents_sum"),
+            )
+        )
+    return legs[0].unionAll(legs[1]).orderBy("version")

@@ -122,19 +122,38 @@ def _segment_path(root: str, name: str) -> str:
 
 
 def _write_segment(
-    root: str, files: list[str], stats: dict | None = None
+    root: str,
+    files: list[str],
+    stats: dict | None = None,
+    partitions: dict | None = None,
 ) -> str:
     """Persist an immutable segment (bounded file list, optional
-    per-file column min/max stats) and return its name. Written BEFORE
-    the commit file that references it — a crash in between leaves an
-    orphan JSON for `vacuum`, never a torn read."""
+    per-file column min/max stats and per-file partition tuples) and
+    return its name. Written BEFORE the commit file that references it
+    — a crash in between leaves an orphan JSON for `vacuum`, never a
+    torn read."""
     name = f"s-{uuid.uuid4().hex[:16]}"
     seg: dict = {"files": sorted(files)}
     if stats:
         seg["stats"] = stats
+    if partitions:
+        seg["partitions"] = partitions
     with open(_segment_path(root, name), "w") as fh:
         json.dump(seg, fh)
     return name
+
+
+def _spec_partitions(files: list[str], spec: list[str]) -> dict | None:
+    """Per-file partition tuples for a just-written file list (parsed
+    once at commit time, served from metadata forever after)."""
+    if not spec:
+        return None
+    out = {}
+    for f in files:
+        vals = _partition_values(f, spec)
+        if vals is not None:
+            out[f] = vals
+    return out or None
 
 
 def _collect_file_stats(
@@ -197,20 +216,60 @@ def files_of(root: str, version: int) -> list[str]:
     return manifest_files(root, read_manifest(root, version))
 
 
-def _write_data_files(spark_df: DataFrame, root: str) -> list[str]:
+def _write_data_files(
+    spark_df: DataFrame, root: str, partition_by: list[str] | None = None
+) -> list[str]:
     """Write a new immutable data dir, return table-relative file paths.
 
     Files are fully on disk before any manifest can reference them —
     a crash after this point leaves an orphan dir, never a torn read.
+
+    With ``partition_by``, files land hive-laid-out under
+    ``_p_<col>=<value>/`` dirs — MIRROR columns, so the partition
+    columns themselves stay in the data files (readers resolve exact
+    file lists, not directories, so path-only values would vanish;
+    Iceberg keeps identity-partition source columns in data files for
+    the same reason). Each file then holds exactly the rows of one
+    partition tuple, recorded in segment metadata by the caller.
     """
     dirname = f"{_DATA}/{uuid.uuid4().hex[:12]}"
     out = os.path.join(root, dirname)
-    spark_df.write.parquet(out)
-    return sorted(
-        f"{dirname}/{name}"
-        for name in os.listdir(out)
-        if name.endswith(".parquet")
-    )
+    if partition_by:
+        mirrors = [f"_p_{c}" for c in partition_by]
+        df = spark_df
+        for c, m in zip(partition_by, mirrors):
+            df = df.withColumn(m, F.col(c))
+        df.write.partitionBy(*mirrors).parquet(out)
+    else:
+        spark_df.write.parquet(out)
+    files = []
+    for base, _dirs, names in os.walk(out):
+        rel = os.path.relpath(base, root)
+        files.extend(
+            f"{rel}/{n}" for n in names if n.endswith(".parquet")
+        )
+    return sorted(files)
+
+
+def _partition_values(path: str, spec: list[str]) -> dict[str, str] | None:
+    """Parse a file's partition tuple from its ``_p_<col>=<value>``
+    path components (hive-unescaped). None when any component is
+    missing or holds the hive null marker — such files are never
+    partition-pruned."""
+    from urllib.parse import unquote
+
+    found: dict[str, str] = {}
+    for comp in path.split("/"):
+        if comp.startswith("_p_") and "=" in comp:
+            k, _, v = comp.partition("=")
+            found[k[3:]] = unquote(v)
+    out: dict[str, str] = {}
+    for col in spec:
+        v = found.get(col)
+        if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        out[col] = v
+    return out
 
 
 def _commit(
@@ -285,20 +344,55 @@ def _check_add_only(parent_manifest: dict, df: DataFrame) -> None:
             )
 
 
+def _coerce_partition_value(raw: str, like):
+    """A path-parsed partition value, coerced to the prune bound's
+    type; None (never prune) when the coercion fails."""
+    try:
+        if isinstance(like, bool):
+            return raw.lower() == "true"
+        if isinstance(like, int):
+            return int(raw)
+        if isinstance(like, float):
+            return float(raw)
+        return raw
+    except (TypeError, ValueError):
+        return None
+
+
+def _bound_excludes(fmin, fmax, bound) -> bool:
+    """True when stats interval [fmin, fmax] provably cannot satisfy
+    ``bound`` — a (lo, hi) range (either end None for open) or a
+    list/set of admissible values."""
+    if isinstance(bound, (list, set, tuple)) and not (
+        isinstance(bound, tuple) and len(bound) == 2
+    ):
+        return not any(fmin <= v <= fmax for v in bound)
+    lo, hi = bound
+    return (hi is not None and fmin > hi) or (lo is not None and fmax < lo)
+
+
 def pruned_manifest_files(
     root: str, manifest: dict, prune: dict | None
 ) -> list[str]:
-    """The manifest's file list after MIN/MAX SKIPPING: ``prune`` maps
-    column -> (lo, hi) (either bound None for open); a file is skipped
-    only when its recorded stats prove no value can fall in the range
-    (NULLs never match a range predicate, so all-null or stats-less
-    files are conservatively KEPT — the caller's own filter handles
-    them). This is manifest-level pruning: skipped files are never
-    listed into the plan, opened, or footer-read — the scan cost of a
+    """The manifest's file list after metadata skipping. ``prune``
+    maps column -> (lo, hi) range (either bound None for open) or a
+    LIST of admissible values (partition-set pruning — the shape a
+    Z-order cell decomposition or an IN-list produces; note a 2-list
+    is a value set, a 2-tuple is a range). A file is skipped only
+    when metadata proves no value can match:
+
+    - a recorded PARTITION VALUE (identity partition spec — the file
+      holds exactly one value of the column) decides exactly;
+    - otherwise recorded min/max stats decide conservatively (NULLs
+      never match a range predicate, so all-null or stats-less files
+      are KEPT — the caller's own filter handles them).
+
+    This is manifest-level pruning: skipped files are never listed
+    into the plan, opened, or footer-read — the scan cost of a
     clustered-predicate query is O(matching files), not O(table
-    files), exactly like Iceberg manifest stats / Delta data
-    skipping. Safe only as an optimization UNDER the equivalent row
-    filter, like partition pruning."""
+    files), exactly like Iceberg partition + manifest stats / Delta
+    data skipping. Safe only as an optimization UNDER the equivalent
+    row filter, like partition pruning."""
     if not prune:
         return manifest_files(root, manifest)
     if "files" in manifest:  # legacy manifest: no stats recorded
@@ -307,16 +401,32 @@ def pruned_manifest_files(
     for seg in manifest["segments"]:
         obj = _read_segment_obj(root, seg)
         stats = obj.get("stats", {})
+        parts = obj.get("partitions", {})
         for f in obj["files"]:
             keep = True
             fstats = stats.get(f, {})
-            for col, (lo, hi) in prune.items():
+            fparts = parts.get(f, {})
+            for col, bound in prune.items():
+                if isinstance(bound, (list, set)) and not bound:
+                    keep = False  # empty admissible set matches nothing
+                    break
+                if col in fparts:
+                    like = (
+                        next(iter(bound))
+                        if isinstance(bound, (list, set))
+                        else next(
+                            (b for b in bound if b is not None), None
+                        )
+                    )
+                    v = _coerce_partition_value(fparts[col], like)
+                    if v is not None and _bound_excludes(v, v, bound):
+                        keep = False
+                        break
+                    continue
                 if col not in fstats:
                     continue
                 fmin, fmax = fstats[col]
-                if (hi is not None and fmin > hi) or (
-                    lo is not None and fmax < lo
-                ):
+                if _bound_excludes(fmin, fmax, bound):
                     keep = False
                     break
             if keep:
@@ -357,6 +467,7 @@ def commit_append(
     root: str,
     df: DataFrame,
     stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Append-only commit: ONE new segment for the new files, every
     parent segment carried by name — O(delta) data + O(delta) segment
@@ -371,23 +482,44 @@ def commit_append(
     ``prune`` range skip non-overlapping files without opening them.
     Once set it is INHERITED by every later commit (append / delete /
     compact recompute stats for the files they write), so the skipping
-    guarantee never silently lapses mid-history."""
+    guarantee never silently lapses mid-history.
+
+    ``partition_by`` records an IDENTITY PARTITION SPEC in the
+    manifest (Iceberg's spec, identity transforms): the append's
+    files are laid out one-partition-tuple-per-file and each file's
+    partition values land in segment metadata, so `read_snapshot`
+    with a matching ``prune`` resolves the file subset exactly from
+    metadata, and partition-scoped deletes (`commit_delete_where`
+    with ``scan_prune``) touch only matching files. Like stats_cols
+    the spec is inherited: later appends/deletes/compactions preserve
+    the layout. Derived partition columns (day strings, Z-order
+    cells) are the caller's: add the column to the frame first —
+    it stays in the data files (mirror-column layout), so the
+    committed schema includes it."""
     create_table(root)
     parent = current_version(root)
     prev_manifest = read_manifest(root, parent) if parent else {}
     _check_add_only(prev_manifest, df)
     prev_segs = _parent_segments(root, prev_manifest) if parent else []
     scols = stats_cols or prev_manifest.get("stats_cols") or []
-    files = _write_data_files(df, root)
+    spec = partition_by or prev_manifest.get("partition_spec") or []
+    files = _write_data_files(df, root, spec or None)
     stats = _collect_file_stats(root, files, scols) if scols else None
-    seg = _write_segment(root, files, stats)
+    seg = _write_segment(root, files, stats, _spec_partitions(files, spec))
     extra = _schema_extra(df)
     if scols:
         extra["stats_cols"] = list(scols)
+    if spec:
+        extra["partition_spec"] = list(spec)
     return _commit(root, parent, "append", prev_segs + [seg], extra)
 
 
-def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
+def commit_delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    scan_prune: dict | None = None,
+) -> int:
     """Copy-on-write delete: rewrite ONLY files containing matching
     rows (survivor rows to a fresh dir), carry untouched SEGMENTS by
     name and untouched files of affected segments into replacement
@@ -403,6 +535,14 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
     evaluates TRUE are deleted as of the new snapshot. SQL DELETE
     semantics: rows where it evaluates NULL (e.g. a NULL column in the
     condition) are KEPT, exactly like FALSE — only TRUE removes.
+
+    ``scan_prune`` scopes the AFFECTED-FILE SCAN to files matching a
+    `pruned_manifest_files` bound (range or value set) — the
+    partition-scoped delete: a GDPR erasure on a cell-partitioned
+    table scans only the victim's cells, everything else is carried by
+    metadata untouched. Contract (caller-owed, like read pruning):
+    the predicate must be FALSE on every row of every pruned-out file,
+    else those matching rows silently survive.
     """
     parent = current_version(root)
     if not parent:
@@ -415,7 +555,9 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
     hit = F.coalesce(predicate.cast("boolean"), F.lit(False))
     # _metadata.file_path spells the local path as file:/... — strip
     # the scheme so manifest-relative paths compare cleanly
-    with_file = _read_files(spark, root, prev_manifest).withColumn(
+    with_file = _read_files(
+        spark, root, prev_manifest, prune=scan_prune
+    ).withColumn(
         "_src",
         F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
     )
@@ -428,10 +570,13 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
         if "schema" in prev_manifest
         else None
     )
+    spec = prev_manifest.get("partition_spec") or []
     if not affected:
         extra = dict(schema_extra or {})
         if prev_manifest.get("stats_cols"):
             extra["stats_cols"] = list(prev_manifest["stats_cols"])
+        if spec:
+            extra["partition_spec"] = list(spec)
         return _commit(root, parent, "delete", prev_segs, extra or None)
     survivors = (
         with_file.join(F.broadcast(affected_df), "_src", "left_semi")
@@ -439,7 +584,7 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
         .drop("_src")
     )
     scols = prev_manifest.get("stats_cols") or []
-    rewritten = _write_data_files(survivors, root)
+    rewritten = _write_data_files(survivors, root, spec or None)
     new_segs: list[str] = []
     for seg in prev_segs:
         obj = _read_segment_obj(root, seg)
@@ -449,10 +594,17 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
             new_segs.append(seg)  # untouched segment: carried by name
         elif kept:
             # replacement segment: carry the kept files' existing
-            # stats forward (files unchanged -> stats unchanged)
+            # stats/partition tuples forward (files unchanged ->
+            # metadata unchanged)
             old_stats = obj.get("stats", {})
+            old_parts = obj.get("partitions", {})
             kept_stats = {f: old_stats[f] for f in kept if f in old_stats}
-            new_segs.append(_write_segment(root, kept, kept_stats or None))
+            kept_parts = {f: old_parts[f] for f in kept if f in old_parts}
+            new_segs.append(
+                _write_segment(
+                    root, kept, kept_stats or None, kept_parts or None
+                )
+            )
     if rewritten:
         new_segs.append(
             _write_segment(
@@ -461,12 +613,15 @@ def commit_delete_where(spark: SparkSession, root: str, predicate) -> int:
                 _collect_file_stats(root, rewritten, scols)
                 if scols
                 else None,
+                _spec_partitions(rewritten, spec),
             )
         )
     if schema_extra is None:
         schema_extra = {}
     if scols:
         schema_extra["stats_cols"] = list(scols)
+    if spec:
+        schema_extra["partition_spec"] = list(spec)
     return _commit(root, parent, "delete", new_segs, schema_extra or None)
 
 
@@ -689,6 +844,10 @@ def _commit_segments_with_retry(
         ]
         if own or inherited:
             attempt_extra["stats_cols"] = own + inherited
+        if "partition_spec" not in attempt_extra and pm.get(
+            "partition_spec"
+        ):
+            attempt_extra["partition_spec"] = list(pm["partition_spec"])
         try:
             return _commit(
                 root, parent, op, prev + new_segments, attempt_extra
@@ -716,16 +875,15 @@ def snapshot_sink(root: str, stream_id: str):
             return  # re-delivered after a post-commit crash
         create_table(root)
         head = current_version(root)
-        scols = (
-            read_manifest(root, head).get("stats_cols") or []
-            if head
-            else []
-        )
-        files = _write_data_files(batch_df, root)
+        hm = read_manifest(root, head) if head else {}
+        scols = hm.get("stats_cols") or []
+        spec = hm.get("partition_spec") or []
+        files = _write_data_files(batch_df, root, spec or None)
         seg = _write_segment(
             root,
             files,
             _collect_file_stats(root, files, scols) if scols else None,
+            _spec_partitions(files, spec),
         )
         extra = {
             "stream_id": stream_id,
@@ -776,12 +934,24 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     base_segs = set(_parent_segments(root, base_manifest))
     base_files = set(manifest_files(root, base_manifest))
     df = _read_files(spark, root, base_manifest)
-    rewritten = _write_data_files(df.coalesce(target_files), root)
+    spec = base_manifest.get("partition_spec") or []
+    if spec:
+        # layout-preserving fold: cluster by the partition tuple so
+        # the rewrite lands one file per partition value (the small-
+        # files fix WITHIN the spec, like Iceberg rewrite_data_files
+        # honoring the table's spec); target_files bounds nothing
+        # here — file count is the live partition count.
+        rewritten = _write_data_files(
+            df.repartition(*spec), root, spec
+        )
+    else:
+        rewritten = _write_data_files(df.coalesce(target_files), root)
     scols = base_manifest.get("stats_cols") or []
     folded_seg = _write_segment(
         root,
         rewritten,
         _collect_file_stats(root, rewritten, scols) if scols else None,
+        _spec_partitions(rewritten, spec),
     )
     while True:
         head = current_version(root)
@@ -816,6 +986,8 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
         )
         if head_manifest.get("stats_cols"):
             extra["stats_cols"] = list(head_manifest["stats_cols"])
+        if head_manifest.get("partition_spec"):
+            extra["partition_spec"] = list(head_manifest["partition_spec"])
         try:
             return _commit(
                 root,

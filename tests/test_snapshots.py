@@ -166,8 +166,8 @@ def test_sink_retries_through_concurrent_append(spark, tmp_path, monkeypatch):
     orig = snap._write_data_files
     state = {"raced": False}
 
-    def hooked(df, r):
-        files = orig(df, r)
+    def hooked(df, r, partition_by=None):
+        files = orig(df, r, partition_by)
         if not state["raced"]:
             state["raced"] = True
             snap.commit_append(spark, root, _df(spark, 500, 520))  # racer
@@ -188,8 +188,8 @@ def test_compact_carries_concurrent_append(spark, tmp_path, monkeypatch):
     orig = snap._write_data_files
     state = {"raced": False}
 
-    def hooked(df, r):
-        files = orig(df, r)
+    def hooked(df, r, partition_by=None):
+        files = orig(df, r, partition_by)
         if not state["raced"]:
             state["raced"] = True
             snap.commit_append(spark, root, _df(spark, 900, 950))  # racer
@@ -272,8 +272,8 @@ def test_compact_aborts_on_concurrent_delete(spark, tmp_path, monkeypatch):
     orig = snap._write_data_files
     state = {"raced": False}
 
-    def hooked(df, r):
-        files = orig(df, r)
+    def hooked(df, r, partition_by=None):
+        files = orig(df, r, partition_by)
         if not state["raced"]:
             state["raced"] = True
             snap.commit_delete_where(spark, root, F.col("k") < 50)
@@ -760,3 +760,173 @@ def test_segment_commit_loop_inherits_concurrent_stats_cols(
     # and a later plain append keeps inheriting
     v3 = snap.commit_append(spark, root, _df(spark, 20, 30))
     assert snap.read_manifest(root, v3)["stats_cols"] == ["k"]
+
+
+def _cells_df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("cell"),
+        (F.col("id") * 10).alias("v"),
+    )
+
+
+def test_partition_spec_recorded_and_inherited(spark, tmp_path):
+    """VERDICT r7 task 2: an identity partition spec committed with
+    the first append is recorded in the manifest, lays files out
+    one-partition-tuple-per-file, and is INHERITED by later appends
+    that don't restate it."""
+    root = str(tmp_path / "t")
+    v1 = snap.commit_append(
+        spark, root, _cells_df(spark, 0, 100), partition_by=["cell"]
+    )
+    assert snap.read_manifest(root, v1)["partition_spec"] == ["cell"]
+    # every file carries exactly one cell value in metadata
+    seg = snap.read_manifest(root, v1)["segments"][-1]
+    obj = snap._read_segment_obj(root, seg)
+    assert set(obj["partitions"]) == set(obj["files"])
+    assert {p["cell"] for p in obj["partitions"].values()} == {
+        str(c) for c in range(5)
+    }
+    # a plain append inherits the spec and the layout
+    v2 = snap.commit_append(spark, root, _cells_df(spark, 100, 150))
+    m2 = snap.read_manifest(root, v2)
+    assert m2["partition_spec"] == ["cell"]
+    new_seg = [s for s in m2["segments"] if s != seg][0]
+    assert snap._read_segment_obj(root, new_seg).get("partitions")
+    # reads return the partition column (it lives in the data files)
+    got = snap.read_snapshot(spark, root, v2)
+    assert got.columns == ["k", "cell", "v"]
+    assert got.count() == 150
+
+
+def test_partition_prune_resolves_exact_file_subset(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark, root, _cells_df(spark, 0, 200), partition_by=["cell"]
+    )
+    m = snap.read_manifest(root, 1)
+    all_files = snap.manifest_files(root, m)
+    for bound, cells in [
+        ([1, 3], {1, 3}),  # value set
+        ((0, 1), {0, 1}),  # range
+    ]:
+        pr = snap.pruned_manifest_files(root, m, {"cell": bound})
+        assert 0 < len(pr) < len(all_files)
+        got = {
+            snap._partition_values(f, ["cell"])["cell"] for f in pr
+        }
+        assert got == {str(c) for c in cells}
+        sub = snap.read_snapshot(spark, root, prune={"cell": bound})
+        want = {c for c in cells}
+        assert (
+            set(
+                r["cell"]
+                for r in sub.select("cell").distinct().collect()
+            )
+            == want
+        )
+
+
+def test_partition_scoped_delete_touches_only_victim_cells(
+    spark, tmp_path
+):
+    """GDPR erasure composed into commits: scan_prune scopes the
+    affected-file scan to the victim's cells; every other cell's
+    files are carried by identity (same path, same bytes — mtime
+    asserted like tests/test_layout.py's probe), and a reader pinned
+    to the pre-delete version still reproduces the full corpus."""
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark, root, _cells_df(spark, 0, 200), partition_by=["cell"]
+    )
+    before = {
+        f: os.stat(os.path.join(root, f)).st_mtime_ns
+        for f in snap.files_of(root, 1)
+    }
+    # k % 2 == 0 interleaves within every file, so each affected
+    # file has SURVIVORS — the rewrite leg must run, in-cell only
+    v2 = snap.commit_delete_where(
+        spark,
+        root,
+        (F.col("cell") == 2) & (F.col("k") % 2 == 0),
+        scan_prune={"cell": [2]},
+    )
+    f1, f2 = set(before), set(snap.files_of(root, v2))
+    for f in f1 & f2:  # carried files: byte-identical, untouched
+        assert os.stat(os.path.join(root, f)).st_mtime_ns == before[f]
+    victim = lambda fs: {  # noqa: E731
+        snap._partition_values(f, ["cell"])["cell"] for f in fs
+    }
+    assert victim(f1 - f2) == {"2"}  # only the victim cell dropped
+    assert victim(f2 - f1) == {"2"}  # only the victim cell rewritten
+    got = snap.read_snapshot(spark, root, v2)
+    assert got.count() == 200 - 20
+    assert got.filter((F.col("cell") == 2) & (F.col("k") % 2 == 0)).count() == 0
+    # snapshot isolation: the pinned pre-delete version is intact
+    assert snap.read_snapshot(spark, root, 1).count() == 200
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark, root, _cells_df(spark, 0, 100), partition_by=["cell"]
+    )
+    snap.commit_append(spark, root, _cells_df(spark, 100, 200))
+    v3 = snap.compact(spark, root)
+    m3 = snap.read_manifest(root, v3)
+    assert m3["partition_spec"] == ["cell"]
+    files = snap.files_of(root, v3)
+    assert len(files) == 5  # one file per live cell
+    assert {
+        snap._partition_values(f, ["cell"])["cell"] for f in files
+    } == {str(c) for c in range(5)}
+    assert snap.read_snapshot(spark, root, v3).count() == 200
+    # pruning still resolves from the folded segment's metadata
+    pr = snap.pruned_manifest_files(root, m3, {"cell": [4]})
+    assert len(pr) == 1
+
+
+def test_stream_sink_inherits_partition_spec(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark, root, _cells_df(spark, 0, 50), partition_by=["cell"]
+    )
+    sink = snap.snapshot_sink(root, "s1")
+    sink(_cells_df(spark, 50, 100), 0)
+    m = snap.read_manifest(root, snap.current_version(root))
+    assert m["partition_spec"] == ["cell"]
+    new_seg = m["segments"][-1]
+    obj = snap._read_segment_obj(root, new_seg)
+    assert obj.get("partitions") and set(obj["partitions"]) == set(
+        obj["files"]
+    )
+
+
+def test_day_pruned_read_opens_only_matching_files(spark):
+    """VERDICT r7 task 2 'done' probe: the day-range snapshot read's
+    PLANNED INPUT FILES are exactly the in-range partition files —
+    mirror of tests/test_layout.py's partition-pruning probe, at the
+    manifest layer."""
+    import datetime as _dt
+
+    from metastore_spark.queries_snapshots import _day_table
+
+    root = _day_table(spark, "/root/testdata/sf0.001")
+    head = snap.current_version(root)
+    m = snap.read_manifest(root, head)
+    min_day = min(
+        snap._partition_values(f, ["day"])["day"]
+        for f in snap.manifest_files(root, m)
+    )
+    d0 = _dt.date.fromisoformat(min_day)
+    lo = (d0 + _dt.timedelta(days=10)).isoformat()
+    hi = (d0 + _dt.timedelta(days=19)).isoformat()
+    df = snap.read_snapshot(spark, root, head, prune={"day": (lo, hi)})
+    opened = {os.path.relpath(p.removeprefix("file:"), root) for p in df.inputFiles()}
+    in_range = {
+        f
+        for f in snap.manifest_files(root, m)
+        if lo <= snap._partition_values(f, ["day"])["day"] <= hi
+    }
+    assert opened == in_range
+    assert 0 < len(in_range) < len(snap.manifest_files(root, m))
