@@ -400,6 +400,7 @@ def simhash_near_pairs(
     bits: int = 63,
     hash_fn=None,
     sigs: DataFrame | None = None,
+    per_doc_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
 
@@ -409,6 +410,16 @@ def simhash_near_pairs(
     be added as extra bucket keys). Pass a served signature table as
     ``sigs`` ((id, simhash) — see ``metastore_spark/serve.py``) to
     skip the corpus pass entirely at query time.
+
+    ``per_doc_cap`` bounds the OUTPUT (VERDICT r7 task 3 / the round-5
+    sf3 finding that saturated-signature corpora emit quadratically
+    many qualifying pairs): each left doc keeps only its ``cap``
+    nearest neighbors (hamming asc, id tiebreak — deterministic), via
+    the bounded-exchange partial top-k (`operators/topk.grouped_topk`),
+    so emitted pairs are ≤ n×cap and the map side discards bucket-local
+    excess before the shuffle. Dedup-clustering consumers lose nothing:
+    a doc's component membership needs SOME qualifying edge, not all
+    of them.
     """
     if sigs is None:
         sigs = simhash_signatures(df, text_col, id_col, bits, hash_fn)
@@ -420,7 +431,7 @@ def simhash_near_pairs(
     dist = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -433,3 +444,13 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    if per_doc_cap is not None:
+        from metastore_spark.operators.topk import grouped_topk
+
+        pairs = grouped_topk(
+            pairs,
+            ["id_a"],
+            [("hamming", True), ("id_b", True)],
+            per_doc_cap,
+        )
+    return pairs

@@ -236,7 +236,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle(
-    bits: int = 60, max_hamming: int = 3
+    bits: int = 60, max_hamming: int = 3, per_doc_cap: int | None = None
 ) -> str:
     """DuckDB mirror of the full simhash pipeline: portable token hash
     → per-bit ±1 sums → sign bits → prefix bucket → hamming join.
@@ -276,11 +276,29 @@ def _simhash_oracle(
     ),
     bk AS (SELECT doc_id, simhash,
                   simhash >> ({bits} - (SELECT p FROM pb)) AS bucket
-           FROM sig)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+           FROM sig),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    )
+    {_cap_clause(per_doc_cap)}
+    """
+
+
+def _cap_clause(per_doc_cap: int | None) -> str:
+    """Oracle mirror of the per-doc nearest-neighbor cap (deterministic:
+    hamming asc, id_b tiebreak) — or the uncapped pass-through."""
+    if per_doc_cap is None:
+        return "SELECT id_a, id_b, hamming FROM pairs"
+    return f"""
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, hamming,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY hamming, id_b) AS rn
+      FROM pairs
+    ) WHERE rn <= {per_doc_cap}
     """
 
 
@@ -301,19 +319,28 @@ def adaptive_prefix_bits(n_docs: int, base: int = 16, cap: int = 28) -> int:
     return min(base + (max(n_docs // 50_000, 1)).bit_length() - 1, cap)
 
 
-@query("dedup_simhash_pairs", oracle=_simhash_oracle())
+@query("dedup_simhash_pairs", oracle=_simhash_oracle(per_doc_cap=8))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 of 60 bits), prefix-bucketed
     — value-hash oracled end-to-end: DuckDB recomputes the identical
-    60-bit signatures (portable base hash, exact ±1 bit-sums) and the
-    same prefix-bucket join, recall misses included.
+    60-bit signatures (portable base hash, exact ±1 bit-sums), the
+    same prefix-bucket join (recall misses included), and the same
+    per-doc cap.
 
-    The prefix width adapts to the corpus (`adaptive_prefix_bits`):
-    n <= 100k docs keeps the historical p=16; each doubling beyond
-    50k adds a bit, so random-collision pair output stays ~linear in
-    n instead of n²/2^16 (the round-5 sf3 finding). The count() that
-    sizes p is a driver-side scalar over the served signature store's
-    source — a parameter lookup, not a data loop.
+    Two bounds keep this sublinear at any corpus (VERDICT r7 task 3,
+    closing the round-5 sf3 output-bound finding):
+    - the prefix width adapts to the corpus (`adaptive_prefix_bits`):
+      each doubling beyond 50k docs adds a bit, so random-collision
+      CANDIDATES stay ~linear in n instead of n²/2^16;
+    - each doc emits at most its 8 nearest qualifying neighbors
+      (hamming asc, id tiebreak — deterministic, mirrored in the
+      oracle's row_number), applied via the bounded-exchange partial
+      top-k, so the OUTPUT is ≤ 8n rows even on saturated-signature
+      corpora where qualifying pairs are quadratic. Downstream
+      clustering keeps its components: connectivity needs an edge per
+      doc, not every edge.
+    The count() that sizes p is a driver-side scalar over the served
+    signature store's source — a parameter lookup, not a data loop.
     """
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()
@@ -322,6 +349,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=60, hash_fn=dd.portable_hash60,
         prefix_bits=adaptive_prefix_bits(n_docs),
         sigs=_served_simhash_sigs(spark, sf_dir, 60),
+        per_doc_cap=8,
     )
 
 
