@@ -68,13 +68,51 @@ def encode_jwt(payload: dict, key: str) -> str:
     return f"{head}.{body}." + base64.urlsafe_b64encode(sig).rstrip(b"=").decode()
 
 
+def _cors_headers(environ) -> list[tuple[str, str]]:
+    """Reference CORS contract (metastore/__init__.py:13-14:
+    ``CORS(app, supports_credentials=True)``): the request's Origin is
+    ECHOED — a credentialed response may not use ``*`` — with
+    ``Access-Control-Allow-Credentials: true`` and ``Vary: Origin``
+    (the echo makes the response origin-dependent for caches). No
+    Origin header → not a CORS request → no CORS headers, exactly
+    like flask-cors."""
+    origin = environ.get("HTTP_ORIGIN")
+    if not origin:
+        return []
+    return [
+        ("Access-Control-Allow-Origin", origin),
+        ("Access-Control-Allow-Credentials", "true"),
+        ("Vary", "Origin"),
+    ]
+
+
 def create_app(engine: SearchEngine, private_key: str):
     """WSGI app: engine + key → callable(environ, start_response)."""
 
     def app(environ, start_response):
         path = environ.get("PATH_INFO", "")
+        cors = _cors_headers(environ)
+        if environ.get("REQUEST_METHOD") == "OPTIONS":
+            # CORS preflight: allowed methods + echo of the requested
+            # headers (flask-cors' default preflight shape)
+            headers = [("Allow", "GET, HEAD, OPTIONS")] + cors
+            if cors:
+                headers.append(
+                    ("Access-Control-Allow-Methods", "GET, HEAD, OPTIONS")
+                )
+                req_headers = environ.get(
+                    "HTTP_ACCESS_CONTROL_REQUEST_HEADERS"
+                )
+                if req_headers:
+                    headers.append(
+                        ("Access-Control-Allow-Headers", req_headers)
+                    )
+            start_response("200 OK", headers)
+            return [b""]
         if environ.get("REQUEST_METHOD") != "GET":
-            start_response("405 Method Not Allowed", [("Allow", "GET")])
+            start_response(
+                "405 Method Not Allowed", [("Allow", "GET")] + cors
+            )
             return [b""]
 
         kind = None
@@ -84,7 +122,8 @@ def create_app(engine: SearchEngine, private_key: str):
             kind = path[len("/metastore/search/") :] or None
         if kind is None:
             start_response(
-                "404 Not Found", [("Content-Type", "application/json")]
+                "404 Not Found",
+                [("Content-Type", "application/json")] + cors,
             )
             return [json.dumps({"error": "not found"}).encode()]
 
@@ -102,7 +141,7 @@ def create_app(engine: SearchEngine, private_key: str):
             ctype = "application/json"
         # error containment (metastore/controllers.py:12-17): failures
         # are 200s with an error key, never 5xx
-        start_response("200 OK", [("Content-Type", ctype)])
+        start_response("200 OK", [("Content-Type", ctype)] + cors)
         return [body.encode()]
 
     return app

@@ -99,3 +99,45 @@ def test_jwt_wrong_key_is_anonymous():
     assert decode_jwt(tok, KEY) is None
     assert decode_jwt(None, KEY) is None
     assert decode_jwt(encode_jwt({"userid": "u"}, KEY), KEY) == "u"
+
+
+def test_cors_headers_echo_origin_with_credentials(server):
+    """Reference parity (metastore/__init__.py:13-14, flask-cors with
+    supports_credentials=True): a cross-origin GET gets its Origin
+    ECHOED (never '*' — credentialed responses forbid it) plus
+    Allow-Credentials and Vary: Origin, on both endpoints."""
+    for path in ("/metastore/search", "/metastore/search/events"):
+        status, headers, _ = get(
+            f"{server}{path}", headers={"Origin": "http://datahub.io"}
+        )
+        assert status == 200
+        assert (
+            headers["Access-Control-Allow-Origin"] == "http://datahub.io"
+        )
+        assert headers["Access-Control-Allow-Credentials"] == "true"
+        assert headers["Vary"] == "Origin"
+
+
+def test_cors_preflight_options(server):
+    req = urllib.request.Request(
+        f"{server}/metastore/search",
+        method="OPTIONS",
+        headers={
+            "Origin": "http://datahub.io",
+            "Access-Control-Request-Method": "GET",
+            "Access-Control-Request-Headers": "Auth-Token",
+        },
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        h = r.headers
+    assert h["Access-Control-Allow-Origin"] == "http://datahub.io"
+    assert h["Access-Control-Allow-Credentials"] == "true"
+    assert "GET" in h["Access-Control-Allow-Methods"]
+    assert h["Access-Control-Allow-Headers"] == "Auth-Token"
+
+
+def test_no_origin_no_cors_headers(server):
+    _, headers, _ = get(f"{server}/metastore/search")
+    assert "Access-Control-Allow-Origin" not in headers
+    assert "Access-Control-Allow-Credentials" not in headers
