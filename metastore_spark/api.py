@@ -61,11 +61,27 @@ def _validate_filter_fields(df: DataFrame, filters: dict) -> None:
     Resolves dotted paths against the schema directly — one walk over
     a StructType, instead of the previous trick of forcing a second
     Catalyst analysis pass per request just to surface the
-    AnalysisException. Mirrors Spark resolution: case-insensitive
-    struct members, arrays traversed to their element, map access
-    valid for any key.
+    AnalysisException. Mirrors Spark resolution under the SESSION'S
+    resolver mode (``spark.sql.caseSensitive``, default insensitive —
+    pinned against the real analyzer by
+    tests/test_filter_properties.py): struct members matched per the
+    mode, arrays traversed to their element, map access valid for any
+    key.
     """
     from pyspark.sql.types import ArrayType, MapType, StructType
+
+    try:
+        case_sensitive = (
+            str(
+                df.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+            ).lower()
+            == "true"
+        )
+    except Exception:
+        case_sensitive = False
+
+    def names_match(a: str, b: str) -> bool:
+        return a == b if case_sensitive else a.lower() == b.lower()
 
     for field, values in filters.items():
         if not values:
@@ -80,7 +96,7 @@ def _validate_filter_fields(df: DataFrame, filters: dict) -> None:
             if not isinstance(dt, StructType):
                 raise ParamError(f"unknown field: {field!r}")
             match = next(
-                (f for f in dt.fields if f.name.lower() == part.lower()), None
+                (f for f in dt.fields if names_match(f.name, part)), None
             )
             if match is None:
                 raise ParamError(f"unknown field: {field!r}")

@@ -135,3 +135,80 @@ def test_parse_roundtrip(filters):
     params = {k: [json.dumps(v) for v in vs] for k, vs in filters.items()}
     spec = parse_params(params)
     assert spec.filters == filters
+
+
+# ---------------------------------------------------------------------------
+# _validate_filter_fields vs Spark's own resolver (VERDICT r7 task 7):
+# the schema walk must accept exactly the dotted paths Spark resolves,
+# under BOTH case-sensitivity modes, across struct/array/map nesting.
+# ---------------------------------------------------------------------------
+
+_NESTED_SCHEMA = (
+    "id string, "
+    "Outer struct<Inner: struct<Leaf: int, other: string>, "
+    "arr: array<struct<Elem: int>>, m: map<string,string>>, "
+    "tags array<string>"
+)
+_NESTED_ROWS = [
+    (
+        "a",
+        ((1, "x"), [(2,)], {"any-key": "v"}),
+        ["t1"],
+    )
+]
+
+_PATHS = [
+    "id",
+    "ID",
+    "outer",
+    "Outer.Inner.Leaf",
+    "outer.inner.leaf",
+    "OUTER.INNER.LEAF",
+    "Outer.arr.Elem",
+    "outer.ARR.elem",
+    "Outer.m.flow-id",
+    "Outer.m.anything.at.all",
+    "tags",
+    "nope",
+    "Outer.nope",
+    "Outer.Inner.nope",
+    "Outer.arr.nope",
+    "id.sub",
+]
+
+
+@pytest.mark.parametrize("case_sensitive", [False, True])
+def test_validate_filter_fields_matches_spark_resolver(
+    spark, case_sensitive
+):
+    """For every probe path: our schema walk accepts it iff Spark's
+    analyzer resolves `col(path)` on the frame, under the session's
+    spark.sql.caseSensitive setting. Pins the one divergence VERDICT
+    r7 flagged: the walk was unconditionally case-insensitive."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from metastore_spark.api import _validate_filter_fields
+    from metastore_spark.params import ParamError
+
+    df = spark.createDataFrame(_NESTED_ROWS, _NESTED_SCHEMA)
+    old = spark.conf.get("spark.sql.caseSensitive")
+    spark.conf.set("spark.sql.caseSensitive", str(case_sensitive).lower())
+    try:
+        for path in _PATHS:
+            try:
+                df.select(F.col(path).alias("_probe")).schema
+                spark_ok = True
+            except AnalysisException:
+                spark_ok = False
+            try:
+                _validate_filter_fields(df, {path: ["v"]})
+                walk_ok = True
+            except ParamError:
+                walk_ok = False
+            assert walk_ok == spark_ok, (
+                f"{path!r}: walk={walk_ok} spark={spark_ok} "
+                f"(caseSensitive={case_sensitive})"
+            )
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", old)
