@@ -676,3 +676,82 @@ def search_stream_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(store, ignore_errors=True)
+
+
+@query("search_snapshot_index_refresh", oracle=_bm25_docs_oracle())
+def search_snapshot_index_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index maintenance DRIVEN BY THE SNAPSHOT CHANGELOG (VERDICT r7
+    task 6 — round 7's two systems composed): documents land as
+    snapshot table COMMITS, and `refresh_from_snapshot` consumes
+    `read_appends` windows checkpointed by snapshot version — each
+    refresh analyzes exactly the window's appended rows (O(delta
+    files) by construction), lands them as one segment, and advances
+    the manifest's version checkpoint. The oracle is the cold
+    full-rebuild BM25 ranking (`search_bm25_docs`), so the hash pins
+    that incremental maintenance over the commit log equals a fresh
+    index of the head corpus — merged df/num_docs/avgdl statistics
+    included.
+
+    Lifecycle exercised: three append commits, a refresh after each
+    (three delta segments); a COMPACTION commit followed by a refresh
+    that must contribute NOTHING (op-aware consumption — the
+    checkpoint advances, no segment minted, doc count unchanged); and
+    a final no-new-commits refresh that is a pure no-op. At 100 TB
+    this is the production index loop: ingest commits micro-batches,
+    the indexer tails the table's own commit history — no side
+    channel, no second checkpoint store, replay-safe because the
+    segment name IS the version window."""
+    import tempfile
+
+    from metastore_spark.search.refresh import (
+        load_segmented,
+        refresh_from_snapshot,
+    )
+    from metastore_spark.sources import snapshots as snap
+
+    tbl = os.path.join(tempfile.mkdtemp(prefix="sidx_snap_"), "t")
+    store = tempfile.mkdtemp(prefix="sidx_seg_")
+    try:
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        for part in range(3):
+            snap.commit_append(
+                spark,
+                tbl,
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == part),
+            )
+            v = refresh_from_snapshot(
+                spark, tbl, store, "doc_id", ["text"], stem=False
+            )
+            assert v == part + 1
+        idx = load_segmented(spark, store)
+        n_after_appends = idx.num_docs
+
+        # a compaction commit carries no new rows: the refresh must
+        # advance the checkpoint and mint nothing
+        snap.compact(spark, tbl, target_files=1)
+        v = refresh_from_snapshot(
+            spark, tbl, store, "doc_id", ["text"], stem=False
+        )
+        assert v == 4
+        # and with no new commits at all, a pure no-op
+        assert refresh_from_snapshot(
+            spark, tbl, store, "doc_id", ["text"], stem=False
+        ) == 4
+        idx = load_segmented(spark, store)
+        assert idx.num_docs == n_after_appends
+
+        scores = bm25_scores(idx, _Q, {"text": 1.0}, stem=False)
+        out = (
+            scores.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+            .limit(20)
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(os.path.dirname(tbl), ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)

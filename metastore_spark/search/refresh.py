@@ -160,6 +160,65 @@ def refresh_segment(
     return dest
 
 
+def refresh_from_snapshot(
+    spark: SparkSession,
+    snap_root: str,
+    index_path: str,
+    id_col: str,
+    fields: list[str],
+    stem: bool = True,
+    max_segments: int = 8,
+) -> int:
+    """Index maintenance CHECKPOINTED BY SNAPSHOT VERSION (VERDICT r7
+    task 6 — the two round-7 systems composed): instead of draining
+    its own stream, the segmented refresh consumes the snapshot
+    table's append feed. The index manifest records the last indexed
+    snapshot version; each call reads `snapshots.read_appends(root,
+    since, head)` — exactly the rows appended in the window, O(delta
+    files) by construction (compaction and COW deletes contribute
+    nothing) — lands them as ONE segment named by the version window,
+    and advances the checkpoint. Returns the indexed head version.
+
+    Crash contract: a crash between the segment publish and the
+    checkpoint stamp re-runs the same window; the segment name is the
+    window, so the replay republishes identical content under the
+    same name (refresh_segment's idempotent swap / fold ledger) and
+    the corpus stays single-counted. Erasure note: like any
+    postings-over-appends index, a snapshot DELETE does not retract
+    already-indexed rows — erasure-compliant serving filters hits
+    against the current snapshot (the reference API path) or triggers
+    a rebuild."""
+    from metastore_spark.sources import snapshots
+
+    man = _read_manifest(index_path) or {}
+    since = int(man.get("snapshot_version", 0))
+    head = snapshots.current_version(snap_root)
+    if head <= since:
+        return since  # nothing new committed
+    new_docs = snapshots.read_appends(spark, snap_root, since, head)
+    if new_docs.isEmpty():
+        # window held only non-append commits (compaction/erasure):
+        # advance the checkpoint without minting an empty segment
+        man = _read_manifest(index_path) or {"segments": []}
+        man["snapshot_version"] = head
+        _write_manifest(index_path, man)
+        return head
+    refresh_segment(
+        spark,
+        new_docs,
+        index_path,
+        id_col,
+        fields,
+        stem=stem,
+        segment_name=f"snap-{since + 1}-{head}",
+        max_segments=max_segments,
+    )
+    man = _read_manifest(index_path) or {"segments": []}
+    man["snapshot_version"] = head
+    _write_manifest(index_path, man)
+    return head
+
+
 def load_segmented(
     spark: SparkSession, path: str, docs: DataFrame | None = None
 ) -> SearchIndex:
@@ -247,8 +306,11 @@ def compact_segments(spark: SparkSession, path: str) -> None:
     with open(os.path.join(tmp, "stats.json"), "w") as fh:
         json.dump({"num_docs": num_docs, "dl_sums": dl}, fh)
     os.rename(tmp, dest)
-    _write_manifest(
-        path,
+    # carry every foreign manifest key (e.g. refresh_from_snapshot's
+    # snapshot_version checkpoint) — a fold must never reset another
+    # protocol's state
+    new_man = dict(man)
+    new_man.update(
         {
             "segments": [name],
             "generation": gen,
@@ -256,7 +318,8 @@ def compact_segments(spark: SparkSession, path: str) -> None:
             # generation — refresh_segment consults it so a replayed
             # batch can never re-list itself (see its docstring)
             "folded": sorted(set(man.get("folded", [])) | set(folded)),
-        },
+        }
     )
+    _write_manifest(path, new_man)
     for s in segs:  # superseded by the manifest — idempotent retire
         shutil.rmtree(s, ignore_errors=True)

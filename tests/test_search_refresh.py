@@ -197,3 +197,56 @@ def test_folded_replay_returns_none_live_publish_returns_path(
         stem=False, segment_name="0",
     )
     assert replay is None
+
+
+def test_refresh_from_snapshot_checkpoint_and_replay(spark, tmp_path):
+    """VERDICT r7 task 6: snapshot-version-checkpointed refresh — each
+    call consumes exactly the append window, a crash-replay of a
+    stamped-but-rerun window republishes identical content (no double
+    count), and the checkpoint SURVIVES a compaction fold."""
+    from metastore_spark.search.refresh import refresh_from_snapshot
+    from metastore_spark.sources import snapshots as snap
+
+    tbl = str(tmp_path / "tbl")
+    store = str(tmp_path / "seg")
+    rows = [(i, f"spark streams data batch{i % 4}") for i in range(12)]
+
+    snap.commit_append(spark, tbl, _docs_df(spark, rows[0:6]))
+    assert refresh_from_snapshot(
+        spark, tbl, store, "doc_id", ["text"], stem=False
+    ) == 1
+    assert load_segmented(spark, store).num_docs == 6
+
+    snap.commit_append(spark, tbl, _docs_df(spark, rows[6:12]))
+    assert refresh_from_snapshot(
+        spark, tbl, store, "doc_id", ["text"], stem=False
+    ) == 2
+    assert load_segmented(spark, store).num_docs == 12
+
+    # crash between publish and stamp: roll the checkpoint back and
+    # re-run — the same window republishes under the same segment
+    # name, corpus stays single-counted
+    man = _read_manifest(store)
+    man["snapshot_version"] = 1
+    from metastore_spark.search.refresh import _write_manifest
+
+    _write_manifest(store, man)
+    assert refresh_from_snapshot(
+        spark, tbl, store, "doc_id", ["text"], stem=False
+    ) == 2
+    assert load_segmented(spark, store).num_docs == 12
+
+    # compaction fold must carry the checkpoint (not reset it)
+    compact_segments(spark, store)
+    man = _read_manifest(store)
+    assert man["segments"] == ["seg-compacted-0"]
+    assert man["snapshot_version"] == 2
+    # delete-only window: checkpoint advances, nothing minted
+    snap.commit_delete_where(
+        spark, tbl, F.col("doc_id") == 0
+    )
+    assert refresh_from_snapshot(
+        spark, tbl, store, "doc_id", ["text"], stem=False
+    ) == 3
+    assert _read_manifest(store)["segments"] == ["seg-compacted-0"]
+    assert load_segmented(spark, store).num_docs == 12
