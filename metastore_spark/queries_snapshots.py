@@ -727,3 +727,92 @@ def events_snapshot_partition_erasure(
             )
         )
     return legs[0].unionAll(legs[1]).orderBy("version")
+
+
+@query(
+    "events_snapshot_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_id % 2 = 0
+    ),
+    src AS (
+      SELECT event_id, user_id, event_type, value * 3 AS value
+      FROM events WHERE event_id % 10 = 0
+      UNION ALL
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_id % 2 = 1 AND event_id % 7 = 0
+    ),
+    merged AS (
+      SELECT * FROM base
+      WHERE event_id NOT IN (SELECT event_id FROM src)
+      UNION ALL
+      SELECT * FROM src
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM merged
+    """,
+)
+def events_snapshot_merge_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE (upsert) INTO the snapshot table — the lakehouse
+    ingest-update path (Delta MERGE INTO / Iceberg COW merge): a CDC
+    correction batch (tripled values for every event_id % 10 == 0 row,
+    plus genuinely new odd-id rows) lands in ONE snapshot-isolated
+    commit that replaces matched keys and appends the rest. The head
+    is hash-checked against DuckDB recomputing the same
+    replace-or-insert set from the raw corpus — a merge that dropped a
+    survivor, double-kept a replaced row, or lost an insert mismatches.
+
+    Scale shape: COW like the delete path — one scan of the target
+    finds files holding matched keys (broadcast semi-join of the
+    batch-sized key set), ONLY those files rewrite (their unmatched
+    rows + the source), untouched segments carry by name, and on a
+    key-clustered layout `scan_prune` scopes the scan to the keys'
+    cells. The multiple-match MERGE error is raised at commit, not
+    silently row-multiplied. At 100 TB this is the nightly CDC apply:
+    cost O(affected files + batch), with pinned readers isolated and
+    `rollback_to` as the oops path."""
+    import tempfile
+
+    root = os.path.join(tempfile.mkdtemp(prefix="snap_merge_"), "t")
+    try:
+        base = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        snap.commit_append(
+            spark,
+            root,
+            base.filter(F.col("event_id") % 2 == 0).repartitionByRange(
+                4, "event_id"
+            ),
+        )
+        src = (
+            base.filter(F.col("event_id") % 10 == 0)
+            .withColumn("value", F.col("value") * 3)
+            .unionByName(
+                base.filter(
+                    (F.col("event_id") % 2 == 1)
+                    & (F.col("event_id") % 7 == 0)
+                )
+            )
+        )
+        v = snap.commit_merge(spark, root, src, ["event_id"])
+        assert snap.read_manifest(root, v)["op"] == "merge"
+        out = snap.read_snapshot(spark, root, v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("event_id").cast("bigint").alias("n_keys"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+            ).cast("bigint").alias("value_cents_sum"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

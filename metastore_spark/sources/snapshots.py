@@ -625,6 +625,140 @@ def commit_delete_where(
     return _commit(root, parent, "delete", new_segs, schema_extra or None)
 
 
+def commit_merge(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_cols: list[str],
+    scan_prune: dict | None = None,
+) -> int:
+    """MERGE (upsert) commit — Delta's ``MERGE INTO`` / Iceberg's
+    copy-on-write merge, the lakehouse ingest-update path: every
+    target row whose key matches a source row is REPLACED by that
+    source row; source rows with no target match are APPENDED. One
+    commit, snapshot-isolated like every other op.
+
+    COW shape, same cost model as `commit_delete_where`: one scan of
+    the target (optionally ``scan_prune``-scoped — a key-clustered
+    table merges in O(matching files)) finds the files holding
+    matched keys; only those files rewrite (their unmatched survivor
+    rows + nothing else), untouched segments carry by name, and the
+    source lands with the rewrite in one fresh segment. The match is
+    a broadcast semi-join when the source is batch-sized (the
+    overwhelmingly common upsert), falling back to a shuffle join
+    automatically via the optimizer's threshold.
+
+    Contract: ``key_cols`` must be unique IN THE SOURCE (the classic
+    MERGE multiple-match error is raised here rather than silently
+    multiplying rows); target duplicates are all replaced by the one
+    source row. NULL keys never match (SQL join semantics) — a NULL-
+    keyed source row inserts.
+    """
+    parent = current_version(root)
+    if not parent:
+        # empty table: a merge is just the first append
+        return commit_append(spark, root, source)
+    prev_manifest = read_manifest(root, parent)
+    _check_add_only(prev_manifest, source)
+    prev_segs = _parent_segments(root, prev_manifest)
+    spec = prev_manifest.get("partition_spec") or []
+    scols = prev_manifest.get("stats_cols") or []
+
+    dup = (
+        source.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "merge source has duplicate keys on "
+            f"{key_cols!r} — each target row may match at most one "
+            "source row"
+        )
+
+    keys = source.select(*key_cols).distinct()
+    with_file = _read_files(
+        spark, root, prev_manifest, prune=scan_prune
+    ).withColumn(
+        "_src",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+    )
+    matched = with_file.join(F.broadcast(keys), key_cols, "left_semi")
+    affected_df = matched.select("_src").distinct()
+    affected = {
+        os.path.relpath(r["_src"], root) for r in affected_df.collect()
+    }
+    # survivors of affected files: rows whose key has NO source match
+    survivors = (
+        with_file.join(F.broadcast(affected_df), "_src", "left_semi")
+        .join(F.broadcast(keys), key_cols, "left_anti")
+        .drop("_src")
+    )
+    # one fresh segment: survivors + the full source (updates and
+    # inserts alike); by-name union so an add-only widened source
+    # null-fills the survivors' missing columns (the committed schema
+    # below is the source's — readers resolve columns by name)
+    incoming = survivors.unionByName(source, allowMissingColumns=True)
+    rewritten = _write_data_files(incoming, root, spec or None)
+    new_segs: list[str] = []
+    for seg in prev_segs:
+        obj = _read_segment_obj(root, seg)
+        seg_files = obj["files"]
+        kept = [f for f in seg_files if f not in affected]
+        if len(kept) == len(seg_files):
+            new_segs.append(seg)
+        elif kept:
+            old_stats = obj.get("stats", {})
+            old_parts = obj.get("partitions", {})
+            new_segs.append(
+                _write_segment(
+                    root,
+                    kept,
+                    {f: old_stats[f] for f in kept if f in old_stats}
+                    or None,
+                    {f: old_parts[f] for f in kept if f in old_parts}
+                    or None,
+                )
+            )
+    new_segs.append(
+        _write_segment(
+            root,
+            rewritten,
+            _collect_file_stats(root, rewritten, scols) if scols else None,
+            _spec_partitions(rewritten, spec),
+        )
+    )
+    extra = _schema_extra(source)
+    if scols:
+        extra["stats_cols"] = list(scols)
+    if spec:
+        extra["partition_spec"] = list(spec)
+    return _commit(root, parent, "merge", new_segs, extra)
+
+
+def rollback_to(root: str, version: int) -> int:
+    """Roll the head back to ``version``'s row set as a NEW commit
+    (history is immutable — the bad commits stay readable until
+    retention expires them, exactly like Delta RESTORE / Iceberg
+    rollback). Metadata-only: the target version's segments are
+    carried by name; no data moves."""
+    head = current_version(root)
+    if not (1 <= version <= head):
+        raise ValueError(f"no version {version} to roll back to")
+    target = read_manifest(root, version)
+    segs = _parent_segments(root, target)
+    extra: dict = {"rolled_back_to": version}
+    if "schema" in target:
+        extra["schema"] = target["schema"]
+    if target.get("stats_cols"):
+        extra["stats_cols"] = list(target["stats_cols"])
+    if target.get("partition_spec"):
+        extra["partition_spec"] = list(target["partition_spec"])
+    return _commit(root, head, "rollback", segs, extra)
+
+
 def read_snapshot(
     spark: SparkSession,
     root: str,

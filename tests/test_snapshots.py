@@ -930,3 +930,96 @@ def test_day_pruned_read_opens_only_matching_files(spark):
     }
     assert opened == in_range
     assert 0 < len(in_range) < len(snap.manifest_files(root, m))
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    """commit_merge: matched keys replaced, unmatched source rows
+    appended, untouched files carried by name, one commit."""
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark, root, _df(spark, 0, 200).repartitionByRange(4, "k")
+    )
+    src = spark.range(0, 20).select(
+        (F.col("id") * 10).alias("k"),  # keys 0,10,...,190 exist
+        F.lit(-1).cast("bigint").alias("v"),
+    ).union(
+        spark.range(0, 5).select(
+            (F.col("id") + 1000).alias("k"),  # inserts
+            F.lit(-2).cast("bigint").alias("v"),
+        )
+    )
+    v2 = snap.commit_merge(spark, root, src, ["k"])
+    assert snap.read_manifest(root, v2)["op"] == "merge"
+    got = snap.read_snapshot(spark, root, v2)
+    assert got.count() == 205
+    assert got.filter(F.col("v") == -1).count() == 20  # updated
+    assert got.filter(F.col("v") == -2).count() == 5  # inserted
+    # non-matched rows untouched
+    assert got.filter(F.col("k") == 7).first()["v"] == 70
+    # snapshot isolation
+    assert snap.read_snapshot(spark, root, 1).filter(
+        F.col("v") < 0
+    ).count() == 0
+    # some files carried by name (range layout localizes the keys...
+    # keys 0..190 span all 4 files here, so just check the commit
+    # resolves and no rows were lost or doubled)
+    assert got.select("k").distinct().count() == 205
+
+
+def test_merge_duplicate_source_keys_rejected(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+    dup = spark.createDataFrame([(1, 5), (1, 6)], "k bigint, v bigint")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snap.commit_merge(spark, root, dup, ["k"])
+
+
+def test_merge_scoped_by_partition_preserves_layout(spark, tmp_path):
+    """A key-clustered merge with scan_prune touches only matching
+    cells and the rewrite lands under the table's partition spec."""
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark, root, _cells_df(spark, 0, 200), partition_by=["cell"]
+    )
+    src = spark.createDataFrame(
+        [(2, 2, -1), (7, 2, -1), (1002, 2, -2)],
+        "k bigint, cell bigint, v bigint",
+    )
+    f1 = set(snap.files_of(root, 1))
+    v2 = snap.commit_merge(
+        spark, root, src, ["k"], scan_prune={"cell": [2]}
+    )
+    f2 = set(snap.files_of(root, v2))
+    cellof = lambda f: snap._partition_values(f, ["cell"])["cell"]  # noqa: E731
+    assert {cellof(f) for f in f1 - f2} == {"2"}  # only cell 2 dropped
+    assert snap.read_manifest(root, v2)["partition_spec"] == ["cell"]
+    got = snap.read_snapshot(spark, root, v2)
+    assert got.count() == 201
+    assert got.filter(F.col("v") == -1).count() == 2
+    assert got.filter(F.col("v") == -2).count() == 1
+
+
+def test_merge_empty_table_is_append(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v = snap.commit_merge(spark, root, _df(spark, 0, 5), ["k"])
+    assert v == 1
+    assert snap.read_snapshot(spark, root).count() == 5
+
+
+def test_rollback_restores_row_set_metadata_only(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    snap.commit_delete_where(spark, root, F.col("k") < 90)  # oops
+    assert snap.read_snapshot(spark, root).count() == 10
+    before_files = set(snap.files_of(root, 1))
+    v3 = snap.rollback_to(root, 1)
+    m = snap.read_manifest(root, v3)
+    assert m["op"] == "rollback" and m["rolled_back_to"] == 1
+    assert snap.read_snapshot(spark, root, v3).count() == 100
+    # metadata-only: the rollback resolves to v1's exact files
+    assert set(snap.files_of(root, v3)) == before_files
+    # history intact: the bad head still reads
+    assert snap.read_snapshot(spark, root, 2).count() == 10
+    # appends keep flowing after a rollback
+    v4 = snap.commit_append(spark, root, _df(spark, 100, 110))
+    assert snap.read_snapshot(spark, root, v4).count() == 110
