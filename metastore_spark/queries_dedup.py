@@ -2,11 +2,15 @@
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metastore_spark.dedup import ops as dd
 from metastore_spark.queries import query, _t
+from metastore_spark.sources import snapshots as snap
 
 
 def _served_minhash_sigs(
@@ -1305,3 +1309,97 @@ def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cleaned_md5"),
         )
     )
+
+
+@query(
+    "docs_snapshot_dedup_applied",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(u, v) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    ),
+    drop AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
+    survivors AS (
+      SELECT d.doc_id, d.n_chars, md5(d.text) AS digest
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM drop)
+    )
+    SELECT 1 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_digests
+    FROM documents
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+           CAST(COUNT(DISTINCT digest) AS BIGINT)
+    FROM survivors
+    ORDER BY version
+    """,
+)
+def docs_snapshot_dedup_applied(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEDUP AS A TABLE COMMIT — the LLM-pipeline operator composed
+    with the table format, which is how a production corpus actually
+    applies near-dup removal: the documents corpus is committed as
+    snapshot v1, the verified near-dup drop-list (every cluster
+    member except its min-id keeper, the `dedup_corpus_survivors`
+    rule) lands as ONE `commit_delete_keys` COW commit, and v2 IS the
+    training corpus — while any pinned reader (a mid-flight training
+    run) keeps reproducing v1 until retention expires it. Both
+    versions hash-check against DuckDB recomputing the full pipeline
+    (shingle pairs -> transitive closure -> keeper rule -> survivor
+    aggregate over content digests).
+
+    Scale shape: the drop-list is near-dup-sized (broadcast), the
+    COW rewrite touches only files holding dropped docs (the corpus
+    lands doc_id-range-clustered so drops localize), and the rewrite
+    cost is O(affected files) — at 100 TB, dedup stops being a
+    full-corpus copy job and becomes a metadata commit plus the
+    affected fraction's rewrite. Rollback of an over-aggressive
+    threshold is `rollback_to(root, 1)`, metadata-only."""
+    import tempfile
+
+    root = os.path.join(tempfile.mkdtemp(prefix="snap_dedup_"), "t")
+    try:
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.md5(F.col("text").cast("binary")).alias("digest"),
+        )
+        snap.commit_append(
+            spark, root, d.repartitionByRange(4, "doc_id")
+        )
+        drop = dedup_clusters_verified(spark, sf_dir).filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+        v = snap.commit_delete_keys(spark, root, drop, ["doc_id"])
+        assert snap.read_manifest(root, v)["op"] == "delete"
+        legs = []
+        for ver in (1, 2):
+            legs.append(
+                snap.read_snapshot(spark, root, ver).agg(
+                    F.lit(ver).cast("int").alias("version"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum("n_chars").cast("bigint").alias("n_chars_sum"),
+                    F.countDistinct("digest")
+                    .cast("bigint")
+                    .alias("n_digests"),
+                )
+            )
+        out = legs[0].unionAll(legs[1]).orderBy("version")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

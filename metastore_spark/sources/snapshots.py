@@ -585,26 +585,7 @@ def commit_delete_where(
     )
     scols = prev_manifest.get("stats_cols") or []
     rewritten = _write_data_files(survivors, root, spec or None)
-    new_segs: list[str] = []
-    for seg in prev_segs:
-        obj = _read_segment_obj(root, seg)
-        seg_files = obj["files"]
-        kept = [f for f in seg_files if f not in affected]
-        if len(kept) == len(seg_files):
-            new_segs.append(seg)  # untouched segment: carried by name
-        elif kept:
-            # replacement segment: carry the kept files' existing
-            # stats/partition tuples forward (files unchanged ->
-            # metadata unchanged)
-            old_stats = obj.get("stats", {})
-            old_parts = obj.get("partitions", {})
-            kept_stats = {f: old_stats[f] for f in kept if f in old_stats}
-            kept_parts = {f: old_parts[f] for f in kept if f in old_parts}
-            new_segs.append(
-                _write_segment(
-                    root, kept, kept_stats or None, kept_parts or None
-                )
-            )
+    new_segs = _segments_after_removal(root, prev_segs, affected)
     if rewritten:
         new_segs.append(
             _write_segment(
@@ -623,6 +604,37 @@ def commit_delete_where(
     if spec:
         schema_extra["partition_spec"] = list(spec)
     return _commit(root, parent, "delete", new_segs, schema_extra or None)
+
+
+def _segments_after_removal(
+    root: str, prev_segs: list[str], affected: set[str]
+) -> list[str]:
+    """The COW carry rule every rewrite commit shares: untouched
+    segments carry by NAME; partially-affected segments are replaced
+    by one that lists only their kept files, with those files'
+    existing stats/partition tuples carried forward (files unchanged
+    -> metadata unchanged); fully-affected segments vanish."""
+    new_segs: list[str] = []
+    for seg in prev_segs:
+        obj = _read_segment_obj(root, seg)
+        seg_files = obj["files"]
+        kept = [f for f in seg_files if f not in affected]
+        if len(kept) == len(seg_files):
+            new_segs.append(seg)
+        elif kept:
+            old_stats = obj.get("stats", {})
+            old_parts = obj.get("partitions", {})
+            new_segs.append(
+                _write_segment(
+                    root,
+                    kept,
+                    {f: old_stats[f] for f in kept if f in old_stats}
+                    or None,
+                    {f: old_parts[f] for f in kept if f in old_parts}
+                    or None,
+                )
+            )
+    return new_segs
 
 
 def commit_merge(
@@ -702,26 +714,7 @@ def commit_merge(
     # below is the source's — readers resolve columns by name)
     incoming = survivors.unionByName(source, allowMissingColumns=True)
     rewritten = _write_data_files(incoming, root, spec or None)
-    new_segs: list[str] = []
-    for seg in prev_segs:
-        obj = _read_segment_obj(root, seg)
-        seg_files = obj["files"]
-        kept = [f for f in seg_files if f not in affected]
-        if len(kept) == len(seg_files):
-            new_segs.append(seg)
-        elif kept:
-            old_stats = obj.get("stats", {})
-            old_parts = obj.get("partitions", {})
-            new_segs.append(
-                _write_segment(
-                    root,
-                    kept,
-                    {f: old_stats[f] for f in kept if f in old_stats}
-                    or None,
-                    {f: old_parts[f] for f in kept if f in old_parts}
-                    or None,
-                )
-            )
+    new_segs = _segments_after_removal(root, prev_segs, affected)
     new_segs.append(
         _write_segment(
             root,
@@ -736,6 +729,80 @@ def commit_merge(
     if spec:
         extra["partition_spec"] = list(spec)
     return _commit(root, parent, "merge", new_segs, extra)
+
+
+def commit_delete_keys(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    scan_prune: dict | None = None,
+) -> int:
+    """DELETE by KEY SET — ``DELETE FROM target WHERE key IN
+    (keys)``, the anti-join delete every data pipeline runs when the
+    drop-list is a FRAME (near-dup losers, GDPR subject lists,
+    quarantined ids), not an expression. A predicate `.isin(...)`
+    would inline the whole list as plan literals; here the key set
+    stays a broadcast-joined DataFrame at any size the optimizer can
+    broadcast, falling back to a shuffle join beyond that.
+
+    Same COW mechanics and cost model as `commit_delete_where`
+    (affected files found by one optionally ``scan_prune``-scoped
+    scan; only they rewrite; untouched segments carry by name), and
+    the same NULL rule: NULL keys never match, so NULL-keyed target
+    rows always survive."""
+    parent = current_version(root)
+    if not parent:
+        raise ValueError("cannot delete from an empty table")
+    prev_manifest = read_manifest(root, parent)
+    prev_segs = _parent_segments(root, prev_manifest)
+    spec = prev_manifest.get("partition_spec") or []
+    scols = prev_manifest.get("stats_cols") or []
+    kdf = keys.select(*key_cols).distinct()
+    with_file = _read_files(
+        spark, root, prev_manifest, prune=scan_prune
+    ).withColumn(
+        "_src",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+    )
+    affected_df = (
+        with_file.join(F.broadcast(kdf), key_cols, "left_semi")
+        .select("_src")
+        .distinct()
+    )
+    affected = {
+        os.path.relpath(r["_src"], root) for r in affected_df.collect()
+    }
+    extra: dict = (
+        {"schema": prev_manifest["schema"]}
+        if "schema" in prev_manifest
+        else {}
+    )
+    if scols:
+        extra["stats_cols"] = list(scols)
+    if spec:
+        extra["partition_spec"] = list(spec)
+    if not affected:
+        return _commit(root, parent, "delete", prev_segs, extra or None)
+    survivors = (
+        with_file.join(F.broadcast(affected_df), "_src", "left_semi")
+        .join(F.broadcast(kdf), key_cols, "left_anti")
+        .drop("_src")
+    )
+    rewritten = _write_data_files(survivors, root, spec or None)
+    new_segs = _segments_after_removal(root, prev_segs, affected)
+    if rewritten:
+        new_segs.append(
+            _write_segment(
+                root,
+                rewritten,
+                _collect_file_stats(root, rewritten, scols)
+                if scols
+                else None,
+                _spec_partitions(rewritten, spec),
+            )
+        )
+    return _commit(root, parent, "delete", new_segs, extra or None)
 
 
 def rollback_to(root: str, version: int) -> int:

@@ -1023,3 +1023,34 @@ def test_rollback_restores_row_set_metadata_only(spark, tmp_path):
     # appends keep flowing after a rollback
     v4 = snap.commit_append(spark, root, _df(spark, 100, 110))
     assert snap.read_snapshot(spark, root, v4).count() == 110
+
+
+def test_delete_keys_anti_join_shape(spark, tmp_path):
+    """commit_delete_keys: key-set delete drops exactly the listed
+    keys, NULL keys never match, carried files untouched, no-match
+    delete is metadata-only."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i if i % 10 else None, i * 10) for i in range(100)],
+        "k bigint, v bigint",
+    )
+    snap.commit_append(spark, root, df.repartitionByRange(4, "v"))
+    keys = spark.createDataFrame(
+        [(k,) for k in (3, 7, 55, None)], "k bigint"
+    )
+    v2 = snap.commit_delete_keys(spark, root, keys, ["k"])
+    got = snap.read_snapshot(spark, root, v2)
+    assert got.count() == 97  # 3 real keys dropped; NULL key matched nothing
+    assert got.filter(F.col("k").isin(3, 7, 55)).count() == 0
+    assert got.filter(F.col("k").isNull()).count() == 10  # survivors
+    assert snap.read_snapshot(spark, root, 1).count() == 100
+    # no-match key set: metadata-only carry
+    v3 = snap.commit_delete_keys(
+        spark,
+        root,
+        spark.createDataFrame([(12345,)], "k bigint"),
+        ["k"],
+    )
+    assert snap.read_manifest(root, v3)["segments"] == snap.read_manifest(
+        root, v2
+    )["segments"]
