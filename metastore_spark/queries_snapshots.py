@@ -816,3 +816,66 @@ def events_snapshot_merge_upsert(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@query(
+    "events_snapshot_history",
+    oracle="""
+    WITH cutoff AS (SELECT MAX(user_id) // 10 AS cu FROM events),
+    v1 AS (SELECT user_id, event_type FROM events WHERE event_id % 3 = 0),
+    v2 AS (
+      SELECT user_id, event_type FROM events WHERE event_id % 3 IN (0, 1)
+    ),
+    v3 AS (
+      SELECT v2.* FROM v2, cutoff
+      WHERE NOT (user_id < cu AND event_type = 'click')
+    )
+    SELECT 1 AS version, 0 AS parent, 'append' AS op,
+           CAST((SELECT COUNT(*) FROM v1) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 2, 1, 'append', CAST((SELECT COUNT(*) FROM v2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 2, 'delete', CAST((SELECT COUNT(*) FROM v3) AS BIGINT)
+    ORDER BY version
+    """,
+)
+def events_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE COMMIT LOG AS A QUERYABLE TABLE (Delta DESCRIBE HISTORY /
+    Iceberg snapshots-metadata parity): `table_history` resolves every
+    retained version's (op, parent) lineage from manifests alone,
+    joined here with each version's actual row count (a time-travel
+    read per version) and hash-checked against the oracle recomputing
+    the deterministic lifecycle of the shared events store — append
+    third, append third, COW delete — from the raw corpus. A history
+    that mislabels an op, breaks the parent chain, or whose version
+    row set drifted from its manifest mismatches.
+
+    Scale shape: the history itself is O(retained versions) of JSON
+    metadata, no data files open; the per-version counts are the same
+    manifest-exact file-list reads every time-travel query uses. This
+    is the audit/observability surface a 100 TB table's operators
+    live in: what changed, when, by which stream, where a rollback
+    points."""
+    root = _events_table(spark, sf_dir)
+    hist = snap.table_history(spark, root).select(
+        "version", "parent", "op"
+    )
+    counts = []
+    for v in (1, 2, 3):
+        counts.append(
+            snap.read_snapshot(spark, root, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+        )
+    cnt = counts[0].unionAll(counts[1]).unionAll(counts[2])
+    return (
+        hist.join(cnt, "version")
+        .select(
+            F.col("version").cast("int"),
+            F.col("parent").cast("int"),
+            "op",
+            "n_rows",
+        )
+        .orderBy("version")
+    )

@@ -844,6 +844,40 @@ def read_snapshot(
     return _read_files(spark, root, read_manifest(root, v), prune)
 
 
+def table_history(spark: SparkSession, root: str) -> DataFrame:
+    """The commit log as a DataFrame — Delta's ``DESCRIBE HISTORY`` /
+    Iceberg's snapshots metadata table: one row per retained version
+    with its op, parent, and manifest shape (segment/file counts
+    resolved from metadata only — no data files open). The audit
+    surface operators and humans both need: what changed, when, by
+    which stream, and where a rollback points."""
+    rows = []
+    for v in range(1, current_version(root) + 1):
+        try:
+            m = read_manifest(root, v)
+        except OSError:
+            continue  # expired by retention
+        rows.append(
+            (
+                v,
+                int(m.get("parent", 0)),
+                m.get("op", "unknown"),
+                int(m.get("ts", 0)),
+                len(m.get("segments", [])),
+                len(manifest_files(root, m)),
+                m.get("stream_id"),
+                m.get("batch_id"),
+                m.get("rolled_back_to"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, parent int, op string, committed_at long, "
+        "n_segments int, n_files int, stream_id string, "
+        "batch_id long, rolled_back_to int",
+    )
+
+
 def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     """Retention GC: drop manifests older than the newest
     ``keep_last`` (head always kept), then delete segments and data

@@ -1054,3 +1054,23 @@ def test_delete_keys_anti_join_shape(spark, tmp_path):
     assert snap.read_manifest(root, v3)["segments"] == snap.read_manifest(
         root, v2
     )["segments"]
+
+
+def test_table_history_lineage_and_ops(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 50))
+    snap.snapshot_sink(root, "s1")(_df(spark, 50, 60), 0)
+    snap.commit_delete_where(spark, root, F.col("k") < 10)
+    snap.rollback_to(root, 2)
+    h = {r["version"]: r for r in snap.table_history(spark, root).collect()}
+    assert [h[v]["op"] for v in (1, 2, 3, 4)] == [
+        "append", "append", "delete", "rollback",
+    ]
+    assert [h[v]["parent"] for v in (1, 2, 3, 4)] == [0, 1, 2, 3]
+    assert h[2]["stream_id"] == "s1" and h[2]["batch_id"] == 0
+    assert h[4]["rolled_back_to"] == 2
+    assert h[4]["n_files"] == h[2]["n_files"]
+    # retention-expired versions drop out of the history cleanly
+    snap.expire_snapshots(root, keep_last=1)
+    left = {r["version"] for r in snap.table_history(spark, root).collect()}
+    assert 4 in left and 1 not in left
