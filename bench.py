@@ -141,6 +141,7 @@ HEADLINE = [
     # round 8 additions
     "events_snapshot_day_pruned",
     "events_snapshot_partition_erasure",
+    "events_snapshot_history",
 ]
 
 
