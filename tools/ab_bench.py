@@ -3,11 +3,12 @@
 "Round-6: bench WARN adjudication by code A/B").
 
 For each flagged query (plus a scan-bound ``q1_pricing_summary``
-control), runs the CURRENT bench harness twice minutes apart on the
-same host: once against HEAD's library code, once against a baseline
-commit checked out in a throwaway git worktree (PYTHONPATH swap — the
-measurement harness is held constant, only `metastore_spark` +
-`__spark_entry__` differ). Per-query verdict:
+control), runs the bench harness twice minutes apart on the same
+host: once against HEAD's library code, once against a baseline
+commit checked out in a throwaway git worktree (PYTHONPATH +
+PYTHONSAFEPATH swap, preflight-probed so each leg provably imports
+its own checkout; each leg runs its own bench.py so the baseline
+harness matches the baseline library). Per-query verdict:
 
 - ``code_regression``  HEAD best-of-N > AB_RATIO x baseline best-of-N
   (the code really got slower);
@@ -75,8 +76,17 @@ def _run_leg(
             f"leg would import metastore_spark from {resolved!r}, "
             f"not {code_root!r} — refusing to record a bogus A/B"
         )
+    # run the LEG'S OWN bench.py when it has one: the harness evolves
+    # with the library (e.g. a warmup step referencing a symbol the
+    # baseline library lacks would crash the baseline leg under
+    # HEAD's harness); the measurement loop itself is stable across
+    # rounds, and the probe above already pins WHICH library each leg
+    # measures.
+    bench_py = os.path.join(code_root, "bench.py")
+    if not os.path.exists(bench_py):
+        bench_py = os.path.join(repo, "bench.py")
     proc = subprocess.run(
-        [sys.executable, os.path.join(repo, "bench.py")],
+        [sys.executable, bench_py],
         capture_output=True,
         text=True,
         env=env,
