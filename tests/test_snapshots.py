@@ -1074,3 +1074,142 @@ def test_table_history_lineage_and_ops(spark, tmp_path):
     snap.expire_snapshots(root, keep_last=1)
     left = {r["version"] for r in snap.table_history(spark, root).collect()}
     assert 4 in left and 1 not in left
+
+
+def test_merge_crash_before_commit_leaves_clean_head(spark, tmp_path):
+    """Crash injection for commit_merge's single-phase contract: a
+    writer dying after staging data/segments but before the manifest
+    link leaves orphans only — the head still reads, a re-run merge
+    lands once, and vacuum reclaims the orphans under the age gate."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    src = spark.createDataFrame([(5, -1), (1000, -2)], "k bigint, v bigint")
+
+    real_commit = snap._commit
+    def boom(*a, **k):
+        raise RuntimeError("crash before manifest link")
+    snap._commit = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash"):
+            snap.commit_merge(spark, root, src, ["k"])
+    finally:
+        snap._commit = real_commit
+    # head unharmed, no torn state
+    assert snap.current_version(root) == 1
+    assert snap.read_snapshot(spark, root).count() == 100
+    # re-run commits exactly once
+    v2 = snap.commit_merge(spark, root, src, ["k"])
+    got = snap.read_snapshot(spark, root, v2)
+    assert got.count() == 101
+    assert got.filter(F.col("v") < 0).count() == 2
+    # the crashed attempt's files are unreferenced; age-gated vacuum
+    # leaves them (young), aged vacuum would reclaim — here just assert
+    # they are invisible to every retained version
+    live = set(snap.files_of(root, 1)) | set(snap.files_of(root, v2))
+    on_disk = {
+        os.path.join(d, f).split(f"{root}/")[-1]
+        for d, _dirs, fs in os.walk(os.path.join(root, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert live <= on_disk  # orphans may exist, live files all present
+
+
+def test_merge_vs_append_race_serializes(spark, tmp_path, monkeypatch):
+    """A merge racing a concurrent append: the merge's commit loses
+    the version link and surfaces ConcurrentCommit; commit_with_retry
+    re-runs it against the new head so BOTH the racer's rows and the
+    merge land."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 50))
+    src = spark.createDataFrame([(7, -1), (2000, -2)], "k bigint, v bigint")
+
+    real_write = snap._write_data_files
+    state = {"raced": False}
+
+    def hooked(df, r, partition_by=None):
+        files = real_write(df, r, partition_by)
+        if not state["raced"]:
+            state["raced"] = True
+            snap.commit_append(spark, root, _df(spark, 50, 60))  # racer
+        return files
+
+    monkeypatch.setattr(snap, "_write_data_files", hooked)
+    v = snap.commit_with_retry(
+        root, lambda: snap.commit_merge(spark, root, src, ["k"])
+    )
+    got = snap.read_snapshot(spark, root, v)
+    # racer's 10 rows + 50 base + 1 insert, with k=7 replaced not doubled
+    assert got.count() == 61
+    assert got.filter(F.col("k") == 7).count() == 1
+    assert got.filter(F.col("v") == -1).count() == 1
+
+
+def test_rollback_then_expire_keeps_restored_files(spark, tmp_path):
+    """Retention after a rollback: the rollback manifest references
+    the restored version's segments, so expiring the bad intermediate
+    versions must keep every file the (rolled-back) head needs."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 80))
+    snap.commit_delete_where(spark, root, F.col("k") < 70)
+    v3 = snap.rollback_to(root, 1)
+    snap.expire_snapshots(root, keep_last=1)
+    got = snap.read_snapshot(spark, root, v3)
+    assert got.count() == 80
+    for f in snap.files_of(root, v3):
+        assert os.path.exists(os.path.join(root, f))
+
+
+@pytest.mark.parametrize(
+    "bound",
+    [
+        (0, 0),          # point range
+        (1, 3),          # mid range
+        (None, 2),       # open low
+        (3, None),       # open high
+        (None, None),    # fully open: must prune nothing
+        (99, 100),       # empty intersection: prunes everything
+        [0, 4],          # value set
+        [2],             # singleton set
+        [],              # empty set: matches nothing
+        ["1", "3"],      # string-typed bounds coerce against int cells
+    ],
+)
+def test_prune_never_loses_matching_rows(spark, tmp_path, bound):
+    """The pruning safety contract, swept across bound shapes: for a
+    stats'd AND partitioned table, reading the pruned file list under
+    the equivalent row filter returns exactly the full scan's rows —
+    pruning may only remove files that provably hold no match."""
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark,
+        root,
+        _cells_df(spark, 0, 100),
+        partition_by=["cell"],
+        stats_cols=["k"],
+    )
+    m = snap.read_manifest(root, 1)
+    all_files = snap.manifest_files(root, m)
+    pruned = snap.pruned_manifest_files(root, m, {"cell": bound})
+    assert set(pruned) <= set(all_files)
+
+    if isinstance(bound, list):
+        vals = [int(v) for v in bound]
+        pred = F.col("cell").isin(vals) if vals else F.lit(False)
+    else:
+        lo, hi = bound
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col("cell") >= lo)
+        if hi is not None:
+            pred = pred & (F.col("cell") <= hi)
+
+    full = (
+        snap.read_snapshot(spark, root).filter(pred).collect()
+    )
+    got = (
+        snap.read_snapshot(spark, root, prune={"cell": bound})
+        .filter(pred)
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, full))
