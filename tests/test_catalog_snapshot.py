@@ -100,3 +100,57 @@ def test_engine_serves_pinned_head_under_concurrent_ingest(
     assert env["summary"]["total"] == 25  # 5 published per batch x 5
     ids = {r["_event_id"] for r in env["results"]}
     assert any(i.startswith("w3-") for i in ids)
+
+
+def test_unwritable_warehouse_falls_back_to_raw(spark, monkeypatch):
+    """Correctness never depends on the cache: with the serve
+    warehouse unwritable, load_table serves the raw scan (normalized)
+    instead of raising."""
+    from metastore_spark import serve
+
+    monkeypatch.setattr(
+        serve, "_SERVE_ROOT", "/proc/definitely-not-writable/serve"
+    )
+    df = catalog.load_table(spark, SF, "events")
+    assert all(SF in f for f in df.inputFiles())
+    assert df.count() == 1000
+
+
+def test_snapshot_store_build_race_single_winner(spark, tmp_path, monkeypatch):
+    """Two builders racing the same store: the loser's rename fails
+    and it serves the winner's root — never a doubled or torn table."""
+    import os as _os
+
+    from metastore_spark import serve
+
+    monkeypatch.setattr(serve, "_SERVE_ROOT", str(tmp_path / "serve"))
+    src = f"{SF}/events.parquet"
+    build = lambda: catalog._raw_table(spark, SF, "events")  # noqa: E731
+
+    # first build wins and publishes
+    root1 = serve.snapshot_store(spark, [src], "events_race", build)
+    assert root1 is not None
+    from metastore_spark.sources import snapshots as snap
+
+    assert snap.current_version(root1) == 1
+    head_mtime = _os.stat(
+        snap._manifest_path(root1, 1)
+    ).st_mtime_ns
+    # second call with the store already present: pure reopen
+    root2 = serve.snapshot_store(spark, [src], "events_race", build)
+    assert root2 == root1
+    assert _os.stat(snap._manifest_path(root1, 1)).st_mtime_ns == head_mtime
+    # simulate the loser: a stale scratch dir from a crashed builder
+    # does not block the reopen path
+    _os.makedirs(f"{root1}.build-99999", exist_ok=True)
+    root3 = serve.snapshot_store(spark, [src], "events_race", build)
+    assert root3 == root1
+
+
+def test_register_views_route_events_through_substrate(spark):
+    catalog.register_views(spark, SF)
+    got = spark.sql("select count(*) n from events").first()["n"]
+    assert got == 1000
+    root = catalog.snapshot_root(spark, SF, "events")
+    files = spark.table("events").inputFiles()
+    assert all(root in f for f in files)
