@@ -1,0 +1,92 @@
+"""Model-based commit-protocol test: random op sequences (append /
+delete-where / delete-keys / merge / compact / rollback) applied to
+BOTH the snapshot store and an in-memory Python model; after every op
+the head must equal the model, and every historical version must
+still reproduce its own recorded state (snapshot isolation across
+arbitrary interleavings — the invariant each per-op test checks only
+pointwise)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from metastore_spark.sources import snapshots as snap
+
+
+def _to_df(spark, rows):
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(rows.items())], "k bigint, v bigint"
+    )
+
+
+def _read_state(spark, root, version=None):
+    return {
+        (r["k"], r["v"])
+        for r in snap.read_snapshot(spark, root, version).collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_random_op_sequences_match_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    root = str(tmp_path / f"t{seed}")
+    model: dict[int, int] = {i: i * 10 for i in range(40)}
+    snap.commit_append(spark, root, _to_df(spark, model))
+    history = {1: set(model.items())}
+    next_key = 1000
+
+    for step in range(8):
+        op = rng.choice(
+            ["append", "delete_where", "delete_keys", "merge",
+             "compact", "rollback"]
+        )
+        if op == "append":
+            new = {next_key + i: rng.randrange(1000) for i in range(5)}
+            next_key += 10
+            v = snap.commit_append(spark, root, _to_df(spark, new))
+            model.update(new)
+        elif op == "delete_where":
+            cut = rng.randrange(0, 2000)
+            v = snap.commit_delete_where(
+                spark, root, F.col("k") < cut
+            )
+            model = {k: x for k, x in model.items() if not k < cut}
+        elif op == "delete_keys":
+            ks = rng.sample(sorted(model), min(3, len(model))) + [987654]
+            v = snap.commit_delete_keys(
+                spark,
+                root,
+                spark.createDataFrame([(k,) for k in ks], "k bigint"),
+                ["k"],
+            )
+            model = {k: x for k, x in model.items() if k not in ks}
+        elif op == "merge":
+            upd = {
+                k: -rng.randrange(100)
+                for k in rng.sample(sorted(model), min(3, len(model)))
+            }
+            ins = {next_key + i: -1 for i in range(2)}
+            next_key += 10
+            src = {**upd, **ins}
+            v = snap.commit_merge(spark, root, _to_df(spark, src), ["k"])
+            model.update(src)
+        elif op == "compact":
+            v = snap.commit_with_retry(
+                root, lambda: snap.compact(spark, root, target_files=1)
+            )
+        else:  # rollback to a random retained version
+            target = rng.choice(sorted(history))
+            v = snap.rollback_to(root, target)
+            model = dict(history[target])
+
+        history[v] = set(model.items())
+        assert _read_state(spark, root) == set(model.items()), (
+            f"seed {seed} step {step} op {op}: head diverged from model"
+        )
+
+    # every retained historical version still reproduces ITS state
+    for ver, state in history.items():
+        assert _read_state(spark, root, ver) == state, (
+            f"seed {seed}: version {ver} no longer reproduces its state"
+        )
