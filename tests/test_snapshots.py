@@ -1213,3 +1213,68 @@ def test_prune_never_loses_matching_rows(spark, tmp_path, bound):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, full))
+
+
+def test_read_appends_skips_merge_and_rollback_commits(spark, tmp_path):
+    """Changelog semantics pinned: `read_appends` is the APPEND slice
+    only — merge commits (even their inserts) and rollbacks contribute
+    nothing; consumers needing merged state read snapshots. This keeps
+    the feed write-once: a row surfaces in the changelog exactly once,
+    at its original append."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 50))
+    snap.commit_merge(
+        spark,
+        root,
+        spark.createDataFrame([(5, -1), (900, -2)], "k bigint, v bigint"),
+        ["k"],
+    )
+    snap.commit_append(spark, root, _df(spark, 100, 110))
+    snap.rollback_to(root, 3)
+    inc = snap.read_appends(spark, root, 1)
+    rows = {(r["k"], r["v"]) for r in inc.collect()}
+    # only v3's append window; neither the merge's update nor its
+    # insert, and nothing from the rollback
+    assert rows == {(k, k * 10) for k in range(100, 110)}
+
+
+def test_refresh_from_snapshot_merge_window_advances_checkpoint(
+    spark, tmp_path
+):
+    """A merge commit mid-window must advance the index checkpoint
+    WITHOUT minting a segment or changing scores (op-aware windows) —
+    composing the round-8 merge op with the changelog-driven refresh."""
+    from metastore_spark.search.refresh import (
+        _read_manifest,
+        load_segmented,
+        refresh_from_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    store = str(tmp_path / "seg")
+    docs = spark.createDataFrame(
+        [(i, f"spark streams data batch{i % 3}") for i in range(9)],
+        "doc_id bigint, text string",
+    )
+    snap.commit_append(spark, tbl, docs)
+    assert refresh_from_snapshot(
+        spark, tbl, store, "doc_id", ["text"], stem=False
+    ) == 1
+    n_before = load_segmented(spark, store).num_docs
+    segs_before = _read_manifest(store)["segments"]
+
+    snap.commit_merge(
+        spark,
+        tbl,
+        spark.createDataFrame(
+            [(0, "spark streams data batchX")], "doc_id bigint, text string"
+        ),
+        ["doc_id"],
+    )
+    assert refresh_from_snapshot(
+        spark, tbl, store, "doc_id", ["text"], stem=False
+    ) == 2
+    man = _read_manifest(store)
+    assert man["segments"] == segs_before  # nothing minted
+    assert man["snapshot_version"] == 2
+    assert load_segmented(spark, store).num_docs == n_before
