@@ -250,3 +250,58 @@ def test_refresh_from_snapshot_checkpoint_and_replay(spark, tmp_path):
     ) == 3
     assert _read_manifest(store)["segments"] == ["seg-compacted-0"]
     assert load_segmented(spark, store).num_docs == 12
+
+
+def test_random_refresh_sequences_equal_cold_rebuild(spark, tmp_path):
+    """Model-based sweep of the segment store: seeded random sequences
+    of {land new batch, compact, replay a prior batch} must keep the
+    merged index equal to a cold rebuild of exactly the landed corpus
+    after EVERY step — the per-op tests check these pointwise; this
+    pins the invariant across interleavings (including replays of
+    batches that were already folded)."""
+    import random
+
+    rows = [(i, f"spark streams data batch{i % 5} w{i}") for i in range(30)]
+    batches = [rows[i * 5 : (i + 1) * 5] for i in range(6)]
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        store = str(tmp_path / f"seg{seed}")
+        landed: list[int] = []
+        next_batch = 0
+        for _step in range(8):
+            ops = ["compact"] if landed else []
+            if next_batch < len(batches):
+                ops.append("land")
+            if landed:
+                ops.append("replay")
+            op = rng.choice(ops)
+            if op == "land":
+                refresh_segment(
+                    spark, _docs_df(spark, batches[next_batch]), store,
+                    "doc_id", ["text"], stem=False,
+                    segment_name=str(next_batch), max_segments=3,
+                )
+                landed.append(next_batch)
+                next_batch += 1
+            elif op == "compact":
+                compact_segments(spark, store)
+            else:  # replay an already-landed (possibly folded) batch
+                b = rng.choice(landed)
+                refresh_segment(
+                    spark, _docs_df(spark, batches[b]), store,
+                    "doc_id", ["text"], stem=False,
+                    segment_name=str(b), max_segments=3,
+                )
+            corpus = [r for b in landed for r in batches[b]]
+            merged = load_segmented(spark, store)
+            cold = build_index(
+                _docs_df(spark, corpus), "doc_id", ["text"], stem=False
+            )
+            assert merged.num_docs == cold.num_docs == len(corpus), (
+                f"seed {seed} step {_step} op {op}"
+            )
+            assert _scores(spark, merged) == _scores(spark, cold), (
+                f"seed {seed} step {_step} op {op}"
+            )
+            cold.unpersist()
