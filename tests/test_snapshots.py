@@ -1278,3 +1278,55 @@ def test_refresh_from_snapshot_merge_window_advances_checkpoint(
     assert man["segments"] == segs_before  # nothing minted
     assert man["snapshot_version"] == 2
     assert load_segmented(spark, store).num_docs == n_before
+
+
+def test_table_history_reads_legacy_manifests(spark, tmp_path):
+    """A round-6 inline-files manifest still renders in the history
+    (0 segments, correct file count) — the observability surface must
+    not choke on pre-two-tier tables."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 30))
+    _rewrite_as_legacy(root, 1)
+    snap.commit_append(spark, root, _df(spark, 30, 40))
+    h = {r["version"]: r for r in snap.table_history(spark, root).collect()}
+    assert h[1]["op"] == "append" and h[1]["n_segments"] == 0
+    assert h[1]["n_files"] >= 1
+    assert h[2]["n_files"] >= h[1]["n_files"]
+
+
+def test_vacuum_reclaims_crashed_merge_scratch(spark, tmp_path, monkeypatch):
+    """A merge that crashed before its manifest link leaves orphan
+    data files; age-gated vacuum reclaims them while every retained
+    version's files survive."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 40))
+    src = spark.createDataFrame([(3, -1)], "k bigint, v bigint")
+    real_commit = snap._commit
+    monkeypatch.setattr(
+        snap, "_commit",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError):
+        snap.commit_merge(spark, root, src, ["k"])
+    monkeypatch.setattr(snap, "_commit", real_commit)
+
+    live = set(snap.files_of(root, 1))
+    # age the orphans past the gate
+    for d, _dirs, fs in os.walk(os.path.join(root, "data")):
+        for f in fs:
+            rel = os.path.relpath(os.path.join(d, f), root)
+            if rel not in live:
+                os.utime(
+                    os.path.join(d, f),
+                    (
+                        _time.time() - 2 * snap._ORPHAN_AGE_SEC,
+                        _time.time() - 2 * snap._ORPHAN_AGE_SEC,
+                    ),
+                )
+    deleted = snap.vacuum(root, keep_last=5)
+    assert any(p.endswith(".parquet") for p in deleted)
+    assert snap.read_snapshot(spark, root, 1).count() == 40
+    for f in live:
+        assert os.path.exists(os.path.join(root, f))
