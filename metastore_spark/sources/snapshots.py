@@ -934,28 +934,43 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     data_root = os.path.join(root, _DATA)
     for d in sorted(os.listdir(data_root)):
         ddir = os.path.join(data_root, d)
+        if not os.path.isdir(ddir):
+            continue
+        # RECURSIVE sweep: partitioned commits nest parquet under
+        # _p_<col>=<val>/ subdirs, so rel paths must be computed at
+        # any depth — a top-level-only listing would both miss expired
+        # nested files and (worse) see "no parquet here" for a live
+        # partitioned dir.
         swept_expired = False
-        for name in sorted(os.listdir(ddir)):
-            rel = f"{_DATA}/{d}/{name}"
-            if rel in live:
-                continue
-            if rel not in expired_refs and (
-                not name.endswith(".parquet")
-                or now - os.stat(os.path.join(ddir, name)).st_mtime
-                < _ORPHAN_AGE_SEC
-            ):
-                continue
-            os.remove(os.path.join(ddir, name))
-            deleted.append(rel)
-            swept_expired = swept_expired or rel in expired_refs
-        # a dir whose parquet files are all gone holds only write
-        # markers (_SUCCESS) — reclaim it whole. Gate: an in-flight
-        # _write_data_files dir ALSO has no top-level parquet yet
-        # (only _temporary/), so a dir is reclaimed only when we just
-        # emptied it of once-committed expired files (that write
-        # finished long ago — data dirs are write-once) or it has
-        # aged past the same orphan gate the per-file sweep uses.
-        if not any(n.endswith(".parquet") for n in os.listdir(ddir)) and (
+        for base, _dirs, names in os.walk(ddir):
+            for name in sorted(names):
+                full = os.path.join(base, name)
+                rel = os.path.relpath(full, root).replace(os.sep, "/")
+                if rel in live:
+                    continue
+                if rel not in expired_refs and (
+                    not name.endswith(".parquet")
+                    or now - os.stat(full).st_mtime < _ORPHAN_AGE_SEC
+                ):
+                    continue
+                os.remove(full)
+                deleted.append(rel)
+                swept_expired = swept_expired or rel in expired_refs
+        # a dir with no parquet left AT ANY DEPTH holds only write
+        # markers (_SUCCESS, empty partition dirs) — reclaim it whole.
+        # Gate: an in-flight _write_data_files dir ALSO has no
+        # committed parquet yet (only _temporary/), so a dir is
+        # reclaimed only when we just emptied it of once-committed
+        # expired files (that write finished long ago — data dirs are
+        # write-once) or it has aged past the same orphan gate the
+        # per-file sweep uses. Any surviving parquet (live or a
+        # young orphan) vetoes the reclaim regardless of age.
+        any_parquet = any(
+            n.endswith(".parquet")
+            for _b, _ds, ns in os.walk(ddir)
+            for n in ns
+        )
+        if not any_parquet and (
             swept_expired or now - os.stat(ddir).st_mtime >= _ORPHAN_AGE_SEC
         ):
             shutil.rmtree(ddir, ignore_errors=True)

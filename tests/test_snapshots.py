@@ -1330,3 +1330,55 @@ def test_vacuum_reclaims_crashed_merge_scratch(spark, tmp_path, monkeypatch):
     assert snap.read_snapshot(spark, root, 1).count() == 40
     for f in live:
         assert os.path.exists(os.path.join(root, f))
+
+
+def test_vacuum_partitioned_layout_preserves_live_nested_files(
+    spark, tmp_path
+):
+    """ADVICE r8 (high): partition_by commits nest parquet under
+    data/<uuid>/_p_<col>=<val>/ — the retention sweep must walk
+    recursively. Regression pinned here: (a) an aged partitioned dir
+    whose nested files are ALL live must survive vacuum (the old
+    top-level-only listing saw "no parquet" and rmtree'd it whole);
+    (b) nested files referenced only by expired manifests must
+    actually be swept (the old per-file loop never descended)."""
+    root = str(tmp_path / "t")
+    df = _df(spark, 0, 200).withColumn("bucket", F.col("k") % 4)
+    snap.commit_append(spark, root, df, partition_by=["bucket"])
+    head_rows = snap.read_snapshot(spark, root).count()
+    assert head_rows == 200
+
+    # (a) age EVERYTHING — files, partition dirs, data dirs — far past
+    # the orphan gate; every file is live, so vacuum must not touch it
+    old = time.time() - 2 * snap._ORPHAN_AGE_SEC
+    data_root = os.path.join(root, "data")
+    for base, dirs, names in os.walk(data_root):
+        for n in dirs + names:
+            os.utime(os.path.join(base, n), (old, old))
+    for d in os.listdir(data_root):
+        os.utime(os.path.join(data_root, d), (old, old))
+    deleted = snap.vacuum(root, keep_last=5)
+    assert not any(p.endswith(".parquet") for p in deleted)
+    assert snap.read_snapshot(spark, root).count() == 200
+    for f in snap.files_of(root, 1):
+        assert os.path.exists(os.path.join(root, f)), f
+
+    # (b) two more appends so v1 falls out of keep_last=2 retention;
+    # its nested files are expired-referenced → swept immediately
+    # (no age gate for once-committed expired files)
+    df2 = _df(spark, 200, 210).withColumn("bucket", F.col("k") % 4)
+    snap.commit_append(spark, root, df2, partition_by=["bucket"])
+    v1_only = set(snap.files_of(root, 1)) - set(snap.files_of(root, 2))
+    # v1's segment is fully carried by v2 (append) — force a rewrite
+    # so some v1 files become exclusive: delete half the keys
+    snap.commit_delete_where(spark, root, F.col("k") < 100)
+    v3_files = set(snap.files_of(root, 3))
+    exclusive = (
+        set(snap.files_of(root, 1)) | set(snap.files_of(root, 2))
+    ) - v3_files
+    assert exclusive, "setup: some files must be expired-only"
+    deleted = snap.vacuum(root, keep_last=1)
+    for f in exclusive:
+        assert not os.path.exists(os.path.join(root, f)), f
+        assert "_p_bucket=" in f  # the nested layout is what's pinned
+    assert snap.read_snapshot(spark, root).count() == 110
