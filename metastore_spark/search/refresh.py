@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from functools import reduce
@@ -104,6 +105,7 @@ def refresh_segment(
     stem: bool = True,
     segment_name: str | None = None,
     max_segments: int = 8,
+    manifest_extra: dict | None = None,
 ) -> str | None:
     """Land one batch of new documents as a segment and publish it:
     build in a process-private scratch, os.rename to ``seg-<name>``,
@@ -130,6 +132,15 @@ def refresh_segment(
     re-listing it would double-count every doc. The ledger is
     name-only and prunable past the stream's replay horizon.
 
+    ``manifest_extra`` keys are merged into the SAME manifest write
+    that lists the segment — the publish and any caller checkpoint
+    (refresh_from_snapshot's ``snapshot_version``) become one atomic
+    rename, so no crash can separate "segment visible" from
+    "checkpoint advanced" (ADVICE r8: a commit landing inside that
+    gap made the replay re-index the window under a new name). The
+    folded-replay branch also applies the extra: the batch's rows are
+    already indexed, so the checkpoint must still advance.
+
     Returns the published segment's directory path, or ``None`` when
     the batch was a folded replay (its rows live in a compacted
     segment; there is no live per-batch directory to open)."""
@@ -144,6 +155,9 @@ def refresh_segment(
         # None, not `dest`: that directory was retired at compaction
         # and no longer exists.
         shutil.rmtree(tmp, ignore_errors=True)
+        if manifest_extra:
+            man.update(manifest_extra)
+            _write_manifest(path, man)
         return None
     _write_segment(spark, new_docs, id_col, fields, tmp, stem)
     if os.path.exists(dest):  # replay: identical content, swap it in
@@ -154,6 +168,8 @@ def refresh_segment(
     man = _read_manifest(path) or {"segments": []}
     if name not in man["segments"] and name not in man.get("folded", []):
         man["segments"] = sorted(man["segments"] + [name])
+    if manifest_extra:
+        man.update(manifest_extra)
     _write_manifest(path, man)
     if max_segments and len(man["segments"]) > max_segments:
         compact_segments(spark, path)
@@ -179,11 +195,19 @@ def refresh_from_snapshot(
     nothing) — lands them as ONE segment named by the version window,
     and advances the checkpoint. Returns the indexed head version.
 
-    Crash contract: a crash between the segment publish and the
-    checkpoint stamp re-runs the same window; the segment name is the
-    window, so the replay republishes identical content under the
-    same name (refresh_segment's idempotent swap / fold ledger) and
-    the corpus stays single-counted. Erasure note: like any
+    Crash contract (hardened per ADVICE r8): the segment publish and
+    the checkpoint stamp are ONE manifest write (refresh_segment's
+    ``manifest_extra``), so no crash can leave a published-but-
+    unstamped window for a later snapshot commit to widen — the race
+    where the replay re-indexed the old window under a new name
+    (snap-{since+1}-{newHead} beside the already-listed
+    snap-{since+1}-{oldHead}) cannot arise. Belt over suspenders,
+    ``since`` is additionally derived as the max window end encoded
+    in already-published segment names (live AND folded), so even a
+    store left in the old crashed state — or one whose manifest key
+    was lost by an external edit — replays single-counted: the
+    overlapping window is recognized by name, not by the separate
+    checkpoint key alone. Erasure note: like any
     postings-over-appends index, a snapshot DELETE does not retract
     already-indexed rows — erasure-compliant serving filters hits
     against the current snapshot (the reference API path) or triggers
@@ -192,9 +216,20 @@ def refresh_from_snapshot(
 
     man = _read_manifest(index_path) or {}
     since = int(man.get("snapshot_version", 0))
+    window_re = re.compile(r"^seg-snap-\d+-(\d+)$")
+    for nm in list(man.get("segments", [])) + list(man.get("folded", [])):
+        mt = window_re.match(nm)
+        if mt:
+            since = max(since, int(mt.group(1)))
     head = snapshots.current_version(snap_root)
     if head <= since:
-        return since  # nothing new committed
+        # nothing new committed; self-heal a stale checkpoint key
+        # (old-code crash state or external rollback) — the derived
+        # window end is authoritative
+        if man and int(man.get("snapshot_version", 0)) < since:
+            man["snapshot_version"] = since
+            _write_manifest(index_path, man)
+        return since
     new_docs = snapshots.read_appends(spark, snap_root, since, head)
     if new_docs.isEmpty():
         # window held only non-append commits (compaction/erasure):
@@ -212,10 +247,10 @@ def refresh_from_snapshot(
         stem=stem,
         segment_name=f"snap-{since + 1}-{head}",
         max_segments=max_segments,
+        # stamped in the SAME manifest write that lists the segment —
+        # publish and checkpoint advance are atomic (see docstring)
+        manifest_extra={"snapshot_version": head},
     )
-    man = _read_manifest(index_path) or {"segments": []}
-    man["snapshot_version"] = head
-    _write_manifest(index_path, man)
     return head
 
 

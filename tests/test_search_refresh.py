@@ -305,3 +305,65 @@ def test_random_refresh_sequences_equal_cold_rebuild(spark, tmp_path):
                 f"seed {seed} step {_step} op {op}"
             )
             cold.unpersist()
+
+
+def test_refresh_commit_between_crash_and_replay_single_counts(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8 (medium): a snapshot commit landing between a crash
+    (segment published, checkpoint unstamped) and the replay used to
+    re-index the overlap under a new name (snap-2-3 beside the listed
+    snap-2-2). Pinned both ways: (1) publish and checkpoint stamp are
+    now ONE manifest write, so refresh_from_snapshot cannot create the
+    crashed state; (2) a store already IN that state (old code, or an
+    externally-damaged manifest key) replays single-counted because
+    `since` also derives from the window ends in published names."""
+    from metastore_spark.search import refresh as refresh_mod
+    from metastore_spark.search.refresh import refresh_from_snapshot
+    from metastore_spark.sources import snapshots as snap
+
+    tbl = str(tmp_path / "tbl")
+    store = str(tmp_path / "seg")
+    rows = [(i, f"spark streams data w{i}") for i in range(15)]
+
+    # (1) atomicity: exactly one manifest write, carrying BOTH the
+    # segment listing and the checkpoint stamp
+    snap.commit_append(spark, tbl, _docs_df(spark, rows[0:6]))
+    writes = []
+    real_write = refresh_mod._write_manifest
+
+    def spy(path, man):
+        writes.append(dict(man))
+        real_write(path, man)
+
+    monkeypatch.setattr(refresh_mod, "_write_manifest", spy)
+    assert refresh_from_snapshot(
+        spark, tbl, store, "doc_id", ["text"], stem=False
+    ) == 1
+    monkeypatch.setattr(refresh_mod, "_write_manifest", real_write)
+    assert len(writes) == 1
+    assert writes[0]["segments"] == ["seg-snap-1-1"]
+    assert writes[0]["snapshot_version"] == 1
+
+    # (2) fabricate the old crashed state: window (1,2] published and
+    # LISTED, checkpoint still 1 — then a THIRD commit lands
+    snap.commit_append(spark, tbl, _docs_df(spark, rows[6:12]))
+    refresh_segment(
+        spark,
+        snap.read_appends(spark, tbl, 1, 2),
+        store, "doc_id", ["text"], stem=False,
+        segment_name="snap-2-2",
+    )
+    man = _read_manifest(store)
+    assert man["snapshot_version"] == 1  # unstamped — the crash state
+    assert "seg-snap-2-2" in man["segments"]
+    snap.commit_append(spark, tbl, _docs_df(spark, rows[12:15]))
+
+    # replay must index ONLY window (2,3] — never rows 6..11 again
+    assert refresh_from_snapshot(
+        spark, tbl, store, "doc_id", ["text"], stem=False
+    ) == 3
+    man = _read_manifest(store)
+    assert "seg-snap-3-3" in man["segments"]
+    assert not any(s.startswith("seg-snap-2-3") for s in man["segments"])
+    assert load_segmented(spark, store).num_docs == 15
