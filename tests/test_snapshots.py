@@ -1382,3 +1382,57 @@ def test_vacuum_partitioned_layout_preserves_live_nested_files(
         assert not os.path.exists(os.path.join(root, f)), f
         assert "_p_bucket=" in f  # the nested layout is what's pinned
     assert snap.read_snapshot(spark, root).count() == 110
+
+
+def test_read_appends_behind_retention_raises_typed_error(spark, tmp_path):
+    """VERDICT r9 task 2: a changelog consumer whose checkpoint fell
+    behind `expire_snapshots` retention gets a typed RetentionExpired
+    naming the oldest readable checkpoint (Delta CDF's contract), not
+    a raw FileNotFoundError; a window inside retention still reads."""
+    root = str(tmp_path / "t")
+    for i in range(5):
+        snap.commit_append(spark, root, _df(spark, i * 10, i * 10 + 10))
+    snap.expire_snapshots(root, keep_last=2)
+    head = snap.current_version(root)
+    assert head == 5
+
+    with pytest.raises(snap.RetentionExpired) as exc:
+        snap.read_appends(spark, root, 1)
+    assert "oldest readable checkpoint is 4" in str(exc.value)
+    # a lagging until inside an expired window raises too, not FNF
+    with pytest.raises(snap.RetentionExpired):
+        snap.read_appends(spark, root, 2, 3)
+
+    # checkpoint at the horizon still reads: window (4,5] needs v5
+    # and its parent v4, both retained
+    assert snap.read_appends(spark, root, head - 1).count() == 10
+    # full-history table: checkpoint 0 remains readable
+    root2 = str(tmp_path / "t2")
+    snap.commit_append(spark, root2, _df(spark, 0, 10))
+    assert snap.read_appends(spark, root2, 0).count() == 10
+
+
+def test_merge_null_keyed_source_rows_insert(spark, tmp_path):
+    """ADVICE r8 (low): NULL keys never match (SQL join semantics), so
+    two NULL-keyed source rows are two INSERTS — the duplicate-key
+    guard must not group them together and raise; real duplicate
+    non-NULL keys must still raise."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+
+    src = spark.createDataFrame(
+        [(None, 1000), (None, 2000), (5, 5555)], "k bigint, v bigint"
+    )
+    v = snap.commit_merge(spark, root, src, ["k"])
+    got = snap.read_snapshot(spark, root, v)
+    assert got.count() == 12  # 10 - 1 replaced + 1 update + 2 inserts
+    assert got.filter(F.col("k").isNull()).count() == 2
+    assert [
+        r["v"] for r in got.filter(F.col("k") == 5).collect()
+    ] == [5555]
+
+    dup_src = spark.createDataFrame(
+        [(7, 1), (7, 2)], "k bigint, v bigint"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snap.commit_merge(spark, root, dup_src, ["k"])
