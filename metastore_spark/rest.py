@@ -68,16 +68,28 @@ def encode_jwt(payload: dict, key: str) -> str:
     return f"{head}.{body}." + base64.urlsafe_b64encode(sig).rstrip(b"=").decode()
 
 
-def _cors_headers(environ) -> list[tuple[str, str]]:
+def _cors_headers(
+    environ, allowed_origins: set[str] | None = None
+) -> list[tuple[str, str]]:
     """Reference CORS contract (metastore/__init__.py:13-14:
     ``CORS(app, supports_credentials=True)``): the request's Origin is
     ECHOED — a credentialed response may not use ``*`` — with
     ``Access-Control-Allow-Credentials: true`` and ``Vary: Origin``
     (the echo makes the response origin-dependent for caches). No
     Origin header → not a CORS request → no CORS headers, exactly
-    like flask-cors."""
+    like flask-cors.
+
+    SECURITY (ADVICE r8): echo-any-origin + credentials lets any
+    website read JWT-bearing responses cross-origin. That IS the
+    reference's deployed behavior, so it stays the default for
+    parity, but ``allowed_origins`` (create_app arg or the
+    METASTORE_CORS_ORIGINS env var, comma-separated) restricts the
+    echo to an allowlist — a non-listed Origin gets NO CORS headers,
+    so the browser blocks the cross-origin read."""
     origin = environ.get("HTTP_ORIGIN")
     if not origin:
+        return []
+    if allowed_origins is not None and origin not in allowed_origins:
         return []
     return [
         ("Access-Control-Allow-Origin", origin),
@@ -86,12 +98,34 @@ def _cors_headers(environ) -> list[tuple[str, str]]:
     ]
 
 
-def create_app(engine: SearchEngine, private_key: str):
-    """WSGI app: engine + key → callable(environ, start_response)."""
+def _resolve_allowed_origins(
+    allowed_origins: list[str] | None,
+) -> set[str] | None:
+    """create_app arg wins; else METASTORE_CORS_ORIGINS (comma-
+    separated); else None = reference-parity echo-any."""
+    if allowed_origins is not None:
+        return set(allowed_origins)
+    import os
+
+    env = os.environ.get("METASTORE_CORS_ORIGINS")
+    if env:
+        return {o.strip() for o in env.split(",") if o.strip()}
+    return None
+
+
+def create_app(
+    engine: SearchEngine,
+    private_key: str,
+    allowed_origins: list[str] | None = None,
+):
+    """WSGI app: engine + key → callable(environ, start_response).
+    ``allowed_origins`` restricts credentialed CORS to an allowlist
+    (see `_cors_headers`); default None keeps reference parity."""
+    origins = _resolve_allowed_origins(allowed_origins)
 
     def app(environ, start_response):
         path = environ.get("PATH_INFO", "")
-        cors = _cors_headers(environ)
+        cors = _cors_headers(environ, origins)
         if environ.get("REQUEST_METHOD") == "OPTIONS":
             # CORS preflight: allowed methods + echo of the requested
             # headers (flask-cors' default preflight shape)

@@ -141,3 +141,51 @@ def test_no_origin_no_cors_headers(server):
     _, headers, _ = get(f"{server}/metastore/search")
     assert "Access-Control-Allow-Origin" not in headers
     assert "Access-Control-Allow-Credentials" not in headers
+
+
+def test_cors_allowlist_restricts_credentialed_echo(spark):
+    """ADVICE r8 (low): echo-any-origin + credentials is reference
+    parity but lets arbitrary sites read JWT-bearing responses;
+    `allowed_origins` restricts the echo. Listed origin → full
+    credentialed CORS; unlisted → NO CORS headers (browser blocks the
+    read); no Origin → unchanged non-CORS response."""
+    engine = dataset_events_engine(
+        spark, fx.private_records(spark), fx.some_event_records(spark, 10)
+    )
+    app = create_app(engine, KEY, allowed_origins=["http://datahub.io"])
+    httpd = make_server("127.0.0.1", 0, app)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        _, h, _ = get(
+            f"{base}/metastore/search",
+            headers={"Origin": "http://datahub.io"},
+        )
+        assert h["Access-Control-Allow-Origin"] == "http://datahub.io"
+        assert h["Access-Control-Allow-Credentials"] == "true"
+        _, h, _ = get(
+            f"{base}/metastore/search",
+            headers={"Origin": "http://evil.example"},
+        )
+        assert "Access-Control-Allow-Origin" not in h
+        assert "Access-Control-Allow-Credentials" not in h
+        status, h, _ = get(f"{base}/metastore/search")
+        assert status == 200
+        assert "Access-Control-Allow-Origin" not in h
+    finally:
+        httpd.shutdown()
+
+
+def test_cors_allowlist_env_var(spark, monkeypatch):
+    """METASTORE_CORS_ORIGINS env var configures the allowlist when no
+    create_app arg is given; unset keeps reference-parity echo-any."""
+    from metastore_spark.rest import _resolve_allowed_origins
+
+    monkeypatch.setenv("METASTORE_CORS_ORIGINS", "http://a.io, http://b.io")
+    assert _resolve_allowed_origins(None) == {"http://a.io", "http://b.io"}
+    # explicit arg wins over env
+    assert _resolve_allowed_origins(["http://c.io"]) == {"http://c.io"}
+    monkeypatch.delenv("METASTORE_CORS_ORIGINS")
+    assert _resolve_allowed_origins(None) is None
