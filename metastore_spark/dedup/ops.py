@@ -401,6 +401,7 @@ def simhash_near_pairs(
     hash_fn=None,
     sigs: DataFrame | None = None,
     per_doc_cap: int | None = None,
+    cap_undirected: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
 
@@ -413,13 +414,27 @@ def simhash_near_pairs(
 
     ``per_doc_cap`` bounds the OUTPUT (VERDICT r7 task 3 / the round-5
     sf3 finding that saturated-signature corpora emit quadratically
-    many qualifying pairs): each left doc keeps only its ``cap``
-    nearest neighbors (hamming asc, id tiebreak — deterministic), via
-    the bounded-exchange partial top-k (`operators/topk.grouped_topk`),
-    so emitted pairs are ≤ n×cap and the map side discards bucket-local
-    excess before the shuffle. Dedup-clustering consumers lose nothing:
-    a doc's component membership needs SOME qualifying edge, not all
-    of them.
+    many qualifying pairs): each LEFT doc keeps only its ``cap``
+    nearest neighbors (hamming asc, id tiebreak — deterministic), so
+    emitted pairs are ≤ n×cap. The cap runs INSIDE the bucket join's
+    partitioning (VERDICT r9 task 1): a doc has exactly ONE prefix
+    bucket, so a window keyed ``(bucket, id)`` IS the per-doc window,
+    and with the join pinned to a shuffle strategy the join's own
+    hash-partitioning on ``bucket`` already satisfies the window's
+    clustering — the plan has NO second exchange and NO Python stage,
+    just a partition-local sort of the qualifying pairs (the previous
+    shape paid an Arrow partial-top-k plus a keyed exchange; its
+    fixed per-action cost doubled the local bench).
+
+    RECALL CAVEAT (ADVICE r8): pairs are oriented ``id_a < id_b`` and
+    the default cap keys on ``id_a`` only, so a doc that appears
+    exclusively as the id_b of capped-away pairs — the highest-id
+    spoke of a hub-shaped cluster — can lose every edge and escape
+    dedup. ``cap_undirected=True`` caps per UNDIRECTED endpoint
+    instead (top-``cap`` per id_a UNION top-``cap`` per id_b, same
+    single exchange, two local sorts): every doc with at least one
+    qualifying neighbor keeps at least one edge, at the price of up
+    to 2×cap×n output rows. Clustering consumers should pass it.
     """
     if sigs is None:
         sigs = simhash_signatures(df, text_col, id_col, bits, hash_fn)
@@ -427,7 +442,12 @@ def simhash_near_pairs(
         "bucket", F.shiftright(F.col("simhash"), bits - prefix_bits)
     )
     a = sigs.alias("a")
-    b = sigs.alias("b")
+    # capped: pin the self-join to a shuffle strategy so its output
+    # stays hash-partitioned by bucket — the per-doc windows below
+    # then reuse that exchange (see docstring) instead of adding one
+    b = (sigs.hint("shuffle_hash") if per_doc_cap is not None else sigs).alias(
+        "b"
+    )
     dist = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
@@ -438,6 +458,7 @@ def simhash_near_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
+            F.col("a.bucket").alias("_bk"),
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             dist.alias("hamming"),
@@ -445,12 +466,23 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     if per_doc_cap is not None:
-        from metastore_spark.operators.topk import grouped_topk
+        from pyspark.sql import Window
 
-        pairs = grouped_topk(
-            pairs,
-            ["id_a"],
-            [("hamming", True), ("id_b", True)],
-            per_doc_cap,
+        # (_bk, id) ≡ (id): one bucket per doc — both windows cluster
+        # on the join's bucket partitioning, so neither re-shuffles
+        wa = Window.partitionBy("_bk", "id_a").orderBy(
+            F.col("hamming").asc(), F.col("id_b").asc()
         )
-    return pairs
+        pairs = pairs.withColumn("_ra", F.row_number().over(wa))
+        if cap_undirected:
+            wb = Window.partitionBy("_bk", "id_b").orderBy(
+                F.col("hamming").asc(), F.col("id_a").asc()
+            )
+            pairs = pairs.withColumn("_rb", F.row_number().over(wb))
+            keep = (F.col("_ra") <= per_doc_cap) | (
+                F.col("_rb") <= per_doc_cap
+            )
+        else:
+            keep = F.col("_ra") <= per_doc_cap
+        pairs = pairs.filter(keep).drop("_ra", "_rb")
+    return pairs.drop("_bk")

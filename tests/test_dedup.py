@@ -131,3 +131,44 @@ def test_simhash_per_doc_cap_bounds_and_keeps_nearest(spark):
         .drop("rn")
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want.collect()))
+
+
+def test_simhash_undirected_cap_keeps_hub_spoke_edges(spark):
+    """ADVICE r8 (low): the id_a-only cap can strip EVERY edge from a
+    doc that appears exclusively as id_b of capped-away pairs (the
+    highest-id spoke of a hub cluster). cap_undirected=True keeps at
+    least one qualifying edge per doc: top-k per id_a UNION top-k per
+    id_b. Also pins that the undirected result is exactly the oracle
+    union (rn_a <= k OR rn_b <= k over the uncapped pairs)."""
+    from pyspark.sql import Window
+
+    # near-identical corpus: one shared bucket, all pairs qualify.
+    # With cap=1, the directed cap keeps only (i, i+1)-style minimal
+    # edges chosen per id_a; doc 0 is never an id_b, and high-id docs
+    # appear as id_b only — the undirected union must still cover all.
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + ("x" * (i % 2)))
+         for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    und = dd.simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=63, prefix_bits=1,
+        per_doc_cap=1, cap_undirected=True,
+    ).collect()
+    covered = {r["id_a"] for r in und} | {r["id_b"] for r in und}
+    assert covered == set(range(12))  # every doc keeps >= 1 edge
+
+    uncapped = dd.simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=63, prefix_bits=1
+    )
+    wa = Window.partitionBy("id_a").orderBy("hamming", "id_b")
+    wb = Window.partitionBy("id_b").orderBy("hamming", "id_a")
+    want = (
+        uncapped.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rb", F.row_number().over(wb))
+        .filter((F.col("ra") <= 1) | (F.col("rb") <= 1))
+        .select("id_a", "id_b", "hamming")
+    )
+    assert sorted(map(tuple, want.collect())) == sorted(
+        (r["id_a"], r["id_b"], r["hamming"]) for r in und
+    )
