@@ -48,32 +48,84 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(_t(spark, sf_dir, "embeddings"), qvec, k=10)
 
 
-@query(
-    "emb_near_pairs",
-    oracle="""
+def _srp_oracle(
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.3,
+    per_vec_cap: int | None = None,
+) -> str:
+    """DuckDB mirror of the SRP-LSH blocked join: the hyperplanes are
+    embedded as full-precision literals, so the oracle reproduces the
+    bucketing EXACTLY — including its recall misses. Both engines
+    compute each plane dot as the same sequential left fold over
+    identical doubles, so the sign bits (and hence buckets) agree
+    bit-for-bit."""
+    planes = sim._hyperplanes(dim, n_planes)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    base = f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ),
+    pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
                  4) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-          >= 0.3
-    """,
-    validation_only=True,
-    scale_path="emb_near_pairs_srp",
-)
+          >= {threshold}
+    )"""
+    if per_vec_cap is None:
+        return base + "\nSELECT id_a, id_b, cos_sim FROM pairs"
+    # cap ranks on the ROUNDED sim (the cross-engine-stable value; raw
+    # GEMM vs fold doubles differ at machine precision), id_b tiebreak
+    return base + f"""
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT id_a, id_b, cos_sim,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY cos_sim DESC, id_b) AS rn
+      FROM pairs
+    ) WHERE rn <= {per_vec_cap}
+    """
+
+
+@query("emb_near_pairs", oracle=_srp_oracle(per_vec_cap=8))
 def emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact mode for the
-    oracle; production uses n_planes>0 SRP-LSH blocking).
+    """Embedding-cosine near-duplicate pairs, BOUNDED both ways
+    (VERDICT r9 task 3, closing the sf1 rows-only exception): SRP-LSH
+    blocking bounds CANDIDATES (pairs materialize only inside a
+    random-hyperplane bucket, never O(n²)) and a per-vector 8-NN cap
+    bounds the OUTPUT to ≤ 8n rows — the simhash treatment. The cap
+    ranks on the rounded similarity (desc, id_b tiebreak), the value
+    both engines agree on bit-for-bit, and applies entirely inside
+    the per-bucket GEMM kernel — a vector lives in exactly one
+    bucket, so no extra exchange. Oracle mirrors bucketing (literal
+    hyperplanes), threshold, and cap, so the full approximate
+    pipeline is value-hash-checked — recall misses included — and is
+    runnable at sf1+ (bucketed join, not all-pairs). The uncapped
+    thresholded twin is emb_near_pairs_srp; exact all-pairs semantics
+    (quadratic-output contract) were retired with it.
 
     Threshold 0.3 — the synthetic corpus has no true near-dups (max
     pairwise cosine ≈ 0.48), so the gate exercises a non-empty tail.
     """
-    return sim.cosine_near_pairs_blocked(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    return sim.cosine_near_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        dim=64,
+        n_planes=8,
+        per_vec_cap=8,
     )
 
 
@@ -172,40 +224,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qvec = _query_vec(spark, sf_dir, 0)
     return sim.ivf_topk(indexed, centroids, qvec, k=10, nprobe=3)
-
-
-def _srp_oracle(n_planes: int = 8, dim: int = 64, threshold: float = 0.3) -> str:
-    """DuckDB mirror of the SRP-LSH blocked join: the hyperplanes are
-    embedded as full-precision literals, so the oracle reproduces the
-    bucketing EXACTLY — including its recall misses. Both engines
-    compute each plane dot as the same sequential left fold over
-    identical doubles, so the sign bits (and hence buckets) agree
-    bit-for-bit."""
-    planes = sim._hyperplanes(dim, n_planes)
-    terms = []
-    for i, p in enumerate(planes):
-        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
-        terms.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-        )
-    bucket = " + ".join(terms)
-    return f"""
-    WITH bucketed AS (
-      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
-    )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                 4) AS cos_sim
-    FROM bucketed a JOIN bucketed b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-          >= {threshold}
-    """
 
 
 _BATCH_TOPK_ORACLE = f"""
@@ -404,13 +422,15 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("emb_near_pairs_srp", oracle=_srp_oracle())
 def emb_near_pairs_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH-blocked cosine near-pairs — the SCALE path of
-    emb_near_pairs: candidates only materialize inside a
-    random-hyperplane bucket (equi-join on the 8-bit sign key), never
-    O(n²). The oracle mirrors the bucketing with literal hyperplanes,
-    so this is a value-hash check of the PRODUCTION approximate
-    operator, recall misses and all (Charikar 2002 SRP; deterministic
-    LCG hyperplanes, seed 7)."""
+    """SRP-LSH-blocked cosine near-pairs, UNCAPPED: the thresholded
+    twin of emb_near_pairs for consumers that need every qualifying
+    edge (clustering must not lose spoke docs to a directed cap).
+    Candidates only materialize inside a random-hyperplane bucket
+    (equi-join on the 8-bit sign key), never O(n²). The oracle
+    mirrors the bucketing with literal hyperplanes, so this is a
+    value-hash check of the PRODUCTION approximate operator, recall
+    misses and all (Charikar 2002 SRP; deterministic LCG hyperplanes,
+    seed 7)."""
     return sim.cosine_near_pairs(
         _t(spark, sf_dir, "embeddings"),
         threshold=0.3,

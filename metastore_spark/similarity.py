@@ -155,11 +155,25 @@ def cosine_near_pairs(
     dim: int = 64,
     n_planes: int = 0,
     round_dp: int = 4,
+    per_vec_cap: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold.
 
     n_planes=0 → exact all-pairs (oracle / small data): per-pair fold
     expressions, length-agnostic, bit-identical to the SQL mirror.
+
+    ``per_vec_cap`` bounds the OUTPUT (VERDICT r9 task 3, the simhash
+    treatment): each left vector keeps only its ``cap`` most similar
+    qualifying neighbors, ordered by the ROUNDED similarity desc with
+    id_b tiebreak — the rounded value is what both engines agree on
+    bit-for-bit (GEMM vs sequential-fold raw doubles differ at machine
+    precision), so the cap is deterministic and oracle-mirrorable. A
+    vector lives in exactly ONE SRP bucket, so in blocked mode the cap
+    applies ENTIRELY inside the per-bucket kernel — no extra exchange;
+    output ≤ cap×n rows at any corpus size. Same recall caveat as
+    simhash's directed cap: a vector appearing only as id_b of
+    capped-away pairs can lose its edges; clustering consumers should
+    prefer the uncapped thresholded twin or union both orientations.
 
     n_planes>0 → SRP-LSH blocking, verified bucket-locally with ONE
     numpy GEMM per bucket (``applyInPandas``). The pair join it
@@ -227,13 +241,27 @@ def cosine_near_pairs(
             sims = m @ m.T
             iu, ju = np.triu_indices(len(ids), k=1)
             keep = sims[iu, ju] >= threshold
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "id_a": ids[iu[keep]],
                     "id_b": ids[ju[keep]],
                     "cos_sim": np.round(sims[iu[keep], ju[keep]], round_dp),
                 }
             )
+            if per_vec_cap is not None and len(out):
+                # the vector's ONLY bucket is this one, so the
+                # per-vector cap is complete bucket-locally: rounded
+                # sim desc, id_b asc (deterministic, oracle-mirrored)
+                out = (
+                    out.sort_values(
+                        ["id_a", "cos_sim", "id_b"],
+                        ascending=[True, False, True],
+                        kind="mergesort",
+                    )
+                    .groupby("id_a", sort=False)
+                    .head(per_vec_cap)
+                )
+            return out
 
         return bucketed.groupBy("_bucket").applyInPandas(
             lambda _key, pdf: bucket_pairs(pdf), out_schema
@@ -250,7 +278,7 @@ def cosine_near_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     dot = _dot_cols(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     sim = dot / (F.col("a._nrm") * F.col("b._nrm"))
-    return (
+    pairs = (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -263,6 +291,18 @@ def cosine_near_pairs(
         .filter(F.col("_raw_sim") >= threshold)
         .drop("_raw_sim")
     )
+    if per_vec_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id_a").orderBy(
+            F.col("cos_sim").desc(), F.col("id_b").asc()
+        )
+        pairs = (
+            pairs.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= per_vec_cap)
+            .drop("_rk")
+        )
+    return pairs
 
 
 def cosine_near_pairs_blocked(

@@ -178,3 +178,43 @@ def test_trained_codebooks_beat_prefix_recall(spark):
     assert total_hits("ann_ivf_recall_trained") >= total_hits(
         "ann_ivf_recall"
     )
+
+
+def test_cosine_near_pairs_per_vec_cap(spark):
+    """VERDICT r9 task 3: per_vec_cap keeps exactly the top-cap
+    neighbors per id_a (rounded sim desc, id_b tiebreak) in BOTH the
+    exact and the SRP-blocked mode — each capped result must equal its
+    own uncapped result put through the reference window."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.random() for _ in range(64)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cos_sim").desc(), F.col("id_b").asc()
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["cos_sim"])
+
+    for n_planes in (0, 8):
+        capped = sim.cosine_near_pairs(
+            emb, threshold=0.5, dim=64, n_planes=n_planes, per_vec_cap=3
+        ).collect()
+        per_a: dict = {}
+        for r in capped:
+            per_a.setdefault(r["id_a"], []).append(r)
+        assert per_a and all(len(v) <= 3 for v in per_a.values())
+        want = (
+            sim.cosine_near_pairs(
+                emb, threshold=0.5, dim=64, n_planes=n_planes
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .drop("rn")
+            .collect()
+        )
+        assert sorted(map(key, capped)) == sorted(map(key, want)), n_planes
