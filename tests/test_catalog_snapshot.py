@@ -154,3 +154,78 @@ def test_register_views_route_events_through_substrate(spark):
     root = catalog.snapshot_root(spark, SF, "events")
     files = spark.table("events").inputFiles()
     assert all(root in f for f in files)
+
+
+def test_documents_load_reads_through_snapshot_head(spark, monkeypatch):
+    """VERDICT r8 task 4: documents joins events as a snapshot-served
+    kind — the scan resolves a committed manifest head, byte-identical
+    to the raw scan (schema + rows), with the raw opt-out intact."""
+    sub = catalog.load_table(spark, SF, "documents")
+    root = catalog.snapshot_root(spark, SF, "documents")
+    assert root is not None and snap.current_version(root) >= 1
+    assert all(root in f for f in sub.inputFiles())
+    monkeypatch.setenv("SPARK_GRAFT_RAW_TABLES", "1")
+    raw = catalog.load_table(spark, SF, "documents")
+    assert all(SF in f for f in raw.inputFiles())
+    assert sub.schema == raw.schema
+    assert sorted(map(tuple, sub.collect())) == sorted(
+        map(tuple, raw.collect())
+    )
+
+
+def test_documents_dedup_ingest_while_querying(spark, tmp_path):
+    """The curation loop on the SUBSTRATE: a writer commits ingest
+    batches and a near-dup key-set delete against a documents store
+    while a reader pinned to version 1 sees exactly its rows; after
+    the writer finishes, the head read reflects ingest minus the
+    deleted losers, and time travel still serves every version."""
+    import threading
+
+    root = str(tmp_path / "docs_store")
+    base = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    snap.commit_append(spark, root, base)
+    pinned = snap.read_snapshot(spark, root, 1)
+
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def writer():
+        try:
+            for b in range(2):
+                snap.commit_with_retry(
+                    root,
+                    lambda b=b: snap.commit_append(
+                        spark,
+                        root,
+                        spark.createDataFrame(
+                            [(100 + b * 10 + i, f"ingest {b}-{i}")
+                             for i in range(10)],
+                            "doc_id bigint, text string",
+                        ),
+                    ),
+                )
+            losers = spark.createDataFrame(
+                [(i,) for i in range(0, 20, 2)], "doc_id bigint"
+            )
+            snap.commit_delete_keys(spark, root, losers, ["doc_id"])
+        except Exception as e:  # pragma: no cover — surfaced below
+            errors.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        while not done.is_set():
+            assert pinned.count() == 20  # pinned head never moves
+    finally:
+        t.join()
+    assert not errors
+    assert snap.current_version(root) == 4
+    head = snap.read_snapshot(spark, root)
+    assert head.count() == 30  # 20 + 20 ingested - 10 near-dup losers
+    assert head.filter(F.col("doc_id") == 0).count() == 0
+    assert snap.read_snapshot(spark, root, 3).count() == 40
