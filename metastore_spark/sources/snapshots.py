@@ -76,9 +76,12 @@ class ConcurrentCommit(RuntimeError):
 
 
 class SchemaEvolutionError(ValueError):
-    """Rejected schema change: only ADDING columns is supported —
-    dropping or retyping a column would corrupt historical reads that
-    share the old files."""
+    """Rejected schema change. APPENDS may only ADD columns — a
+    dropped/retyped column arriving via append is almost always an
+    upstream bug, not an intentional migration. Intentional evolution
+    goes through the explicit metadata-only ops (`rename_column`,
+    `drop_column`, `widen_column`), which keep historical files
+    readable via column-ID mapping."""
 
 
 class RetentionExpired(RuntimeError):
@@ -136,18 +139,22 @@ def _write_segment(
     files: list[str],
     stats: dict | None = None,
     partitions: dict | None = None,
+    columns: dict | None = None,
 ) -> str:
     """Persist an immutable segment (bounded file list, optional
-    per-file column min/max stats and per-file partition tuples) and
-    return its name. Written BEFORE the commit file that references it
-    — a crash in between leaves an orphan JSON for `vacuum`, never a
-    torn read."""
+    per-file column min/max stats, per-file partition tuples, and the
+    files' write-time column metadata {name: {id, type}} for
+    column-ID schema evolution) and return its name. Written BEFORE
+    the commit file that references it — a crash in between leaves an
+    orphan JSON for `vacuum`, never a torn read."""
     name = f"s-{uuid.uuid4().hex[:16]}"
     seg: dict = {"files": sorted(files)}
     if stats:
         seg["stats"] = stats
     if partitions:
         seg["partitions"] = partitions
+    if columns:
+        seg["columns"] = columns
     with open(_segment_path(root, name), "w") as fh:
         json.dump(seg, fh)
     return name
@@ -335,6 +342,186 @@ def _schema_extra(df: DataFrame) -> dict:
     return {"schema": json.loads(df.schema.json())}
 
 
+# ---- column-ID schema evolution (VERDICT r8 task 5) ----------------
+#
+# Iceberg's idea, expressed in manifest JSON: every column gets a
+# table-unique ID at its first appearance; rename/drop/widen are
+# METADATA-ONLY commits (op="evolve") that rewrite the head schema
+# and the name->ID mapping while carrying every segment by name. Data
+# files keep their write-time column names forever; readers resolve
+# each file's columns BY ID through per-segment ``columns`` metadata
+# ({write-time name: {id, type}}), so a renamed column reads from old
+# files under its old name, a widened column casts up from its old
+# physical type, and a dropped-then-readded name can never capture an
+# old file's bytes (the old name maps to the retired ID, not the new
+# one). Pre-ID segments resolve through ``legacy_columns`` — the
+# name->ID snapshot taken when IDs were first assigned; add-only
+# evolution was enforced until that moment, so every older file's
+# columns are a subset of that snapshot.
+
+_WIDENINGS = {
+    ("integer", "long"),
+    ("integer", "double"),
+    ("float", "double"),
+}
+
+
+def _ids_for_commit(prev_manifest: dict, fields: list[dict]) -> dict:
+    """Evolution keys for a data commit writing ``fields`` (schema
+    JSON field list): propagate the parent's mapping, assign fresh IDs
+    to new columns. Empty dict when the table has never evolved — IDs
+    are born at the first evolution op, so untouched tables pay zero
+    metadata and take today's single-read fast path."""
+    ids = prev_manifest.get("column_ids")
+    if not ids:
+        return {}
+    ids = dict(ids)
+    nxt = int(
+        prev_manifest.get("next_column_id")
+        or max(ids.values(), default=0) + 1
+    )
+    for f in fields:
+        if f["name"] not in ids:
+            ids[f["name"]] = nxt
+            nxt += 1
+    out = {"column_ids": ids, "next_column_id": nxt}
+    if prev_manifest.get("legacy_columns"):
+        out["legacy_columns"] = prev_manifest["legacy_columns"]
+    return out
+
+
+def _columns_meta(fields: list[dict], ids: dict) -> dict | None:
+    """Per-segment ``columns`` metadata ({name: {id, type}}) for files
+    about to be written under the current schema; None pre-IDs."""
+    if not ids:
+        return None
+    return {
+        f["name"]: {"id": ids[f["name"]], "type": f["type"]}
+        for f in fields
+        if f["name"] in ids
+    }
+
+
+def _evolve(root: str, transform) -> int:
+    """Shared metadata-only evolution commit: ``transform(schema,
+    ids, spec, scols)`` mutates-and-returns the four pieces; segments
+    carry by name, so the commit is O(#segments) regardless of table
+    size."""
+    head = current_version(root)
+    if not head:
+        raise ValueError("cannot evolve an empty table")
+    m = read_manifest(root, head)
+    if "schema" not in m:
+        raise SchemaEvolutionError(
+            "legacy table has no committed schema to evolve"
+        )
+    schema = json.loads(json.dumps(m["schema"]))
+    ids = dict(m.get("column_ids") or {})
+    nxt = m.get("next_column_id")
+    legacy = m.get("legacy_columns")
+    if not ids:
+        # first evolution on this table: mint IDs for the current
+        # schema and snapshot it as the legacy-file mapping
+        nxt = 1
+        for f in schema["fields"]:
+            ids[f["name"]] = nxt
+            nxt += 1
+        legacy = {
+            f["name"]: {"id": ids[f["name"]], "type": f["type"]}
+            for f in schema["fields"]
+        }
+    schema, ids, spec, scols = transform(
+        schema,
+        ids,
+        list(m.get("partition_spec") or []),
+        list(m.get("stats_cols") or []),
+    )
+    extra: dict = {
+        "schema": schema,
+        "column_ids": ids,
+        "next_column_id": int(nxt),
+    }
+    if legacy:
+        extra["legacy_columns"] = legacy
+    if scols:
+        extra["stats_cols"] = scols
+    if spec:
+        extra["partition_spec"] = spec
+    return _commit(root, head, "evolve", _parent_segments(root, m), extra)
+
+
+def rename_column(root: str, old: str, new: str) -> int:
+    """Rename ``old`` to ``new`` (metadata-only). Old files keep the
+    old physical name; readers resolve them through the column's ID.
+    Partition-spec and stats-cols references follow the rename."""
+
+    def transform(schema, ids, spec, scols):
+        names = [f["name"] for f in schema["fields"]]
+        if old not in names:
+            raise SchemaEvolutionError(f"no column {old!r} to rename")
+        if new in names:
+            raise SchemaEvolutionError(f"column {new!r} already exists")
+        for f in schema["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        ids[new] = ids.pop(old)
+        spec = [new if c == old else c for c in spec]
+        scols = [new if c == old else c for c in scols]
+        return schema, ids, spec, scols
+
+    return _evolve(root, transform)
+
+
+def drop_column(root: str, name: str) -> int:
+    """Drop ``name`` (metadata-only; the bytes stay in old files but
+    no reader resolves them — retention GC reclaims rewrites). The ID
+    retires permanently: a later add of the same name gets a FRESH ID,
+    so old files' bytes can never leak into the new column. Partition
+    columns must be un-spec'd first (their values are baked into the
+    data layout)."""
+
+    def transform(schema, ids, spec, scols):
+        names = [f["name"] for f in schema["fields"]]
+        if name not in names:
+            raise SchemaEvolutionError(f"no column {name!r} to drop")
+        if len(names) == 1:
+            raise SchemaEvolutionError("cannot drop the only column")
+        if name in spec:
+            raise SchemaEvolutionError(
+                f"column {name!r} is in the partition spec; evolve the "
+                "spec before dropping it"
+            )
+        schema["fields"] = [
+            f for f in schema["fields"] if f["name"] != name
+        ]
+        ids.pop(name, None)
+        scols = [c for c in scols if c != name]
+        return schema, ids, spec, scols
+
+    return _evolve(root, transform)
+
+
+def widen_column(root: str, name: str, new_type: str) -> int:
+    """Widen ``name``'s primitive type (int->long, int->double,
+    float->double — the value-preserving promotions; metadata-only).
+    Old files keep the narrow physical type; readers cast up, so
+    every historical value round-trips exactly."""
+
+    def transform(schema, ids, spec, scols):
+        for f in schema["fields"]:
+            if f["name"] == name:
+                if (f["type"], new_type) not in _WIDENINGS:
+                    raise SchemaEvolutionError(
+                        f"cannot widen {name!r} {f['type']!r} -> "
+                        f"{new_type!r}; allowed: {sorted(_WIDENINGS)}"
+                    )
+                f["type"] = new_type
+                return schema, ids, spec, scols
+        raise SchemaEvolutionError(f"no column {name!r} to widen")
+
+    return _evolve(root, transform)
+
+
 def _check_add_only(parent_manifest: dict, df: DataFrame) -> None:
     """Add-only schema evolution: every parent column must survive
     with its type. New columns are fine — the stored snapshot schema
@@ -403,20 +590,82 @@ def pruned_manifest_files(
     files), exactly like Iceberg partition + manifest stats / Delta
     data skipping. Safe only as an optimization UNDER the equivalent
     row filter, like partition pruning."""
-    if not prune:
-        return manifest_files(root, manifest)
+    return [f for f, _cols in _pruned_files_with_columns(root, manifest, prune)]
+
+
+def _segment_file_mapping(
+    manifest: dict, seg_obj: dict
+) -> dict | None:
+    """The write-time {name: {id, type}} mapping governing a segment's
+    files, or None when the table has no column IDs (fast path).
+    Segments written before IDs existed resolve through the
+    ``legacy_columns`` snapshot, augmented with current fields whose
+    names the snapshot doesn't know — those can only be columns added
+    AFTER the snapshot under their current name (add-only was enforced
+    pre-IDs; dropped-then-readded names are in the snapshot and keep
+    their retired ID, so old bytes can't leak)."""
+    ids = manifest.get("column_ids")
+    if not ids:
+        return None
+    cols = seg_obj.get("columns")
+    if cols:
+        return cols
+    mapping = dict(manifest.get("legacy_columns") or {})
+    covered = {v["id"] for v in mapping.values()}
+    for f in manifest.get("schema", {}).get("fields", []):
+        if (
+            f["name"] not in mapping
+            and f["name"] in ids
+            and ids[f["name"]] not in covered  # renamed IDs resolve
+            # through their legacy (write-time) name, never the new one
+        ):
+            mapping[f["name"]] = {
+                "id": ids[f["name"]],
+                "type": f["type"],
+            }
+    return mapping
+
+
+def _pruned_files_with_columns(
+    root: str, manifest: dict, prune: dict | None
+):
+    """Yield (relpath, write-time column mapping or None) for the
+    manifest's files after metadata skipping. Prune bounds arrive
+    keyed by CURRENT column names; per segment they translate through
+    the column-ID mapping to the files' write-time names, so stats
+    and partition tuples recorded before a rename keep pruning after
+    it."""
     if "files" in manifest:  # legacy manifest: no stats recorded
-        return list(manifest["files"])
-    out: list[str] = []
+        for f in manifest["files"]:
+            yield f, None
+        return
+    ids = manifest.get("column_ids") or {}
     for seg in manifest["segments"]:
         obj = _read_segment_obj(root, seg)
+        mapping = _segment_file_mapping(manifest, obj)
+        seg_prune = prune
+        if prune and mapping and ids:
+            by_id = {v["id"]: n for n, v in mapping.items()}
+            seg_prune = {}
+            for col, bound in prune.items():
+                fname = by_id.get(ids.get(col), None)
+                if fname is not None:
+                    seg_prune[fname] = bound
+                # a prune column the segment never wrote: its files
+                # predate the column — all-null, never match a range,
+                # but stats-less conservatism keeps them (caller's
+                # row filter decides); matches the un-evolved rule
+        if not seg_prune:
+            for f in obj["files"]:
+                yield f, mapping
+            continue
         stats = obj.get("stats", {})
         parts = obj.get("partitions", {})
         for f in obj["files"]:
             keep = True
             fstats = stats.get(f, {})
             fparts = parts.get(f, {})
-            for col, bound in prune.items():
+            for col, bound in seg_prune.items():
                 if isinstance(bound, (list, set)) and not bound:
                     keep = False  # empty admissible set matches nothing
                     break
@@ -440,8 +689,17 @@ def pruned_manifest_files(
                     keep = False
                     break
             if keep:
-                out.append(f)
-    return out
+                yield f, mapping
+
+
+def _with_src(df: DataFrame) -> DataFrame:
+    """The file-path lineage column COW rewrites key on, captured AT
+    SCAN level (the hidden ``_metadata`` column does not resolve
+    through the evolution read's group union)."""
+    return df.withColumn(
+        "_src",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+    )
 
 
 def _read_files(
@@ -449,27 +707,134 @@ def _read_files(
     root: str,
     manifest: dict,
     prune: dict | None = None,
+    with_source: bool = False,
 ) -> DataFrame:
     """Read a manifest's exact (optionally stats-pruned) file list
     under its COMMITTED schema (Iceberg-style: schema lives in
     metadata, so readers never pay a footer-merge pass, and files
-    written before an added column null-fill it)."""
-    paths = [
-        os.path.join(root, f)
-        for f in pruned_manifest_files(root, manifest, prune)
-    ]
-    reader = spark.read
-    if "schema" in manifest:
-        from pyspark.sql.types import StructType
+    written before an added column null-fill it).
 
-        schema = StructType.fromJson(manifest["schema"])
-        if not paths:  # pruned to nothing: empty frame, right schema
-            return spark.createDataFrame([], schema)
-        reader = reader.schema(schema)
-    elif not paths:  # legacy manifest, no committed schema to stand on
-        full = [os.path.join(root, f) for f in manifest_files(root, manifest)]
-        return spark.read.parquet(*full).limit(0)
-    return reader.parquet(*paths)
+    With column IDs (post-evolution tables): files are grouped by
+    their write-time column mapping; each group scans under its own
+    physical names/types, then projects to the committed schema by ID
+    — rename resolves the old name, widen casts the narrow physical
+    type up, drop simply never selects the bytes. Group count is
+    bounded by the number of evolution ops, each group keeps full
+    pushdown/pruning, and tables that never evolved take the
+    single-read fast path below.
+
+    ``with_source`` adds the ``_src`` file-path column (COW rewrite
+    lineage) at scan level, where ``_metadata`` still resolves."""
+    entries = list(_pruned_files_with_columns(root, manifest, prune))
+    if "schema" not in manifest:
+        # legacy manifest, no committed schema to stand on
+        if not entries:
+            full = [
+                os.path.join(root, f) for f in manifest_files(root, manifest)
+            ]
+            df = spark.read.parquet(*full)
+            return (_with_src(df) if with_source else df).limit(0)
+        df = spark.read.parquet(
+            *[os.path.join(root, f) for f, _c in entries]
+        )
+        return _with_src(df) if with_source else df
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(manifest["schema"])
+    if not entries:  # pruned to nothing: empty frame, right schema
+        df = spark.createDataFrame([], schema)
+        return (
+            df.withColumn("_src", F.lit(None).cast("string"))
+            if with_source
+            else df
+        )
+    ids = manifest.get("column_ids")
+    if not ids:  # table never evolved: one read, committed schema
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f, _c in entries]
+        )
+        return _with_src(df) if with_source else df
+
+    cur = [
+        (f["name"], f["type"], ids.get(f["name"]))
+        for f in manifest["schema"]["fields"]
+    ]
+    groups: dict[str, tuple[dict, list[str]]] = {}
+    for f, mapping in entries:
+        key = json.dumps(mapping, sort_keys=True)
+        groups.setdefault(key, (mapping, []))[1].append(
+            os.path.join(root, f)
+        )
+    parts: list[DataFrame] = []
+    for mapping, paths in groups.values():
+        by_id = {v["id"]: (n, v["type"]) for n, v in (mapping or {}).items()}
+        read_fields = []
+        sel = []
+        for name, typ, cid in cur:
+            hit = by_id.get(cid)
+            if hit is None:
+                sel.append(("__null__", name, typ))
+                continue
+            fname, ftype = hit
+            read_fields.append({
+                "name": fname, "type": ftype,
+                "nullable": True, "metadata": {},
+            })
+            sel.append((fname, name, typ if ftype != typ else None))
+        gschema = StructType.fromJson(
+            {"type": "struct", "fields": read_fields}
+        )
+        df = spark.read.schema(gschema).parquet(*paths)
+        if with_source:
+            df = _with_src(df)
+        cols = []
+        for src, name, cast_t in sel:
+            if src == "__null__":
+                cols.append(
+                    F.lit(None)
+                    .cast(_field_type_str(cast_t))
+                    .alias(name)
+                )
+            elif cast_t is not None:
+                cols.append(
+                    F.col(src).cast(_field_type_str(cast_t)).alias(name)
+                )
+            else:
+                cols.append(F.col(src).alias(name))
+        if with_source:
+            cols.append(F.col("_src"))
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _field_type_str(type_json):
+    """A schema-JSON field type as something Column.cast accepts:
+    primitive type strings pass through; complex types go through a
+    single-field struct round-trip."""
+    if isinstance(type_json, str):
+        return type_json
+    from pyspark.sql.types import StructType
+
+    return (
+        StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "c",
+                        "type": type_json,
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                ],
+            }
+        )
+        .fields[0]
+        .dataType
+    )
 
 
 def commit_append(
@@ -515,8 +880,18 @@ def commit_append(
     spec = partition_by or prev_manifest.get("partition_spec") or []
     files = _write_data_files(df, root, spec or None)
     stats = _collect_file_stats(root, files, scols) if scols else None
-    seg = _write_segment(root, files, stats, _spec_partitions(files, spec))
     extra = _schema_extra(df)
+    ev = _ids_for_commit(prev_manifest, extra["schema"]["fields"])
+    extra.update(ev)
+    seg = _write_segment(
+        root,
+        files,
+        stats,
+        _spec_partitions(files, spec),
+        _columns_meta(
+            extra["schema"]["fields"], ev.get("column_ids") or {}
+        ),
+    )
     if scols:
         extra["stats_cols"] = list(scols)
     if spec:
@@ -566,10 +941,7 @@ def commit_delete_where(
     # _metadata.file_path spells the local path as file:/... — strip
     # the scheme so manifest-relative paths compare cleanly
     with_file = _read_files(
-        spark, root, prev_manifest, prune=scan_prune
-    ).withColumn(
-        "_src",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+        spark, root, prev_manifest, prune=scan_prune, with_source=True
     )
     affected_df = with_file.filter(hit).select("_src").distinct()
     affected = {
@@ -580,6 +952,12 @@ def commit_delete_where(
         if "schema" in prev_manifest
         else None
     )
+    if schema_extra is not None:
+        schema_extra.update(
+            _ids_for_commit(
+                prev_manifest, prev_manifest["schema"]["fields"]
+            )
+        )
     spec = prev_manifest.get("partition_spec") or []
     if not affected:
         extra = dict(schema_extra or {})
@@ -605,6 +983,12 @@ def commit_delete_where(
                 if scols
                 else None,
                 _spec_partitions(rewritten, spec),
+                _columns_meta(
+                    prev_manifest["schema"]["fields"],
+                    (schema_extra or {}).get("column_ids") or {},
+                )
+                if "schema" in prev_manifest
+                else None,
             )
         )
     if schema_extra is None:
@@ -642,6 +1026,8 @@ def _segments_after_removal(
                     or None,
                     {f: old_parts[f] for f in kept if f in old_parts}
                     or None,
+                    # files unchanged -> write-time columns unchanged
+                    obj.get("columns"),
                 )
             )
     return new_segs
@@ -711,10 +1097,7 @@ def commit_merge(
 
     keys = source.select(*key_cols).distinct()
     with_file = _read_files(
-        spark, root, prev_manifest, prune=scan_prune
-    ).withColumn(
-        "_src",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+        spark, root, prev_manifest, prune=scan_prune, with_source=True
     )
     matched = with_file.join(F.broadcast(keys), key_cols, "left_semi")
     affected_df = matched.select("_src").distinct()
@@ -734,15 +1117,20 @@ def commit_merge(
     incoming = survivors.unionByName(source, allowMissingColumns=True)
     rewritten = _write_data_files(incoming, root, spec or None)
     new_segs = _segments_after_removal(root, prev_segs, affected)
+    extra = _schema_extra(source)
+    ev = _ids_for_commit(prev_manifest, extra["schema"]["fields"])
+    extra.update(ev)
     new_segs.append(
         _write_segment(
             root,
             rewritten,
             _collect_file_stats(root, rewritten, scols) if scols else None,
             _spec_partitions(rewritten, spec),
+            _columns_meta(
+                extra["schema"]["fields"], ev.get("column_ids") or {}
+            ),
         )
     )
-    extra = _schema_extra(source)
     if scols:
         extra["stats_cols"] = list(scols)
     if spec:
@@ -779,10 +1167,7 @@ def commit_delete_keys(
     scols = prev_manifest.get("stats_cols") or []
     kdf = keys.select(*key_cols).distinct()
     with_file = _read_files(
-        spark, root, prev_manifest, prune=scan_prune
-    ).withColumn(
-        "_src",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+        spark, root, prev_manifest, prune=scan_prune, with_source=True
     )
     affected_df = (
         with_file.join(F.broadcast(kdf), key_cols, "left_semi")
@@ -797,6 +1182,12 @@ def commit_delete_keys(
         if "schema" in prev_manifest
         else {}
     )
+    if "schema" in prev_manifest:
+        extra.update(
+            _ids_for_commit(
+                prev_manifest, prev_manifest["schema"]["fields"]
+            )
+        )
     if scols:
         extra["stats_cols"] = list(scols)
     if spec:
@@ -819,6 +1210,12 @@ def commit_delete_keys(
                 if scols
                 else None,
                 _spec_partitions(rewritten, spec),
+                _columns_meta(
+                    prev_manifest["schema"]["fields"],
+                    extra.get("column_ids") or {},
+                )
+                if "schema" in prev_manifest
+                else None,
             )
         )
     return _commit(root, parent, "delete", new_segs, extra or None)
@@ -842,6 +1239,19 @@ def rollback_to(root: str, version: int) -> int:
         extra["stats_cols"] = list(target["stats_cols"])
     if target.get("partition_spec"):
         extra["partition_spec"] = list(target["partition_spec"])
+    # rolling back across an evolution restores the target's schema
+    # AND mapping; next_column_id stays at the table-wide max so a
+    # retired ID is never re-minted
+    for k in ("column_ids", "legacy_columns"):
+        if target.get(k):
+            extra[k] = target[k]
+    head_m = read_manifest(root, head)
+    nxt = max(
+        int(target.get("next_column_id") or 0),
+        int(head_m.get("next_column_id") or 0),
+    )
+    if nxt:
+        extra["next_column_id"] = nxt
     return _commit(root, head, "rollback", segs, extra)
 
 
@@ -1117,6 +1527,13 @@ def _commit_segments_with_retry(
             "partition_spec"
         ):
             attempt_extra["partition_spec"] = list(pm["partition_spec"])
+        # column-ID inheritance mirrors stats_cols: if a concurrent
+        # commit established IDs between the caller's head read and
+        # the winning retry, re-derive the mapping from the current
+        # parent so the ID lineage never silently lapses
+        if "column_ids" not in attempt_extra and pm.get("column_ids"):
+            fields = attempt_extra.get("schema", {}).get("fields", [])
+            attempt_extra.update(_ids_for_commit(pm, fields))
         try:
             return _commit(
                 root, parent, op, prev + new_segments, attempt_extra
@@ -1148,17 +1565,22 @@ def snapshot_sink(root: str, stream_id: str):
         scols = hm.get("stats_cols") or []
         spec = hm.get("partition_spec") or []
         files = _write_data_files(batch_df, root, spec or None)
-        seg = _write_segment(
-            root,
-            files,
-            _collect_file_stats(root, files, scols) if scols else None,
-            _spec_partitions(files, spec),
-        )
         extra = {
             "stream_id": stream_id,
             "batch_id": batch_id,
             **_schema_extra(batch_df),
         }
+        ev = _ids_for_commit(hm, extra["schema"]["fields"])
+        extra.update(ev)
+        seg = _write_segment(
+            root,
+            files,
+            _collect_file_stats(root, files, scols) if scols else None,
+            _spec_partitions(files, spec),
+            _columns_meta(
+                extra["schema"]["fields"], ev.get("column_ids") or {}
+            ),
+        )
         if scols:
             extra["stats_cols"] = list(scols)
         _commit_segments_with_retry(root, "append", [seg], extra)
@@ -1221,6 +1643,14 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
         rewritten,
         _collect_file_stats(root, rewritten, scols) if scols else None,
         _spec_partitions(rewritten, spec),
+        # the fold physically rewrites rows under the base's COMMITTED
+        # schema — evolution collapses out of the rewritten files
+        _columns_meta(
+            base_manifest["schema"]["fields"],
+            base_manifest.get("column_ids") or {},
+        )
+        if "schema" in base_manifest
+        else None,
     )
     while True:
         head = current_version(root)
@@ -1253,6 +1683,12 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
             if "schema" in head_manifest
             else {}
         )
+        if "schema" in head_manifest:
+            extra.update(
+                _ids_for_commit(
+                    head_manifest, head_manifest["schema"]["fields"]
+                )
+            )
         if head_manifest.get("stats_cols"):
             extra["stats_cols"] = list(head_manifest["stats_cols"])
         if head_manifest.get("partition_spec"):

@@ -1,10 +1,11 @@
 """Model-based commit-protocol test: random op sequences (append /
-delete-where / delete-keys / merge / compact / rollback) applied to
-BOTH the snapshot store and an in-memory Python model; after every op
-the head must equal the model, and every historical version must
-still reproduce its own recorded state (snapshot isolation across
-arbitrary interleavings — the invariant each per-op test checks only
-pointwise)."""
+delete-where / delete-keys / merge / compact / rollback / rename /
+widen) applied to BOTH the snapshot store and an in-memory Python
+model; after every op the head must equal the model, and every
+historical version must still reproduce its own recorded state UNDER
+ITS OWN committed schema (snapshot isolation + schema evolution
+across arbitrary interleavings — the invariant each per-op test
+checks only pointwise)."""
 
 import random
 
@@ -14,15 +15,16 @@ from pyspark.sql import functions as F
 from metastore_spark.sources import snapshots as snap
 
 
-def _to_df(spark, rows):
-    return spark.createDataFrame(
+def _to_df(spark, rows, vcol, vtype):
+    df = spark.createDataFrame(
         [(k, v) for k, v in sorted(rows.items())], "k bigint, v bigint"
     )
+    return df.select(F.col("k"), F.col("v").cast(vtype).alias(vcol))
 
 
-def _read_state(spark, root, version=None):
+def _read_state(spark, root, vcol, version=None):
     return {
-        (r["k"], r["v"])
+        (r["k"], None if r[vcol] is None else int(r[vcol]))
         for r in snap.read_snapshot(spark, root, version).collect()
     }
 
@@ -32,19 +34,22 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     root = str(tmp_path / f"t{seed}")
     model: dict[int, int] = {i: i * 10 for i in range(40)}
-    snap.commit_append(spark, root, _to_df(spark, model))
-    history = {1: set(model.items())}
+    vcol, vtype = "v", "int"
+    snap.commit_append(spark, root, _to_df(spark, model, vcol, vtype))
+    history = {1: (vcol, set(model.items()))}
     next_key = 1000
 
-    for step in range(8):
+    for step in range(10):
         op = rng.choice(
             ["append", "delete_where", "delete_keys", "merge",
-             "compact", "rollback"]
+             "compact", "rollback", "rename", "widen"]
         )
         if op == "append":
             new = {next_key + i: rng.randrange(1000) for i in range(5)}
             next_key += 10
-            v = snap.commit_append(spark, root, _to_df(spark, new))
+            v = snap.commit_append(
+                spark, root, _to_df(spark, new, vcol, vtype)
+            )
             model.update(new)
         elif op == "delete_where":
             cut = rng.randrange(0, 2000)
@@ -69,24 +74,45 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             ins = {next_key + i: -1 for i in range(2)}
             next_key += 10
             src = {**upd, **ins}
-            v = snap.commit_merge(spark, root, _to_df(spark, src), ["k"])
+            v = snap.commit_merge(
+                spark, root, _to_df(spark, src, vcol, vtype), ["k"]
+            )
             model.update(src)
         elif op == "compact":
             v = snap.commit_with_retry(
                 root, lambda: snap.compact(spark, root, target_files=1)
             )
+        elif op == "rename":
+            new_name = f"v_r{step}"
+            v = snap.rename_column(root, vcol, new_name)
+            vcol = new_name
+        elif op == "widen":
+            if vtype == "bigint":
+                continue  # already wide: no commit this step
+            v = snap.widen_column(root, vcol, "long")
+            vtype = "bigint"
         else:  # rollback to a random retained version
             target = rng.choice(sorted(history))
             v = snap.rollback_to(root, target)
-            model = dict(history[target])
+            vcol = history[target][0]
+            model = dict(history[target][1])
+            # the physical type travels with the restored schema;
+            # derive it from the manifest rather than tracking
+            m = snap.read_manifest(root, v)
+            vtype = next(
+                "bigint" if f["type"] == "long" else "int"
+                for f in m["schema"]["fields"]
+                if f["name"] == vcol
+            )
 
-        history[v] = set(model.items())
-        assert _read_state(spark, root) == set(model.items()), (
+        history[v] = (vcol, set(model.items()))
+        assert _read_state(spark, root, vcol) == set(model.items()), (
             f"seed {seed} step {step} op {op}: head diverged from model"
         )
 
     # every retained historical version still reproduces ITS state
-    for ver, state in history.items():
-        assert _read_state(spark, root, ver) == state, (
+    # under ITS schema
+    for ver, (col, state) in history.items():
+        assert _read_state(spark, root, col, ver) == state, (
             f"seed {seed}: version {ver} no longer reproduces its state"
         )
