@@ -993,3 +993,129 @@ def events_snapshot_schema_evolution(
                 "uid_sum")
     )
     return head.unionByName(v1).orderBy("stage", "event_type")
+
+
+def _clustered_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once snapshot table exercising Z-ORDER-CLUSTERED
+    COMPACTION (VERDICT r8 task 6): v1 appends the events corpus as
+    ordinary unclustered files; v2 is `compact(cluster_by=[user_id,
+    day])` — the fold lands one file per Morton cell with the
+    cluster_spec recorded in the manifest."""
+    from metastore_spark.serve import _fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint([src])
+    root = os.path.join(_SNAP_ROOT, f"events-zcompact-{fp}")
+    if snap.current_version(root) >= 2:
+        return root
+
+    ev = _t(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.datediff(F.to_date("ts"), F.lit(d0)).alias("day"),
+    )
+    os.makedirs(_SNAP_ROOT, exist_ok=True)
+    tmp = f"{root}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snap.commit_append(spark, tmp, base.repartition(8))
+    snap.commit_with_retry(
+        tmp,
+        lambda: snap.compact(spark, tmp, cluster_by=["user_id", "day"]),
+    )
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    return root
+
+
+@query(
+    "events_snapshot_clustered_compaction",
+    oracle="""
+    WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d FROM events),
+    t AS (
+      SELECT user_id, value,
+             (CAST(ts AS DATE) - (SELECT d FROM d0)) AS day
+      FROM events
+    ),
+    bounds AS (
+      SELECT MAX(user_id) // 4 AS u_lo, MAX(user_id) // 2 AS u_hi,
+             MAX(day) // 3 AS d_hi
+      FROM t
+    )
+    SELECT 'all' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM t
+    UNION ALL
+    SELECT 'box',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(user_id) AS BIGINT),
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM t, bounds
+    WHERE user_id BETWEEN u_lo AND u_hi AND day BETWEEN 0 AND d_hi
+    ORDER BY stage
+    """,
+)
+def events_snapshot_clustered_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Z-order-clustered compaction probed end-to-end (VERDICT r8 task
+    6, Delta OPTIMIZE ZORDER's shape on this table format): the box
+    query decomposes its (user_id, day) rectangle through the
+    manifest's RECORDED cluster_spec (`snap.clustered_prune`) and
+    reads only the intersecting cell files — the query SELF-CHECKS
+    that the pruned file list is a strict subset of the compacted
+    table's files (raising if clustering bought no pruning) before
+    hash-checking both the full corpus and the box aggregate against
+    plain SQL over the raw table.
+
+    Scale shape: the fold is one clustered rewrite (the maintenance
+    job a 100 TB table runs per partition-window, not per query); the
+    probe is pure metadata — driver-side cell decomposition over
+    recorded shifts, O(cells <= 256), zero data files opened outside
+    the admissible set."""
+    root = _clustered_table(spark, sf_dir)
+    head = snap.current_version(root)
+    m = snap.read_manifest(root, head)
+    t = snap.read_snapshot(spark, root)
+    mx = t.agg(F.max("user_id"), F.max("day")).first()
+    u_lo, u_hi, d_hi = int(mx[0]) // 4, int(mx[0]) // 2, int(mx[1]) // 3
+    pr = snap.clustered_prune(root, u_lo, u_hi, 0, d_hi)
+    total = len(snap.files_of(root, head))
+    pruned = snap.pruned_manifest_files(root, m, pr)
+    if not (0 < len(pruned) < total):
+        raise AssertionError(
+            f"clustered pruning ineffective: {len(pruned)}/{total} files"
+        )
+    box = (
+        snap.read_snapshot(spark, root, prune=pr)
+        .filter(
+            F.col("user_id").between(u_lo, u_hi)
+            & F.col("day").between(0, d_hi)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("user_id").cast("bigint").alias("uid_sum"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents_sum"),
+        )
+        .select(F.lit("box").alias("stage"), "n_rows", "uid_sum",
+                "value_cents_sum")
+    )
+    allrows = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("user_id").cast("bigint").alias("uid_sum"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents_sum"),
+    ).select(F.lit("all").alias("stage"), "n_rows", "uid_sum",
+             "value_cents_sum")
+    return allrows.unionByName(box).orderBy("stage")

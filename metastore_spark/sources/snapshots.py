@@ -338,6 +338,14 @@ def _parent_segments(root: str, manifest: dict) -> list[str]:
     return []
 
 
+def _carry_cluster(src_manifest: dict, extra: dict) -> None:
+    """cluster_spec inherits exactly like partition_spec: once a
+    clustered compaction records it, every later commit carries it so
+    probes can always decompose boxes against the recorded shifts."""
+    if src_manifest.get("cluster_spec") and "cluster_spec" not in extra:
+        extra["cluster_spec"] = src_manifest["cluster_spec"]
+
+
 def _schema_extra(df: DataFrame) -> dict:
     return {"schema": json.loads(df.schema.json())}
 
@@ -896,6 +904,7 @@ def commit_append(
         extra["stats_cols"] = list(scols)
     if spec:
         extra["partition_spec"] = list(spec)
+    _carry_cluster(prev_manifest, extra)
     return _commit(root, parent, "append", prev_segs + [seg], extra)
 
 
@@ -965,6 +974,7 @@ def commit_delete_where(
             extra["stats_cols"] = list(prev_manifest["stats_cols"])
         if spec:
             extra["partition_spec"] = list(spec)
+        _carry_cluster(prev_manifest, extra)
         return _commit(root, parent, "delete", prev_segs, extra or None)
     survivors = (
         with_file.join(F.broadcast(affected_df), "_src", "left_semi")
@@ -997,6 +1007,7 @@ def commit_delete_where(
         schema_extra["stats_cols"] = list(scols)
     if spec:
         schema_extra["partition_spec"] = list(spec)
+    _carry_cluster(prev_manifest, schema_extra)
     return _commit(root, parent, "delete", new_segs, schema_extra or None)
 
 
@@ -1135,6 +1146,7 @@ def commit_merge(
         extra["stats_cols"] = list(scols)
     if spec:
         extra["partition_spec"] = list(spec)
+    _carry_cluster(prev_manifest, extra)
     return _commit(root, parent, "merge", new_segs, extra)
 
 
@@ -1193,6 +1205,7 @@ def commit_delete_keys(
     if spec:
         extra["partition_spec"] = list(spec)
     if not affected:
+        _carry_cluster(prev_manifest, extra)
         return _commit(root, parent, "delete", prev_segs, extra or None)
     survivors = (
         with_file.join(F.broadcast(affected_df), "_src", "left_semi")
@@ -1218,6 +1231,7 @@ def commit_delete_keys(
                 else None,
             )
         )
+    _carry_cluster(prev_manifest, extra)
     return _commit(root, parent, "delete", new_segs, extra or None)
 
 
@@ -1242,7 +1256,7 @@ def rollback_to(root: str, version: int) -> int:
     # rolling back across an evolution restores the target's schema
     # AND mapping; next_column_id stays at the table-wide max so a
     # retired ID is never re-minted
-    for k in ("column_ids", "legacy_columns"):
+    for k in ("column_ids", "legacy_columns", "cluster_spec"):
         if target.get(k):
             extra[k] = target[k]
     head_m = read_manifest(root, head)
@@ -1253,6 +1267,35 @@ def rollback_to(root: str, version: int) -> int:
     if nxt:
         extra["next_column_id"] = nxt
     return _commit(root, head, "rollback", segs, extra)
+
+
+def clustered_prune(
+    root: str,
+    a_lo: int,
+    a_hi: int,
+    b_lo: int,
+    b_hi: int,
+    version: int | None = None,
+) -> dict:
+    """Box-probe prune bound for a cluster-compacted table: decompose
+    the rectangle over the RECORDED cluster_spec (cols + shifts from
+    `compact(cluster_by=...)`) into the admissible cell set —
+    parameter-sized (<= 256 cells), pure driver-side arithmetic. Pass
+    the result as `read_snapshot(..., prune=...)` UNDER the equivalent
+    row filter, exactly like partition pruning."""
+    from metastore_spark.layout import zcells_for_box
+
+    m = read_manifest(root, version or current_version(root))
+    cs = m.get("cluster_spec")
+    if not cs:
+        raise ValueError(
+            "table has no cluster_spec; run compact(cluster_by=[a, b]) "
+            "first"
+        )
+    cells = zcells_for_box(
+        a_lo, a_hi, b_lo, b_hi, cs["shifts"][0], cs["shifts"][1]
+    )
+    return {cs["cell_col"]: cells}
 
 
 def read_snapshot(
@@ -1527,6 +1570,7 @@ def _commit_segments_with_retry(
             "partition_spec"
         ):
             attempt_extra["partition_spec"] = list(pm["partition_spec"])
+        _carry_cluster(pm, attempt_extra)
         # column-ID inheritance mirrors stats_cols: if a concurrent
         # commit established IDs between the caller's head read and
         # the winning retry, re-derive the mapping from the current
@@ -1602,7 +1646,13 @@ def ingest_stream(
     )
 
 
-def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
+def compact(
+    spark: SparkSession,
+    root: str,
+    target_files: int = 1,
+    cluster_by: list[str] | None = None,
+    cell_col: str = "zcell",
+) -> int:
     """Small-files maintenance: rewrite the head snapshot's files into
     ``target_files`` (one fresh segment), commit as op=compact with
     the IDENTICAL row set. Readers pinned to older versions keep
@@ -1610,6 +1660,20 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     are preserved — if the head moves mid-compaction, the retry
     carries every segment added since the compacted parent instead of
     silently dropping it.
+
+    ``cluster_by=[a, b]`` (VERDICT r8 task 6 — Delta OPTIMIZE ZORDER's
+    shape) makes the fold a Z-ORDER-CLUSTERED rewrite: an 8-bit
+    Morton cell over the two NON-NEGATIVE INTEGER columns (shifts
+    derived from the data's maxima, `layout.zorder_shifts`) becomes a
+    derived partition column ``cell_col``, the rewrite lands one file
+    per cell, and the commit records BOTH the identity partition spec
+    on the cell AND a ``cluster_spec`` {cols, shifts, cell_col} — so
+    later box queries decompose their rectangle with
+    `clustered_prune` / `layout.zcells_for_box` against the RECORDED
+    shifts (build and probe can never drift) and `read_snapshot`'s
+    ``prune`` skips every non-intersecting file from metadata alone.
+    The committed schema gains the cell column (mirror-column layout,
+    like any caller-derived partition column).
 
     Conflict rule (Delta/Iceberg shape): a concurrent commit that
     REMOVED any base file (a COW delete, or another compaction)
@@ -1626,7 +1690,25 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     base_files = set(manifest_files(root, base_manifest))
     df = _read_files(spark, root, base_manifest)
     spec = base_manifest.get("partition_spec") or []
-    if spec:
+    cluster_spec = None
+    if cluster_by:
+        from metastore_spark.layout import zorder_cell, zorder_shifts
+
+        a, b = cluster_by
+        mx = df.agg(F.max(a), F.max(b)).first()
+        a_shift, b_shift = zorder_shifts(int(mx[0]), int(mx[1]))
+        df = df.drop(cell_col).withColumn(
+            cell_col,
+            zorder_cell(F.col(a), F.col(b), a_shift, b_shift),
+        )
+        spec = [cell_col]
+        cluster_spec = {
+            "cols": [a, b],
+            "shifts": [a_shift, b_shift],
+            "cell_col": cell_col,
+        }
+        rewritten = _write_data_files(df.repartition(*spec), root, spec)
+    elif spec:
         # layout-preserving fold: cluster by the partition tuple so
         # the rewrite lands one file per partition value (the small-
         # files fix WITHIN the spec, like Iceberg rewrite_data_files
@@ -1638,16 +1720,21 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
     else:
         rewritten = _write_data_files(df.coalesce(target_files), root)
     scols = base_manifest.get("stats_cols") or []
+    written_schema = json.loads(df.schema.json())
+    folded_ids = _ids_for_commit(base_manifest, written_schema["fields"])
     folded_seg = _write_segment(
         root,
         rewritten,
         _collect_file_stats(root, rewritten, scols) if scols else None,
         _spec_partitions(rewritten, spec),
         # the fold physically rewrites rows under the base's COMMITTED
-        # schema — evolution collapses out of the rewritten files
+        # schema (+ the cluster cell column) — evolution collapses out
+        # of the rewritten files
         _columns_meta(
-            base_manifest["schema"]["fields"],
-            base_manifest.get("column_ids") or {},
+            written_schema["fields"],
+            folded_ids.get("column_ids")
+            or base_manifest.get("column_ids")
+            or {},
         )
         if "schema" in base_manifest
         else None,
@@ -1683,16 +1770,35 @@ def compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
             if "schema" in head_manifest
             else {}
         )
+        if cluster_spec is not None and "schema" in head_manifest:
+            # clustered fold: the committed schema is the head's plus
+            # the derived cell column, spec becomes the cell
+            fields = [
+                f
+                for f in head_manifest["schema"]["fields"]
+                if f["name"] != cell_col
+            ] + [
+                next(
+                    f
+                    for f in written_schema["fields"]
+                    if f["name"] == cell_col
+                )
+            ]
+            extra["schema"] = {"type": "struct", "fields": fields}
+            extra["cluster_spec"] = cluster_spec
         if "schema" in head_manifest:
             extra.update(
                 _ids_for_commit(
-                    head_manifest, head_manifest["schema"]["fields"]
+                    head_manifest, extra["schema"]["fields"]
                 )
             )
         if head_manifest.get("stats_cols"):
             extra["stats_cols"] = list(head_manifest["stats_cols"])
-        if head_manifest.get("partition_spec"):
+        if cluster_spec is not None:
+            extra["partition_spec"] = list(spec)
+        elif head_manifest.get("partition_spec"):
             extra["partition_spec"] = list(head_manifest["partition_spec"])
+        _carry_cluster(head_manifest, extra)
         try:
             return _commit(
                 root,
