@@ -1521,8 +1521,21 @@ def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no common-subexpression elimination, so chaining over the raw
     # transform would re-run the per-token ph60 pass once per shifted
     # view (measured 4.3 s vs 0.5 s at sf0.1 — the same lesson
-    # dedup.ops.shingle_stream documents for token arrays)
-    hvdf = d.select("doc_id", n.alias("n"), hv.alias("hv"))
+    # dedup.ops.shingle_stream documents for token arrays).
+    #
+    # Pin the kernel's parallelism (VERDICT r8 task 7): the corpus is
+    # compute-bound (per-token hash chain + K+W-2 zip_with passes),
+    # but a small parquet fixture scans as ONE partition — the whole
+    # chain ran on one core, making the bench unit hostage to single-
+    # core contention (the recurring noise WARN). Repartitioning the
+    # (id, text)-sized input to the session's parallelism costs one
+    # tiny exchange and bounds per-task work; at 100 TB the corpus is
+    # many files and the scan is already parallel, so this is the
+    # standard repartition-before-expensive-map, not a scale cost.
+    par = spark.sparkContext.defaultParallelism
+    hvdf = d.repartition(par).select(
+        "doc_id", n.alias("n"), hv.alias("hv")
+    )
     gram_chain = chain(
         F.col("hv"), K, lambda a, h: (a * BASE + h) % F.lit(MOD)
     )
