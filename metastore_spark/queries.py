@@ -90,6 +90,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _t_compute(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` repartitioned to the session's parallelism — for
+    COMPUTE-BOUND queries whose first heavy stage is per-row work
+    (tokenize + explode / HOF chains) over a corpus that may scan as
+    very few partitions (the small local fixtures are single files).
+    One tiny exchange of (id, text)-sized rows buys full-width
+    compute; at 100 TB the corpus is many files and AQE coalescing
+    keeps the exchange from fragmenting. Scan-bound or
+    filter-pushdown queries should stay on `_t` — the repartition
+    would only add a shuffle. (VERDICT r8 task 7's lesson, applied
+    beyond the winnowing kernel.)"""
+    return load_table(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _ts_us() -> F.Column:
     """events.ts is canonical TIMESTAMP_NTZ after catalog.load_table
     (see metastore_spark.ts); project epoch microseconds with pure

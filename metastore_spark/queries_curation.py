@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metastore_spark.dedup.ops import shingle_stream
-from metastore_spark.queries import query, _t
+from metastore_spark.queries import query, _t, _t_compute
 from metastore_spark.text import ops
 
 _EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metastore_spark.dedup import ops as dd
-from metastore_spark.queries import query, _t
+from metastore_spark.queries import query, _t, _t_compute
 from metastore_spark.sources import snapshots as snap
 
 
@@ -1005,7 +1005,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes. At 100 TB: pairs only exist for docs sharing a sub-cap
     shingle; the cap bounds the blowup per posting, the same guarantee
     the banded-minhash join makes per band bucket."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_compute(spark, sf_dir, "documents")
     ex = dd.distinct_shingle_stream(d, "text", "doc_id", 3)
     kept = (
         ex.withColumn(
@@ -1205,7 +1205,7 @@ def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metastore_spark.text.ops import word_tokens
 
     K = 8
-    d = _t(spark, sf_dir, "documents")
+    d = _t_compute(spark, sf_dir, "documents")
     toks = d.select("doc_id", word_tokens(F.col("text")).alias("toks"))
     n = F.size("toks")
     m = F.greatest(n - F.lit(K - 1), F.lit(0))

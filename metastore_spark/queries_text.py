@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metastore_spark.queries import query, _t
+from metastore_spark.queries import query, _t, _t_compute
 from metastore_spark.search.analysis import ENGLISH_STOPWORDS
 from metastore_spark.text import ops
 from metastore_spark.dedup.ops import shingles_from_tokens as dd_shingles
@@ -844,7 +844,7 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition before the exchange — no df cap needed, unlike the
     containment join), then one join keyed by shingle back to the
     exploded stream and a per-doc rollup."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_compute(spark, sf_dir, "documents")
     ex = dd.distinct_shingle_stream(d, "text", "doc_id", 3)
     first = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
@@ -905,7 +905,7 @@ def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (it broadcasts it anyway while the table is small). The context
     (w1) counts are derived from the bigram table itself — unigram-
     vocabulary-sized, safe to broadcast."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_compute(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", ops.word_tokens(F.col("text")).alias("w")
     ).filter(F.size("w") >= 2)
@@ -1058,7 +1058,7 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stratification scales with the corpus."""
     from metastore_spark.operators.ranking import global_rank, ntile_from_rank
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_compute(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(ops.word_tokens(F.col("text"))).alias("tok")
     )
