@@ -487,7 +487,9 @@ def _day_table(spark: SparkSession, sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "events.parquet")
     fp = _fingerprint([src])
-    root = os.path.join(_SNAP_ROOT, f"day-{fp}")
+    # day2: day2 added per-file row accounting in segment metadata —
+    # pre-rows stores must not satisfy the build-once check
+    root = os.path.join(_SNAP_ROOT, f"day2-{fp}")
     if snap.current_version(root) >= 2:
         return root
     base = _t(spark, sf_dir, "events").select(
@@ -1119,3 +1121,198 @@ def events_snapshot_clustered_compaction(
     ).select(F.lit("all").alias("stage"), "n_rows", "uid_sum",
              "value_cents_sum")
     return allrows.unionByName(box).orderBy("stage")
+
+
+def _wap_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once snapshot table exercising the full WRITE-AUDIT-
+    PUBLISH cycle plus a retention-pinning tag: v1 appends the whole
+    events corpus and is tagged ``prod``; an ``audit`` branch forks
+    v1, runs a quarantine delete (every 7th user's clicks) in
+    isolation, and `publish_branch` lands the audited row set on the
+    trunk as v2 — a metadata-only, fast-forward-checked commit. The
+    trunk was never observable in a half-audited state."""
+    from metastore_spark.serve import _fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint([src])
+    root = os.path.join(_SNAP_ROOT, f"events-wap1-{fp}")
+    if snap.current_version(root) >= 2:
+        return root
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    os.makedirs(_SNAP_ROOT, exist_ok=True)
+    tmp = f"{root}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snap.commit_append(
+        spark, tmp, base.repartitionByRange(4, "user_id")
+    )
+    snap.create_tag(tmp, "prod")  # pins v1 through any retention
+    snap.create_branch(tmp, "audit")
+    snap.commit_delete_where(
+        spark,
+        tmp,
+        (F.col("event_type") == "click") & (F.col("user_id") % 7 == 0),
+        ref="audit",
+    )
+    snap.publish_branch(tmp, "audit")
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    return root
+
+
+_WAP_LEG = """
+    SELECT '{stage}' AS stage, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM {src} GROUP BY event_type
+"""
+
+
+@query(
+    "events_snapshot_wap_publish",
+    oracle=(
+        "WITH audited AS (SELECT * FROM events WHERE NOT "
+        "(event_type = 'click' AND user_id % 7 = 0)) "
+        + _WAP_LEG.format(stage="published", src="audited")
+        + " UNION ALL "
+        + _WAP_LEG.format(stage="tagged", src="events")
+        + " ORDER BY stage, event_type"
+    ),
+)
+def events_snapshot_wap_publish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH through named refs (Iceberg branch + WAP
+    pattern): a quarantine delete runs on an ``audit`` BRANCH — its
+    own manifest chain, invisible to trunk readers — and lands on the
+    trunk via `publish_branch` as ONE metadata-only commit, while a
+    ``prod`` TAG pins the pre-audit version against retention. Reads
+    here resolve BY REF: the tag read must reproduce the untouched
+    corpus, the published trunk head must equal branch-audited rows;
+    the oracle recomputes both from the raw table, so a branch commit
+    that leaked onto the trunk, a publish that dropped a carried
+    segment, or a tag that drifted off its version hash-mismatches.
+
+    Scale shape: fork, tag, and publish are all O(#segments) metadata
+    writes — no data moves at ANY table size; the branch delete is
+    the same COW op trunk deletes use (affected files only). The
+    fast-forward check makes publish safe under concurrent trunk
+    writers (ConcurrentCommit, not silent clobber). This is the
+    staging workflow a 100 TB training-data table needs: audit an
+    erasure/dedup pass on isolated refs, then flip atomically."""
+    root = _wap_table(spark, sf_dir)
+
+    def leg(df: DataFrame, stage: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents_sum"),
+        ).select(F.lit(stage).alias("stage"), "event_type", "n_rows",
+                 "n_users", "value_cents_sum")
+
+    published = leg(snap.read_snapshot(spark, root), "published")
+    tagged = leg(snap.read_snapshot(spark, root, "prod"), "tagged")
+    return published.unionByName(tagged).orderBy("stage", "event_type")
+
+
+@query(
+    "events_snapshot_refs_metadata",
+    oracle="""
+    WITH audited AS (
+      SELECT * FROM events
+      WHERE NOT (event_type = 'click' AND user_id % 7 = 0)
+    )
+    SELECT * FROM (
+      SELECT 'audit' AS ref, 'branch' AS kind, 2 AS version,
+             1 AS fork_version, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM audited
+      UNION ALL
+      SELECT 'main', 'branch', 2, NULL, CAST(COUNT(*) AS BIGINT)
+      FROM audited
+      UNION ALL
+      SELECT 'prod', 'tag', 1, NULL, CAST(COUNT(*) AS BIGINT)
+      FROM events
+    ) ORDER BY ref
+    """,
+)
+def events_snapshot_refs_metadata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REFS METADATA TABLE (Iceberg's ``refs``) joined with each
+    ref's actual row count: one row per named ref — trunk, the
+    ``audit`` branch (head in its own chain + fork point), the
+    ``prod`` tag — each resolved to its snapshot and counted. The
+    oracle recomputes every ref's expected row set from the raw
+    corpus and pins the version/fork numbers of the deterministic WAP
+    lifecycle, so a ref pointing at the wrong snapshot, a branch head
+    miscounted from its namespace, or a fork point lost in the
+    manifest all hash-mismatch.
+
+    Scale shape: the refs listing is O(#refs) small JSON (no data
+    files open); each count is a manifest-exact snapshot read — the
+    same cost as any time-travel read. This is the observability
+    surface for a multi-writer table: which staging branches exist,
+    where they forked, what they'd publish."""
+    root = _wap_table(spark, sf_dir)
+    refs = snap.table_refs(spark, root)
+    counts = []
+    for ref_name, kind in (("main", "branch"), ("audit", "branch"),
+                           ("prod", "tag")):
+        df = (
+            snap.read_snapshot(spark, root, "prod")
+            if kind == "tag"
+            else snap.read_snapshot(spark, root, ref=ref_name)
+        )
+        counts.append(
+            df.agg(
+                F.lit(ref_name).alias("ref"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+        )
+    cnt = counts[0].unionAll(counts[1]).unionAll(counts[2])
+    return (
+        refs.join(cnt, "ref")
+        .select("ref", "kind", "version", "fork_version", "n_rows")
+        .orderBy("ref")
+    )
+
+
+@query(
+    "events_snapshot_partitions_metadata",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY day ORDER BY day
+    """,
+)
+def events_snapshot_partitions_metadata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PARTITIONS METADATA TABLE (Iceberg's ``partitions``)
+    answered WITHOUT opening a single data file: per-day row counts of
+    the day-partitioned events table resolved purely from segment
+    metadata — footer-lifted per-file row counts summed within each
+    identity-partition tuple. The oracle recomputes the counts by
+    actually scanning the raw corpus, so a file recorded under the
+    wrong partition value, a footer count recorded wrong, or a file
+    lost/duplicated across the two appends hash-mismatches.
+
+    Scale shape: this is the COUNT(*) GROUP BY partition a 100 TB
+    table's operators run hourly — here it costs O(#files) JSON on
+    metadata alone, no scan (the self-check below asserts no parquet
+    read happens: the result is built from createDataFrame over
+    manifest state). Small-file pressure, skew audits, and erasure
+    scoping all read this table first."""
+    root = _day_table(spark, sf_dir)
+    parts = snap.table_partitions(spark, root)
+    return parts.select(
+        "day", F.col("n_rows").cast("bigint").alias("n_rows")
+    ).orderBy("day")

@@ -55,6 +55,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import re
 import shutil
 import time
 import uuid
@@ -97,8 +98,28 @@ def _meta_dir(root: str) -> str:
     return os.path.join(root, _META)
 
 
-def _manifest_path(root: str, version: int) -> str:
-    return os.path.join(_meta_dir(root), f"v{version}.json")
+# Ref names share one restricted alphabet so branch-manifest filenames
+# (r-<name>.v<N>.json) and tag files (t-<name>.json) parse without
+# ambiguity; "main" is the implicit trunk every existing API targets.
+_REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_-]*$")
+_BRANCH_FILE_RE = re.compile(r"^r-([A-Za-z0-9_-]+)\.v(\d+)\.json$")
+
+
+def _check_ref_name(name: str) -> None:
+    if name == "main" or not _REF_NAME_RE.match(name):
+        raise ValueError(
+            f"invalid ref name {name!r}: use [A-Za-z0-9_-]+, not 'main'"
+        )
+
+
+def _manifest_path(root: str, version: int, ref: str = "main") -> str:
+    if ref == "main":
+        return os.path.join(_meta_dir(root), f"v{version}.json")
+    return os.path.join(_meta_dir(root), f"r-{ref}.v{version}.json")
+
+
+def _tag_path(root: str, name: str) -> str:
+    return os.path.join(_meta_dir(root), f"t-{name}.json")
 
 
 def create_table(root: str) -> None:
@@ -106,27 +127,42 @@ def create_table(root: str) -> None:
     os.makedirs(os.path.join(root, _DATA), exist_ok=True)
 
 
-def current_version(root: str) -> int:
-    """Head = highest committed manifest; 0 = empty table.
+def current_version(root: str, ref: str = "main") -> int:
+    """Head of ``ref`` = highest committed manifest in the ref's own
+    namespace; 0 = empty table (or no such branch).
 
     A meta-dir scan, not a pointer file: manifest creation is atomic
     (exclusive link), so the listing can never observe a torn commit,
     and there is no pointer to crash between states. O(#versions) —
-    bounded by retention."""
+    bounded by retention. Branch manifests live as
+    ``r-<name>.v<N>.json`` in their OWN linear number space, so the
+    trunk's head never moves when a branch commits and vice versa."""
     try:
         names = os.listdir(_meta_dir(root))
     except OSError:
         return 0
-    versions = [
-        int(n[1:-5])
-        for n in names
-        if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
-    ]
+    if ref == "main":
+        versions = [
+            int(n[1:-5])
+            for n in names
+            if n.startswith("v")
+            and n.endswith(".json")
+            and n[1:-5].isdigit()
+        ]
+    else:
+        prefix = f"r-{ref}.v"
+        versions = [
+            int(n[len(prefix):-5])
+            for n in names
+            if n.startswith(prefix)
+            and n.endswith(".json")
+            and n[len(prefix):-5].isdigit()
+        ]
     return max(versions, default=0)
 
 
-def read_manifest(root: str, version: int) -> dict:
-    with open(_manifest_path(root, version)) as fh:
+def read_manifest(root: str, version: int, ref: str = "main") -> dict:
+    with open(_manifest_path(root, version, ref)) as fh:
         return json.load(fh)
 
 
@@ -155,9 +191,33 @@ def _write_segment(
         seg["partitions"] = partitions
     if columns:
         seg["columns"] = columns
+    rows = _collect_file_rows(root, files)
+    if rows:
+        seg["rows"] = rows
     with open(_segment_path(root, name), "w") as fh:
         json.dump(seg, fh)
     return name
+
+
+def _collect_file_rows(root: str, files: list[str]) -> dict[str, int]:
+    """Per-file row counts lifted from the parquet FOOTERS at segment-
+    write time (one metadata read per delta file, no data scan) — the
+    Iceberg manifest-entry ``record_count``. Powers metadata-only
+    row accounting (`table_files` / `table_partitions`): COUNT-shaped
+    questions answer from O(#files) JSON without opening data. A file
+    whose footer is unreadable maps to nothing (readers see null and
+    fall back to scanning)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    for f in files:
+        try:
+            out[f] = int(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            )
+        except Exception:
+            continue
+    return out
 
 
 def _spec_partitions(files: list[str], spec: list[str]) -> dict | None:
@@ -295,6 +355,7 @@ def _commit(
     op: str,
     segments: list[str],
     extra: dict | None = None,
+    ref: str = "main",
 ) -> int:
     """Single-phase optimistic commit: creating ``meta/v<N>.json`` IS
     the commit. The staged temp file is HARD-LINKED to the manifest
@@ -302,7 +363,10 @@ def _commit(
     writer ever owns a version; a loser raises ConcurrentCommit with
     the winner's manifest untouched (Delta's log put-if-absent,
     expressed in POSIX). Payload: O(#segments) names, never the data
-    file list."""
+    file list. A non-main ``ref`` commits into that branch's own
+    namespace under the SAME protocol — version = parent + 1 within
+    the branch, so branch writers serialize against each other and
+    never against the trunk."""
     version = parent + 1
     manifest = {
         "version": version,
@@ -310,9 +374,10 @@ def _commit(
         "op": op,
         "ts": int(time.time()),
         "segments": segments,
+        **({"ref": ref} if ref != "main" else {}),
         **(extra or {}),
     }
-    path = _manifest_path(root, version)
+    path = _manifest_path(root, version, ref)
     tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -851,6 +916,7 @@ def commit_append(
     df: DataFrame,
     stats_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    ref: str = "main",
 ) -> int:
     """Append-only commit: ONE new segment for the new files, every
     parent segment carried by name — O(delta) data + O(delta) segment
@@ -878,10 +944,16 @@ def commit_append(
     the layout. Derived partition columns (day strings, Z-order
     cells) are the caller's: add the column to the frame first —
     it stays in the data files (mirror-column layout), so the
-    committed schema includes it."""
+    committed schema includes it.
+
+    ``ref`` targets a branch created by `create_branch` (the
+    write-audit-publish staging area); the default commits to the
+    trunk. A branch append may NOT create a table."""
+    if ref != "main" and not current_version(root, ref):
+        raise ValueError(f"no branch {ref!r}; create_branch first")
     create_table(root)
-    parent = current_version(root)
-    prev_manifest = read_manifest(root, parent) if parent else {}
+    parent = current_version(root, ref)
+    prev_manifest = read_manifest(root, parent, ref) if parent else {}
     _check_add_only(prev_manifest, df)
     prev_segs = _parent_segments(root, prev_manifest) if parent else []
     scols = stats_cols or prev_manifest.get("stats_cols") or []
@@ -905,7 +977,7 @@ def commit_append(
     if spec:
         extra["partition_spec"] = list(spec)
     _carry_cluster(prev_manifest, extra)
-    return _commit(root, parent, "append", prev_segs + [seg], extra)
+    return _commit(root, parent, "append", prev_segs + [seg], extra, ref)
 
 
 def commit_delete_where(
@@ -913,6 +985,7 @@ def commit_delete_where(
     root: str,
     predicate,
     scan_prune: dict | None = None,
+    ref: str = "main",
 ) -> int:
     """Copy-on-write delete: rewrite ONLY files containing matching
     rows (survivor rows to a fresh dir), carry untouched SEGMENTS by
@@ -938,10 +1011,10 @@ def commit_delete_where(
     the predicate must be FALSE on every row of every pruned-out file,
     else those matching rows silently survive.
     """
-    parent = current_version(root)
+    parent = current_version(root, ref)
     if not parent:
-        raise ValueError("cannot delete from an empty table")
-    prev_manifest = read_manifest(root, parent)
+        raise ValueError("cannot delete from an empty table or branch")
+    prev_manifest = read_manifest(root, parent, ref)
     prev_segs = _parent_segments(root, prev_manifest)
     # three-valued logic pinned once and reused by BOTH the affected-
     # file scan and the survivor filter, so they can never disagree on
@@ -975,7 +1048,7 @@ def commit_delete_where(
         if spec:
             extra["partition_spec"] = list(spec)
         _carry_cluster(prev_manifest, extra)
-        return _commit(root, parent, "delete", prev_segs, extra or None)
+        return _commit(root, parent, "delete", prev_segs, extra or None, ref)
     survivors = (
         with_file.join(F.broadcast(affected_df), "_src", "left_semi")
         .filter(~hit)
@@ -1008,7 +1081,7 @@ def commit_delete_where(
     if spec:
         schema_extra["partition_spec"] = list(spec)
     _carry_cluster(prev_manifest, schema_extra)
-    return _commit(root, parent, "delete", new_segs, schema_extra or None)
+    return _commit(root, parent, "delete", new_segs, schema_extra or None, ref)
 
 
 def _segments_after_removal(
@@ -1050,6 +1123,7 @@ def commit_merge(
     source: DataFrame,
     key_cols: list[str],
     scan_prune: dict | None = None,
+    ref: str = "main",
 ) -> int:
     """MERGE (upsert) commit — Delta's ``MERGE INTO`` / Iceberg's
     copy-on-write merge, the lakehouse ingest-update path: every
@@ -1073,11 +1147,11 @@ def commit_merge(
     source row. NULL keys never match (SQL join semantics) — a NULL-
     keyed source row inserts.
     """
-    parent = current_version(root)
+    parent = current_version(root, ref)
     if not parent:
         # empty table: a merge is just the first append
-        return commit_append(spark, root, source)
-    prev_manifest = read_manifest(root, parent)
+        return commit_append(spark, root, source, ref=ref)
+    prev_manifest = read_manifest(root, parent, ref)
     _check_add_only(prev_manifest, source)
     prev_segs = _parent_segments(root, prev_manifest)
     spec = prev_manifest.get("partition_spec") or []
@@ -1147,7 +1221,7 @@ def commit_merge(
     if spec:
         extra["partition_spec"] = list(spec)
     _carry_cluster(prev_manifest, extra)
-    return _commit(root, parent, "merge", new_segs, extra)
+    return _commit(root, parent, "merge", new_segs, extra, ref)
 
 
 def commit_delete_keys(
@@ -1156,6 +1230,7 @@ def commit_delete_keys(
     keys: DataFrame,
     key_cols: list[str],
     scan_prune: dict | None = None,
+    ref: str = "main",
 ) -> int:
     """DELETE by KEY SET — ``DELETE FROM target WHERE key IN
     (keys)``, the anti-join delete every data pipeline runs when the
@@ -1170,10 +1245,10 @@ def commit_delete_keys(
     scan; only they rewrite; untouched segments carry by name), and
     the same NULL rule: NULL keys never match, so NULL-keyed target
     rows always survive."""
-    parent = current_version(root)
+    parent = current_version(root, ref)
     if not parent:
-        raise ValueError("cannot delete from an empty table")
-    prev_manifest = read_manifest(root, parent)
+        raise ValueError("cannot delete from an empty table or branch")
+    prev_manifest = read_manifest(root, parent, ref)
     prev_segs = _parent_segments(root, prev_manifest)
     spec = prev_manifest.get("partition_spec") or []
     scols = prev_manifest.get("stats_cols") or []
@@ -1206,7 +1281,7 @@ def commit_delete_keys(
         extra["partition_spec"] = list(spec)
     if not affected:
         _carry_cluster(prev_manifest, extra)
-        return _commit(root, parent, "delete", prev_segs, extra or None)
+        return _commit(root, parent, "delete", prev_segs, extra or None, ref)
     survivors = (
         with_file.join(F.broadcast(affected_df), "_src", "left_semi")
         .join(F.broadcast(kdf), key_cols, "left_anti")
@@ -1232,7 +1307,7 @@ def commit_delete_keys(
             )
         )
     _carry_cluster(prev_manifest, extra)
-    return _commit(root, parent, "delete", new_segs, extra or None)
+    return _commit(root, parent, "delete", new_segs, extra or None, ref)
 
 
 def rollback_to(root: str, version: int) -> int:
@@ -1269,6 +1344,272 @@ def rollback_to(root: str, version: int) -> int:
     return _commit(root, head, "rollback", segs, extra)
 
 
+def _carry_manifest_extras(src: dict, peer: dict | None = None) -> dict:
+    """The metadata a segment-carrying commit (branch fork, publish,
+    rollback) must inherit from its source manifest so readers of the
+    new commit resolve schema, stats, partition spec, cluster spec and
+    column-ID mapping exactly as they did at the source. When a
+    ``peer`` manifest is given (the destination chain's old head),
+    ``next_column_id`` is max-merged so a retired column ID is never
+    re-minted on either chain."""
+    extra: dict = {}
+    if "schema" in src:
+        extra["schema"] = src["schema"]
+    for k in (
+        "stats_cols",
+        "partition_spec",
+        "column_ids",
+        "legacy_columns",
+        "cluster_spec",
+    ):
+        if src.get(k):
+            extra[k] = src[k]
+    nxt = max(
+        int(src.get("next_column_id") or 0),
+        int((peer or {}).get("next_column_id") or 0),
+    )
+    if nxt:
+        extra["next_column_id"] = nxt
+    return extra
+
+
+def create_branch(root: str, name: str, version: int | None = None) -> int:
+    """Fork a BRANCH off trunk ``version`` (default: head) — the
+    write-audit-publish staging area (Iceberg branch / Git shape):
+    branch commits go through the normal commit ops with ``ref=name``
+    and never move the trunk; `publish_branch` lands the audited
+    result back as one trunk commit. Metadata-only: the fork carries
+    the source version's segments BY NAME (no data moves).
+
+    The branch's v1 IS the fork point; creation is create-once via the
+    same put-if-absent link as every commit, so two racing creators
+    resolve to exactly one branch. Returns the branch head (1)."""
+    _check_ref_name(name)
+    head = current_version(root)
+    v = head if version is None else version
+    if not (1 <= v <= head):
+        raise ValueError(f"no trunk version {v} to branch from")
+    src = read_manifest(root, v)
+    extra = _carry_manifest_extras(src)
+    extra["fork_version"] = v
+    try:
+        return _commit(
+            root, 0, "branch", _parent_segments(root, src), extra, name
+        )
+    except ConcurrentCommit:
+        raise ValueError(f"branch {name!r} already exists") from None
+
+
+def list_branches(root: str) -> dict[str, int]:
+    """{branch name: head version in the branch's own chain}."""
+    heads: dict[str, int] = {}
+    try:
+        names = os.listdir(_meta_dir(root))
+    except OSError:
+        return heads
+    for n in names:
+        m = _BRANCH_FILE_RE.match(n)
+        if m:
+            b, v = m.group(1), int(m.group(2))
+            heads[b] = max(heads.get(b, 0), v)
+    return heads
+
+
+def drop_branch(root: str, name: str) -> None:
+    """Delete a branch's manifests (its data files become unreferenced
+    and age out via `vacuum`, exactly like expired versions). Unlinks
+    HEAD-FIRST so a concurrent reader only ever observes a shorter,
+    still-consistent chain, never a torn head."""
+    head = current_version(root, name)
+    if not head:
+        raise ValueError(f"no branch {name!r}")
+    for v in range(head, 0, -1):
+        try:
+            os.remove(_manifest_path(root, v, name))
+        except FileNotFoundError:
+            pass
+
+
+def create_tag(root: str, name: str, version: int | None = None) -> None:
+    """Pin an immutable TAG to trunk ``version`` (default: head).
+    Tags survive `expire_snapshots` — the pinned manifest and every
+    file it references stay readable until `drop_tag` — which is the
+    reproducibility contract a training run needs: tag the corpus
+    version a model trained on and the exact row set remains
+    re-readable regardless of retention. Create-once (put-if-absent
+    link), atomic, O(1) metadata."""
+    _check_ref_name(name)
+    head = current_version(root)
+    v = head if version is None else version
+    if not (1 <= v <= head) or not os.path.exists(_manifest_path(root, v)):
+        raise ValueError(f"no trunk version {v} to tag")
+    path = _tag_path(root, name)
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "version": v, "ts": int(time.time())}, fh)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ValueError(f"tag {name!r} already exists") from None
+    finally:
+        os.unlink(tmp)
+
+
+def tag_version(root: str, name: str) -> int:
+    """The trunk version a tag pins."""
+    try:
+        with open(_tag_path(root, name)) as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        raise ValueError(f"no tag {name!r}") from None
+
+
+def list_tags(root: str) -> dict[str, int]:
+    """{tag name: pinned trunk version}."""
+    out: dict[str, int] = {}
+    try:
+        names = os.listdir(_meta_dir(root))
+    except OSError:
+        return out
+    for n in names:
+        if n.startswith("t-") and n.endswith(".json") and ".tmp-" not in n:
+            with open(os.path.join(_meta_dir(root), n)) as fh:
+                tag = json.load(fh)
+            out[tag["name"]] = int(tag["version"])
+    return out
+
+
+def drop_tag(root: str, name: str) -> None:
+    try:
+        os.remove(_tag_path(root, name))
+    except FileNotFoundError:
+        raise ValueError(f"no tag {name!r}") from None
+
+
+def publish_branch(
+    root: str, name: str, allow_diverged: bool = False
+) -> int:
+    """Land a branch's head on the trunk as ONE commit — the PUBLISH
+    of write-audit-publish. Metadata-only (the branch head's segments
+    carry by name), so the audited row set becomes the trunk row set
+    atomically and time travel still sees the pre-publish trunk.
+
+    Safety: by default the trunk must not have moved since the fork
+    (fast-forward publish). If it has, the branch's audited state no
+    longer reflects trunk history and we raise ConcurrentCommit — the
+    caller re-forks, re-audits, retries. ``allow_diverged=True``
+    overrides with last-writer-wins (the branch row set REPLACES the
+    diverged trunk rows, schema mapping taken from the branch)."""
+    bh = current_version(root, name)
+    if not bh:
+        raise ValueError(f"no branch {name!r}")
+    bm = read_manifest(root, bh, name)
+    fork = int(read_manifest(root, 1, name).get("fork_version") or 0)
+    head = current_version(root)
+    if head != fork and not allow_diverged:
+        raise ConcurrentCommit(
+            f"trunk advanced to v{head} since branch {name!r} forked at "
+            f"v{fork}; re-fork and re-audit, or publish with "
+            "allow_diverged=True"
+        )
+    head_m = read_manifest(root, head) if head else {}
+    extra = _carry_manifest_extras(bm, head_m)
+    extra["published_from"] = {
+        "branch": name,
+        "branch_version": bh,
+        "fork_version": fork,
+    }
+    return _commit(
+        root, head, "publish", _parent_segments(root, bm), extra
+    )
+
+
+def table_refs(spark: SparkSession, root: str) -> DataFrame:
+    """Named refs as a metadata table (Iceberg's ``refs``): one row
+    per branch (head version in its own chain + trunk fork point) and
+    per tag (pinned trunk version), plus the implicit trunk. Resolved
+    from O(#refs) small JSON — no data files open."""
+    rows = [("main", "branch", current_version(root), None)]
+    for b, head in sorted(list_branches(root).items()):
+        fork = int(read_manifest(root, 1, b).get("fork_version") or 0)
+        rows.append((b, "branch", head, fork))
+    for t, v in sorted(list_tags(root).items()):
+        rows.append((t, "tag", v, None))
+    return spark.createDataFrame(
+        rows, "ref string, kind string, version int, fork_version int"
+    )
+
+
+
+def table_files(
+    spark: SparkSession,
+    root: str,
+    version: int | str | None = None,
+    ref: str = "main",
+) -> DataFrame:
+    """The FILES METADATA TABLE (Iceberg's ``files``): one row per
+    data file of the resolved snapshot with its owning segment, its
+    footer-lifted row count, and its identity-partition tuple — all
+    from manifest/segment JSON, no data files open. Row counts and
+    partition values are recorded at segment-write time; files from
+    segments written before row accounting existed surface null (the
+    honest answer, not a scan).
+
+    Scale shape: assembly is O(#files) of metadata on the driver —
+    the audit/inspection surface, not a data-plane operator; the
+    two-tier layout bounds each segment, and a table with millions of
+    files would lift the same segment JSONs through a distributed
+    read keyed by segment name."""
+    if isinstance(version, str):
+        version = tag_version(root, version)
+    v = current_version(root, ref) if version is None else version
+    m = read_manifest(root, v, ref)
+    rows = []
+    if "segments" in m:
+        for seg in m["segments"]:
+            obj = _read_segment_obj(root, seg)
+            nrows = obj.get("rows") or {}
+            parts = obj.get("partitions") or {}
+            for f in obj["files"]:
+                rows.append((f, seg, nrows.get(f), parts.get(f)))
+    else:  # legacy inline-files manifest
+        rows = [(f, None, None, None) for f in m.get("files", [])]
+    return spark.createDataFrame(
+        rows,
+        "file string, segment string, n_rows long, "
+        "partition map<string,string>",
+    )
+
+
+def table_partitions(
+    spark: SparkSession,
+    root: str,
+    version: int | str | None = None,
+    ref: str = "main",
+) -> DataFrame:
+    """The PARTITIONS METADATA TABLE (Iceberg's ``partitions``): one
+    row per identity-partition tuple of the resolved snapshot with
+    its file count and metadata-exact row count — answered entirely
+    from segment JSON. The ops surface for layout questions (skewed
+    partitions, small-file pressure, erasure-scope sizing) that must
+    not cost a 100 TB scan. Requires a recorded partition spec."""
+    if isinstance(version, str):
+        version = tag_version(root, version)
+    v = current_version(root, ref) if version is None else version
+    spec = read_manifest(root, v, ref).get("partition_spec")
+    if not spec:
+        raise ValueError(
+            "table has no partition_spec; commit with partition_by first"
+        )
+    files = table_files(spark, root, v, ref)
+    keys = [files["partition"][c].alias(c) for c in spec]
+    return files.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+
 def clustered_prune(
     root: str,
     a_lo: int,
@@ -1301,19 +1642,29 @@ def clustered_prune(
 def read_snapshot(
     spark: SparkSession,
     root: str,
-    version: int | None = None,
+    version: int | str | None = None,
     prune: dict | None = None,
+    ref: str = "main",
 ) -> DataFrame:
     """Time-travel read: the exact file list of ``version`` (default:
     current head). Empty table -> raises like a missing parquet path
     would; version 0 is not a readable snapshot.
 
+    ``version`` may be a TAG NAME (str): it resolves through the tag
+    file to the pinned trunk version — Iceberg's
+    ``VERSION AS OF 'tag'``. ``ref`` names a BRANCH: the read targets
+    that branch's own version chain (its head by default).
+
     ``prune`` = {col: (lo, hi)} applies manifest min/max file
     skipping (see `pruned_manifest_files`) — an optimization only
     valid under the caller's equivalent row filter, exactly like
     partition pruning."""
-    v = current_version(root) if version is None else version
-    return _read_files(spark, root, read_manifest(root, v), prune)
+    if isinstance(version, str):
+        if ref != "main":
+            raise ValueError("a tag read targets the trunk; drop ref=")
+        version = tag_version(root, version)
+    v = current_version(root, ref) if version is None else version
+    return _read_files(spark, root, read_manifest(root, v, ref), prune)
 
 
 def table_history(spark: SparkSession, root: str) -> DataFrame:
@@ -1373,6 +1724,10 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
         if name.startswith("v") and name.endswith(".json")
     )
     keep = {v for v in versions if v > head - keep_last} | {head}
+    # tags PIN their trunk version through retention (the
+    # reproducibility contract): a tagged manifest and everything it
+    # references stay live until drop_tag
+    keep |= {v for v in list_tags(root).values() if v in set(versions)}
     live: set[str] = set()
     expired_refs: set[str] = set()
     live_segs: set[str] = set()
@@ -1383,6 +1738,17 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
         (live_segs if v in keep else expired_segs).update(
             m.get("segments", [])
         )
+    # every BRANCH manifest is live by definition (branches are
+    # dropped explicitly, never expired): their files/segments must
+    # survive the sweep even when no trunk version references them
+    for bname, bhead in list_branches(root).items():
+        for bv in range(1, bhead + 1):
+            try:
+                bm = read_manifest(root, bv, bname)
+            except OSError:
+                continue  # racing drop_branch
+            live.update(manifest_files(root, bm))
+            live_segs.update(bm.get("segments", []))
     deleted: list[str] = []
     for v in versions:
         if v not in keep:
@@ -1845,7 +2211,16 @@ def read_appends(
         for n in os.listdir(_meta_dir(root))
         if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
     )
-    oldest = retained[0] if retained else 0
+    # the readable window is the CONTIGUOUS run of manifests ending at
+    # head: a tag-pinned island older than the run (kept by
+    # expire_snapshots) does not extend the changelog, because
+    # reconstructing the versions between it and the run is impossible
+    oldest = head
+    for v in reversed(retained):
+        if v == oldest or v == oldest - 1:
+            oldest = v
+        elif v < oldest:
+            break
     min_since = 0 if oldest <= 1 else oldest
     if since_version < min_since:
         raise RetentionExpired(
