@@ -1316,3 +1316,113 @@ def events_snapshot_partitions_metadata(
     return parts.select(
         "day", F.col("n_rows").cast("bigint").alias("n_rows")
     ).orderBy("day")
+
+
+def _mor_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once snapshot table exercising MERGE-ON-READ deletes:
+    v1 appends the events corpus; v2 and v3 are `commit_mor_delete`s
+    (zero data files rewritten — the erasure lands as position-delete
+    parquet and an accumulated ``delete_files`` list); v4 is the
+    compaction that applies and clears them."""
+    from metastore_spark.serve import _fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint([src])
+    root = os.path.join(_SNAP_ROOT, f"events-mor1-{fp}")
+    if snap.current_version(root) >= 4:
+        return root
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    os.makedirs(_SNAP_ROOT, exist_ok=True)
+    tmp = f"{root}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snap.commit_append(spark, tmp, base.repartitionByRange(4, "user_id"))
+    snap.commit_mor_delete(
+        spark,
+        tmp,
+        (F.col("event_type") == "click") & (F.col("user_id") % 5 == 0),
+    )
+    snap.commit_mor_delete(
+        spark,
+        tmp,
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 11 == 0),
+    )
+    snap.compact(spark, tmp, target_files=4)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    return root
+
+
+_MOR_LEG = """
+    SELECT '{stage}' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM {src}
+"""
+
+
+@query(
+    "events_snapshot_mor_delete",
+    oracle=(
+        "WITH live AS (SELECT * FROM events WHERE NOT "
+        "(event_type = 'click' AND user_id % 5 = 0) AND NOT "
+        "(event_type = 'purchase' AND event_id % 11 = 0)) "
+        + _MOR_LEG.format(stage="compacted", src="live")
+        + " UNION ALL " + _MOR_LEG.format(stage="mor", src="live")
+        + " UNION ALL " + _MOR_LEG.format(stage="v1", src="events")
+        + " ORDER BY stage"
+    ),
+)
+def events_snapshot_mor_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE-ON-READ deletes end-to-end (Iceberg v2 position deletes /
+    Delta deletion vectors): two erasure predicates land as
+    POSITION-DELETE files — the query self-checks that NOT ONE data
+    file was rewritten across both deletes — applied at read assembly
+    by an anti-join on (file name, row index); compaction then folds
+    the table with the deletes applied and clears the list (self-
+    checked empty). Three hash-oracled stages: the pre-delete v1 must
+    equal the raw corpus, the MOR head and the post-compaction head
+    must BOTH equal the SQL-filtered corpus — so a position recorded
+    against the wrong file/row, an anti-join that misses a cohort, a
+    commit that drops the carried delete list, or a fold that
+    resurrects deleted rows all hash-mismatch.
+
+    Scale shape: the COW alternative rewrites every file containing a
+    victim row — for scattered GDPR erasure on a 100 TB table that is
+    effectively a full rewrite; MOR writes O(matches) positions and
+    defers the rewrite to scheduled compaction. Readers pay one
+    anti-join against the (small) delete set, AQE-broadcast; the
+    position scan itself is partition-prunable (`scan_prune`)."""
+    root = _mor_table(spark, sf_dir)
+    # self-checks: zero-rewrite across both MOR deletes; compaction
+    # cleared the accumulated delete list
+    f1 = set(snap.files_of(root, 1))
+    assert set(snap.files_of(root, 2)) == f1
+    assert set(snap.files_of(root, 3)) == f1
+    m3, m4 = snap.read_manifest(root, 3), snap.read_manifest(root, 4)
+    assert len(m3.get("delete_files") or []) >= 2
+    assert not m4.get("delete_files")
+
+    def leg(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents_sum"),
+        )
+    out = (
+        leg(snap.read_snapshot(spark, root, 4), "compacted")
+        .unionAll(leg(snap.read_snapshot(spark, root, 3), "mor"))
+        .unionAll(leg(snap.read_snapshot(spark, root, 1), "v1"))
+    )
+    return out.orderBy("stage")

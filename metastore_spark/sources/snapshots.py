@@ -403,6 +403,16 @@ def _parent_segments(root: str, manifest: dict) -> list[str]:
     return []
 
 
+def _carry_deletes(src_manifest: dict, extra: dict) -> None:
+    """Position-delete files inherit like cluster_spec: every commit
+    that carries its parent's row set forward must carry the parent's
+    delete set, or merge-on-read deleted rows silently resurrect.
+    Compaction is the ONE deliberate non-carrier — it folds with the
+    deletes applied and clears the list."""
+    if src_manifest.get("delete_files") and "delete_files" not in extra:
+        extra["delete_files"] = list(src_manifest["delete_files"])
+
+
 def _carry_cluster(src_manifest: dict, extra: dict) -> None:
     """cluster_spec inherits exactly like partition_spec: once a
     clustered compaction records it, every later commit carries it so
@@ -520,6 +530,8 @@ def _evolve(root: str, transform) -> int:
         extra["stats_cols"] = scols
     if spec:
         extra["partition_spec"] = spec
+    _carry_cluster(m, extra)
+    _carry_deletes(m, extra)
     return _commit(root, head, "evolve", _parent_segments(root, m), extra)
 
 
@@ -775,12 +787,51 @@ def _with_src(df: DataFrame) -> DataFrame:
     )
 
 
+def _with_pos(df: DataFrame) -> DataFrame:
+    """Capture (file name, row index) at SCAN level, where _metadata
+    still resolves — the row identity merge-on-read deletes key on."""
+    return df.withColumns(
+        {
+            "_mor_file": F.col("_metadata.file_name"),
+            "_mor_pos": F.col("_metadata.row_index"),
+        }
+    )
+
+
+def _apply_mor_deletes(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    delete_files: list[str],
+    keep_pos: bool,
+) -> DataFrame:
+    """Anti-join the position-delete set (file name, row index) out of
+    an assembled snapshot frame. The delete side is a plain parquet
+    read the optimizer sizes itself — erasure/quarantine sets are
+    small, so AQE broadcasts; a pathological giant delete set degrades
+    to a shuffle join instead of an OOM. No-op without delete files."""
+    if delete_files:
+        dels = spark.read.parquet(
+            *[os.path.join(root, f) for f in delete_files]
+        )
+        df = df.join(
+            dels,
+            (df["_mor_file"] == dels["file_name"])
+            & (df["_mor_pos"] == dels["pos"]),
+            "left_anti",
+        )
+    if not keep_pos and "_mor_file" in df.columns:
+        df = df.drop("_mor_file", "_mor_pos")
+    return df
+
+
 def _read_files(
     spark: SparkSession,
     root: str,
     manifest: dict,
     prune: dict | None = None,
     with_source: bool = False,
+    with_pos: bool = False,
 ) -> DataFrame:
     """Read a manifest's exact (optionally stats-pruned) file list
     under its COMMITTED schema (Iceberg-style: schema lives in
@@ -797,8 +848,21 @@ def _read_files(
     single-read fast path below.
 
     ``with_source`` adds the ``_src`` file-path column (COW rewrite
-    lineage) at scan level, where ``_metadata`` still resolves."""
+    lineage) at scan level, where ``_metadata`` still resolves.
+
+    MERGE-ON-READ deletes: when the manifest carries ``delete_files``
+    (position-delete parquet written by `commit_mor_delete`), every
+    scan captures (_metadata.file_name, _metadata.row_index) and the
+    assembled frame anti-joins the delete set on (file, position) —
+    Iceberg v2 position deletes / Delta deletion vectors, expressed
+    as a join the optimizer sizes itself (erasure sets are small, so
+    AQE broadcasts them). ``with_pos`` keeps the ``_mor_file`` /
+    ``_mor_pos`` columns visible to the caller (the delete writer
+    itself needs them); file NAMES (not paths) key the join — write
+    UUIDs make them unique per table and rename-safe."""
     entries = list(_pruned_files_with_columns(root, manifest, prune))
+    dels = manifest.get("delete_files") or []
+    need_pos = with_pos or bool(dels)
     if "schema" not in manifest:
         # legacy manifest, no committed schema to stand on
         if not entries:
@@ -810,7 +874,11 @@ def _read_files(
         df = spark.read.parquet(
             *[os.path.join(root, f) for f, _c in entries]
         )
-        return _with_src(df) if with_source else df
+        if need_pos:
+            df = _with_pos(df)
+        if with_source:
+            df = _with_src(df)
+        return _apply_mor_deletes(spark, root, df, dels, with_pos)
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(manifest["schema"])
@@ -826,7 +894,11 @@ def _read_files(
         df = spark.read.schema(schema).parquet(
             *[os.path.join(root, f) for f, _c in entries]
         )
-        return _with_src(df) if with_source else df
+        if need_pos:
+            df = _with_pos(df)
+        if with_source:
+            df = _with_src(df)
+        return _apply_mor_deletes(spark, root, df, dels, with_pos)
 
     cur = [
         (f["name"], f["type"], ids.get(f["name"]))
@@ -858,6 +930,8 @@ def _read_files(
             {"type": "struct", "fields": read_fields}
         )
         df = spark.read.schema(gschema).parquet(*paths)
+        if need_pos:
+            df = _with_pos(df)
         if with_source:
             df = _with_src(df)
         cols = []
@@ -874,13 +948,16 @@ def _read_files(
                 )
             else:
                 cols.append(F.col(src).alias(name))
+        if need_pos:
+            cols.append(F.col("_mor_file"))
+            cols.append(F.col("_mor_pos"))
         if with_source:
             cols.append(F.col("_src"))
         parts.append(df.select(*cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _apply_mor_deletes(spark, root, out, dels, with_pos)
 
 
 def _field_type_str(type_json):
@@ -977,6 +1054,7 @@ def commit_append(
     if spec:
         extra["partition_spec"] = list(spec)
     _carry_cluster(prev_manifest, extra)
+    _carry_deletes(prev_manifest, extra)
     return _commit(root, parent, "append", prev_segs + [seg], extra, ref)
 
 
@@ -1048,6 +1126,7 @@ def commit_delete_where(
         if spec:
             extra["partition_spec"] = list(spec)
         _carry_cluster(prev_manifest, extra)
+        _carry_deletes(prev_manifest, extra)
         return _commit(root, parent, "delete", prev_segs, extra or None, ref)
     survivors = (
         with_file.join(F.broadcast(affected_df), "_src", "left_semi")
@@ -1081,7 +1160,77 @@ def commit_delete_where(
     if spec:
         schema_extra["partition_spec"] = list(spec)
     _carry_cluster(prev_manifest, schema_extra)
+    _carry_deletes(prev_manifest, schema_extra)
     return _commit(root, parent, "delete", new_segs, schema_extra or None, ref)
+
+
+def commit_mor_delete(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    scan_prune: dict | None = None,
+    ref: str = "main",
+) -> int:
+    """MERGE-ON-READ delete (Iceberg v2 position deletes / Delta
+    deletion vectors): instead of rewriting affected data files (the
+    copy-on-write `commit_delete_where`), ONE scan records the
+    matching rows' (file name, row index) positions into a small
+    position-delete parquet, and the commit carries every data
+    segment untouched plus the accumulated ``delete_files`` list.
+    Readers anti-join the positions out at scan assembly
+    (`_read_files`), so the delete is visible at the next snapshot
+    with ZERO data rewritten — the shape a 100 TB GDPR erasure wants
+    when the victims are scattered across thousands of files and COW
+    would rewrite them all. `compact` later applies and clears the
+    accumulated deletes (and aborts if one lands mid-fold).
+
+    Same SQL DELETE semantics as COW: only predicate-TRUE rows
+    delete (NULL keeps); ``scan_prune`` scopes the position scan with
+    the caller-owed guarantee that pruned-out files contain no
+    matches; re-deleting an already-deleted row is a no-op (its
+    position is already absent from the read). Cost model: one
+    (prunable) scan + O(matches) delete rows + an O(#segments)
+    commit; reads pay one anti-join against O(accumulated deletes).
+    """
+    parent = current_version(root, ref)
+    if not parent:
+        raise ValueError("cannot delete from an empty table or branch")
+    prev_manifest = read_manifest(root, parent, ref)
+    prev_segs = _parent_segments(root, prev_manifest)
+    hit = F.coalesce(predicate.cast("boolean"), F.lit(False))
+    live = _read_files(
+        spark, root, prev_manifest, prune=scan_prune, with_pos=True
+    )
+    positions = (
+        live.filter(hit)
+        .select(
+            F.col("_mor_file").alias("file_name"),
+            F.col("_mor_pos").alias("pos"),
+        )
+    )
+    # bounded fan-in (no shuffle): a position set is O(matches) rows
+    # of two small columns — 16 writers keep the write parallel while
+    # capping the per-commit delete-file count
+    written = _write_data_files(positions.coalesce(16), root)
+    extra: dict = {}
+    if "schema" in prev_manifest:
+        extra["schema"] = prev_manifest["schema"]
+        extra.update(
+            _ids_for_commit(
+                prev_manifest, prev_manifest["schema"]["fields"]
+            )
+        )
+    if prev_manifest.get("stats_cols"):
+        extra["stats_cols"] = list(prev_manifest["stats_cols"])
+    if prev_manifest.get("partition_spec"):
+        extra["partition_spec"] = list(prev_manifest["partition_spec"])
+    _carry_cluster(prev_manifest, extra)
+    extra["delete_files"] = (
+        list(prev_manifest.get("delete_files") or []) + written
+    )
+    return _commit(
+        root, parent, "delete-mor", prev_segs, extra or None, ref
+    )
 
 
 def _segments_after_removal(
@@ -1221,6 +1370,7 @@ def commit_merge(
     if spec:
         extra["partition_spec"] = list(spec)
     _carry_cluster(prev_manifest, extra)
+    _carry_deletes(prev_manifest, extra)
     return _commit(root, parent, "merge", new_segs, extra, ref)
 
 
@@ -1281,6 +1431,7 @@ def commit_delete_keys(
         extra["partition_spec"] = list(spec)
     if not affected:
         _carry_cluster(prev_manifest, extra)
+        _carry_deletes(prev_manifest, extra)
         return _commit(root, parent, "delete", prev_segs, extra or None, ref)
     survivors = (
         with_file.join(F.broadcast(affected_df), "_src", "left_semi")
@@ -1307,6 +1458,7 @@ def commit_delete_keys(
             )
         )
     _carry_cluster(prev_manifest, extra)
+    _carry_deletes(prev_manifest, extra)
     return _commit(root, parent, "delete", new_segs, extra or None, ref)
 
 
@@ -1331,7 +1483,9 @@ def rollback_to(root: str, version: int) -> int:
     # rolling back across an evolution restores the target's schema
     # AND mapping; next_column_id stays at the table-wide max so a
     # retired ID is never re-minted
-    for k in ("column_ids", "legacy_columns", "cluster_spec"):
+    for k in (
+        "column_ids", "legacy_columns", "cluster_spec", "delete_files"
+    ):
         if target.get(k):
             extra[k] = target[k]
     head_m = read_manifest(root, head)
@@ -1361,6 +1515,7 @@ def _carry_manifest_extras(src: dict, peer: dict | None = None) -> dict:
         "column_ids",
         "legacy_columns",
         "cluster_spec",
+        "delete_files",
     ):
         if src.get(k):
             extra[k] = src[k]
@@ -1734,7 +1889,10 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     expired_segs: set[str] = set()
     for v in versions:
         m = read_manifest(root, v)
-        (live if v in keep else expired_refs).update(manifest_files(root, m))
+        refs_v = manifest_files(root, m) + list(
+            m.get("delete_files") or []
+        )
+        (live if v in keep else expired_refs).update(refs_v)
         (live_segs if v in keep else expired_segs).update(
             m.get("segments", [])
         )
@@ -1748,6 +1906,7 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
             except OSError:
                 continue  # racing drop_branch
             live.update(manifest_files(root, bm))
+            live.update(bm.get("delete_files") or [])
             live_segs.update(bm.get("segments", []))
     deleted: list[str] = []
     for v in versions:
@@ -1937,6 +2096,7 @@ def _commit_segments_with_retry(
         ):
             attempt_extra["partition_spec"] = list(pm["partition_spec"])
         _carry_cluster(pm, attempt_extra)
+        _carry_deletes(pm, attempt_extra)
         # column-ID inheritance mirrors stats_cols: if a concurrent
         # commit established IDs between the caller's head read and
         # the winning retry, re-derive the mapping from the current
@@ -2117,6 +2277,19 @@ def compact(
                 "concurrent commit (delete/compact); committing this "
                 "rewrite would resurrect their deleted rows — re-run "
                 "compaction on the new head"
+            )
+        # same rule for merge-on-read: the fold was computed under the
+        # BASE's position-delete set, and compaction deliberately
+        # clears delete_files — a delete-mor that landed since would
+        # silently resurrect its rows inside the fold
+        if set(head_manifest.get("delete_files") or []) != set(
+            base_manifest.get("delete_files") or []
+        ):
+            raise ConcurrentCommit(
+                "position deletes changed under this compaction "
+                "(concurrent commit_mor_delete); committing the fold "
+                "would resurrect the deleted rows — re-run compaction "
+                "on the new head"
             )
         # Segments added since the compacted base, by RESOLVED FILE
         # diff, not segment name: `_parent_segments` mints a fresh

@@ -1,0 +1,223 @@
+"""Merge-on-read position deletes (Iceberg v2 position deletes /
+Delta deletion vectors): zero-rewrite deletes applied at read
+assembly, cleared by compaction
+(metastore_spark/sources/snapshots.py commit_mor_delete)."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from metastore_spark.sources import snapshots as snap
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+    )
+
+
+def test_mor_delete_rewrites_nothing(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 1000).repartition(4))
+    f1 = set(snap.files_of(root, 1))
+    snap.commit_mor_delete(spark, root, F.col("g") == 3)
+    assert set(snap.files_of(root, 2)) == f1  # zero data files rewritten
+    assert snap.read_snapshot(spark, root).count() == 900
+    assert snap.read_snapshot(spark, root).filter("g = 3").count() == 0
+    # time travel still sees the pre-delete rows
+    assert snap.read_snapshot(spark, root, 1).count() == 1000
+    assert snap.read_manifest(root, 2)["op"] == "delete-mor"
+
+
+def test_mor_deletes_accumulate_and_carry(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 1000).repartition(4))
+    snap.commit_mor_delete(spark, root, F.col("g") == 3)
+    snap.commit_mor_delete(spark, root, F.col("g") == 4)
+    assert snap.read_snapshot(spark, root).count() == 800
+    # every later commit type carries the delete set forward
+    snap.commit_append(spark, root, _df(spark, 1000, 1100))
+    assert snap.read_snapshot(spark, root).count() == 900
+    snap.rename_column(root, "g", "grp")
+    assert (
+        snap.read_snapshot(spark, root).filter("grp = 3").count() == 10
+    )  # only the post-delete append's rows survive
+    total = snap.read_snapshot(spark, root).agg(F.sum("k")).first()[0]
+    keep = [i for i in range(1000) if i % 10 not in (3, 4)] + list(
+        range(1000, 1100)
+    )
+    assert total == sum(keep)
+
+
+def test_cow_delete_does_not_resurrect_mor_rows(spark, tmp_path):
+    """A COW rewrite of files containing MOR-deleted rows must build
+    its survivors from the deletes-applied read."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 1000).repartition(4))
+    snap.commit_mor_delete(spark, root, F.col("g") == 3)
+    snap.commit_delete_where(spark, root, F.col("g") == 5)  # rewrites all
+    head = snap.read_snapshot(spark, root)
+    assert head.count() == 800
+    assert head.filter("g in (3, 5)").count() == 0
+
+
+def test_mor_then_merge_upsert(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(2))
+    snap.commit_mor_delete(spark, root, F.col("g") == 3)
+    src = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit(77).cast("long").alias("g")
+    )
+    snap.commit_merge(spark, root, src, ["k"])
+    head = snap.read_snapshot(spark, root)
+    # k=3 was MOR-deleted, then re-inserted by the merge (no target
+    # match since the row is gone from the read)
+    assert head.filter("k = 3").count() == 1
+    assert head.filter("g = 3").count() == 0
+    # 90 live rows, 4 of them replaced in place, k=3 re-inserted
+    assert head.count() == 91
+
+
+def test_compact_applies_and_clears_mor_deletes(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 1000).repartition(4))
+    snap.commit_mor_delete(spark, root, F.col("g") == 3)
+    v = snap.compact(spark, root, target_files=1)
+    m = snap.read_manifest(root, v)
+    assert not m.get("delete_files")
+    assert snap.read_snapshot(spark, root, v).count() == 900
+    # physically gone: re-reading the fold finds no g=3 anywhere
+    assert snap.read_snapshot(spark, root, v).filter("g = 3").count() == 0
+
+
+def test_compact_aborts_on_concurrent_mor_delete(
+    spark, tmp_path, monkeypatch
+):
+    """Compaction folds under the BASE's delete set and clears
+    delete_files — a delete-mor landing mid-fold must abort it, or
+    its rows resurrect inside the fold."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 400).repartition(4))
+    orig = snap._write_data_files
+    state = {"raced": False}
+
+    def hooked(df, r, partition_by=None):
+        files = orig(df, r, partition_by)
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(snap, "_write_data_files", orig)
+            snap.commit_mor_delete(spark, root, F.col("g") == 7)
+        return files
+
+    monkeypatch.setattr(snap, "_write_data_files", hooked)
+    with pytest.raises(snap.ConcurrentCommit):
+        snap.compact(spark, root, target_files=1)
+    # the MOR delete survives, un-resurrected
+    assert snap.read_snapshot(spark, root).filter("g = 7").count() == 0
+    # rerun against the new head succeeds and clears the deletes
+    v = snap.compact(spark, root, target_files=1)
+    assert snap.read_snapshot(spark, root, v).count() == 360
+    assert not snap.read_manifest(root, v).get("delete_files")
+
+
+def test_mor_on_branch_and_publish(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(2))
+    snap.create_branch(root, "audit")
+    snap.commit_mor_delete(spark, root, F.col("g") == 0, ref="audit")
+    assert snap.read_snapshot(spark, root).count() == 100  # trunk intact
+    assert snap.read_snapshot(spark, root, ref="audit").count() == 90
+    snap.publish_branch(root, "audit")
+    assert snap.read_snapshot(spark, root).count() == 90
+
+
+def test_mor_survives_rollback(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(2))
+    snap.commit_mor_delete(spark, root, F.col("g") == 0)  # v2
+    snap.commit_append(spark, root, _df(spark, 100, 200))  # v3
+    snap.rollback_to(root, 2)  # v4 = v2's row set incl. delete state
+    assert snap.read_snapshot(spark, root).count() == 90
+    assert snap.read_snapshot(spark, root).filter("g = 0").count() == 0
+
+
+def test_mor_null_predicate_keeps_rows(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 5, F.col("id")).alias("g"),
+    )
+    snap.commit_append(spark, root, df)
+    snap.commit_mor_delete(spark, root, F.col("g") < 3)
+    # NULL-g rows evaluate NULL -> kept (SQL DELETE semantics)
+    assert snap.read_snapshot(spark, root).count() == 7
+
+
+def test_mor_scan_prune_scopes_the_position_scan(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _df(spark, 0, 300).withColumn(
+        "day", (F.col("k") % 3).cast("string")
+    )
+    snap.commit_append(spark, root, df, partition_by=["day"])
+    snap.commit_mor_delete(
+        spark,
+        root,
+        (F.col("day") == "1") & (F.col("g") == 1),
+        scan_prune={"day": ["1"]},
+    )
+    head = snap.read_snapshot(spark, root)
+    assert head.count() == 300 - 30
+    assert head.filter("day = '1' and g = 1").count() == 0
+
+
+def test_expire_reclaims_expired_delete_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(2))
+    snap.commit_mor_delete(spark, root, F.col("g") == 0)  # v2
+    del_files = snap.read_manifest(root, 2)["delete_files"]
+    assert del_files
+    v = snap.compact(spark, root, target_files=1)  # v3 clears deletes
+    for lo in range(3):
+        snap.commit_append(spark, root, _df(spark, 100 + lo, 101 + lo))
+    snap.expire_snapshots(root, keep_last=2)
+    # delete files of expired versions are reclaimed...
+    for f in del_files:
+        assert not os.path.exists(os.path.join(root, f)), f
+    # ...and the head still reads correctly
+    assert snap.read_snapshot(spark, root).count() == 93
+
+
+def test_expire_keeps_live_delete_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(2))
+    snap.commit_mor_delete(spark, root, F.col("g") == 0)
+    for lo in range(3):
+        snap.commit_append(spark, root, _df(spark, 100 + lo, 101 + lo))
+    snap.expire_snapshots(root, keep_last=2)
+    head = snap.read_snapshot(spark, root)
+    assert head.count() == 93
+    assert head.filter("g = 0 and k < 100").count() == 0
+
+
+def test_mor_across_schema_evolution_cohorts(spark, tmp_path):
+    """MOR positions join per-file, so evolved tables (multi-cohort
+    grouped reads) must apply them inside every cohort."""
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark,
+        root,
+        spark.range(50).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).cast("int").alias("g"),
+        ),
+    )
+    snap.widen_column(root, "g", "long")
+    snap.commit_append(spark, root, _df(spark, 50, 100))
+    snap.commit_mor_delete(spark, root, F.col("g") == 2)
+    head = snap.read_snapshot(spark, root)
+    assert head.count() == 90
+    assert head.filter("g = 2").count() == 0
+    # both cohorts lost exactly their g=2 rows
+    assert head.filter("k < 50").count() == 45
