@@ -1426,3 +1426,110 @@ def events_snapshot_mor_delete(
         .unionAll(leg(snap.read_snapshot(spark, root, 1), "v1"))
     )
     return out.orderBy("stage")
+
+
+@query(
+    "events_snapshot_stream_source",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM events WHERE event_id % 3 IN (0, 1)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_snapshot_stream_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The snapshot table as a STRUCTURED STREAMING SOURCE through
+    Spark's Python DataSource API (`spark.readStream.format
+    ("snapshot")`) with snapshot VERSIONS as offsets: an availableNow
+    drain over the shared 3-version events store must serve exactly
+    the rows of its two append commits — the v3 COW delete commits
+    later and, per the changelog contract, retracts nothing from the
+    feed. Offsets live in Spark's own checkpoint, so this is the
+    exactly-once consumer loop (restart-resume pinned in
+    tests/test_spark_source.py) expressed as a first-class source
+    instead of a library call.
+
+    Scale shape: offset resolution and batch planning are O(window
+    manifests) of driver-side JSON; each micro-batch reads ONLY the
+    append commits' new segments (one arrow slice per new file,
+    columns pruned to the projection) — the Delta-source/Iceberg-
+    incremental-scan design, so a 100 TB table's consumers tail the
+    commit log at O(delta) cost with no side ledger to drift."""
+    from metastore_spark.sources.spark_source import SnapshotDataSource
+    from metastore_spark.streaming import events as ev
+
+    try:
+        spark.dataSource.register(SnapshotDataSource)
+    except Exception:
+        pass  # already registered in this session
+    root = _events_table(spark, sf_dir)
+    stream = spark.readStream.format("snapshot").load(root)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents_sum"),
+    )
+    name = f"snapshot_stream_src_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    ev.run_to_memory_sink(agg, name, output_mode="complete")
+    return spark.table(name).orderBy("event_type")
+
+
+@query(
+    "events_snapshot_source_batch",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM events
+    WHERE NOT (event_type = 'click' AND user_id % 5 = 0)
+      AND NOT (event_type = 'purchase' AND event_id % 11 = 0)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_snapshot_source_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch read through the registered ``format("snapshot")`` data
+    source, time-traveled to the MERGE-ON-READ head of the MOR store
+    (``option("version", 3)``) — so the WORKER-SIDE arrow kernel does
+    the full job: per-file position-delete masking before projection,
+    manifest-exact file planning, column pruning to the projection.
+    The oracle recomputes the doubly-erased corpus from raw SQL; a
+    position masked in the wrong file, an off-by-one row index, or a
+    delete file dropped in planning hash-mismatches.
+
+    Scale shape: one InputPartition per data file (scan parallelism =
+    the manifest's file list), each reading only the projected
+    columns; the delete set is re-read per slice filtered to that
+    file — O(small) parquet, the per-file share of the anti-join the
+    JVM path runs."""
+    from metastore_spark.sources.spark_source import SnapshotDataSource
+
+    try:
+        spark.dataSource.register(SnapshotDataSource)
+    except Exception:
+        pass  # already registered in this session
+    root = _mor_table(spark, sf_dir)
+    df = (
+        spark.read.format("snapshot")
+        .option("version", "3")
+        .load(root)
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents_sum"),
+        )
+        .orderBy("event_type")
+    )

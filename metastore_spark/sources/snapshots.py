@@ -2350,6 +2350,13 @@ def compact(
             continue
 
 
+def _append_new_segments(root: str, m: dict, pm: dict) -> list[str]:
+    """The segments an append commit ADDED over its parent — the
+    commit's own new rows, by name diff (both manifests two-tier)."""
+    parent_segs = set(pm["segments"])
+    return [s for s in m["segments"] if s not in parent_segs]
+
+
 def read_appends(
     spark: SparkSession,
     root: str,
@@ -2409,8 +2416,7 @@ def read_appends(
             continue
         pm = read_manifest(root, m["parent"]) if m["parent"] else {}
         if "segments" in m and "segments" in pm:
-            parent_segs = set(pm["segments"])
-            new_segs = [s for s in m["segments"] if s not in parent_segs]
+            new_segs = _append_new_segments(root, m, pm)
         elif "segments" in m:
             # legacy boundary: the parent is a round-6 inline-files
             # manifest, so its lazily-folded segment carries a fresh

@@ -1,0 +1,378 @@
+"""The snapshot table format as a FIRST-CLASS Spark data source.
+
+Registers a Python DataSource (Spark 4 ``pyspark.sql.datasource``)
+named ``snapshot`` so the format plugs into the standard reader APIs
+instead of a library call:
+
+    spark.dataSource.register(SnapshotDataSource)
+    spark.read.format("snapshot").load(root)                  # head
+    spark.read.format("snapshot").option("version", 3).load(root)
+    spark.read.format("snapshot").option("version", "prod").load(root)
+    spark.read.format("snapshot").option("ref", "audit").load(root)
+    (spark.readStream.format("snapshot").load(root)            # tail
+         .writeStream...)                                      # the feed
+
+Batch reads resolve the manifest exactly like
+`snapshots.read_snapshot` — committed schema, column-ID evolution
+mapping per file cohort, merge-on-read position deletes — but execute
+as one InputPartition per data file with a pyarrow worker-side kernel
+(columns pruned to the projection, delete positions masked before
+projection), so the scan parallelism is the manifest's file list.
+
+The STREAM reader makes the commit log a Structured Streaming source
+with snapshot VERSIONS as offsets: `initialOffset` starts at 0 (or
+``option("since", v)``), `latestOffset` is the trunk head, and each
+micro-batch reads exactly the new segments of the append commits in
+``(start, end]`` — `snapshots.read_appends`' contract (deletes /
+compactions / publishes contribute nothing; rows are served AS OF
+their append). Offsets live in Spark's checkpoint, so restart resumes
+exactly-once without any side ledger; a checkpoint that fell behind
+retention fails the stream with `RetentionExpired` rather than a
+silent gap.
+
+Scale shape: offset resolution and partition planning are O(window
+manifests) of small JSON on the driver; data movement is one arrow
+read per NEW file, pruned to the projected columns. This is the
+"table format as streaming source" design of Delta's source /
+Iceberg's incremental scan, expressed through Spark's public Python
+DataSource API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from metastore_spark.sources import snapshots as snap
+
+
+class _FileSlice(InputPartition):
+    """One data file plus everything the worker kernel needs: the
+    target schema (JSON), the manifest's column-ID map, the file's
+    write-time column metadata, and the snapshot's delete files."""
+
+    def __init__(self, path, schema_json, ids_json, columns_json,
+                 delete_paths):
+        self.path = path
+        self.schema_json = schema_json
+        self.ids_json = ids_json
+        self.columns_json = columns_json
+        self.delete_paths = delete_paths
+
+
+def _arrow_read(part: _FileSlice):
+    """Worker kernel: parquet -> (MOR mask) -> ID/name projection ->
+    arrow batches matching the target schema exactly. Runs inside the
+    Python data source executor; imports stay local."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    schema = StructType.fromJson(json.loads(part.schema_json))
+    ids = json.loads(part.ids_json) if part.ids_json else None
+    cols_meta = (
+        json.loads(part.columns_json) if part.columns_json else None
+    )
+    by_id = (
+        {v["id"]: name for name, v in cols_meta.items()}
+        if cols_meta
+        else {}
+    )
+
+    def src_of(field_name: str):
+        if ids and by_id:
+            return by_id.get(ids.get(field_name))
+        return field_name
+
+    present = set(pq.ParquetFile(part.path).schema_arrow.names)
+    wanted = [
+        s
+        for s in (src_of(f.name) for f in schema.fields)
+        if s is not None and s in present
+    ]
+    tbl = pq.read_table(part.path, columns=wanted)  # column pruning
+    if part.delete_paths:
+        fname = os.path.basename(part.path)
+        dels = pq.read_table(
+            part.delete_paths, columns=["file_name", "pos"]
+        )
+        pos = dels.filter(pc.equal(dels["file_name"], fname))["pos"]
+        if len(pos):
+            keep = pa.array(
+                ~_positions_mask(pos.to_pylist(), tbl.num_rows)
+            )
+            tbl = tbl.filter(keep)
+    arrays, names = [], []
+    for f in schema.fields:
+        target = to_arrow_type(f.dataType)
+        s = src_of(f.name)
+        if s is not None and s in tbl.column_names:
+            col = tbl[s].combine_chunks()
+            if col.type != target:
+                col = col.cast(target)  # widen (e.g. int32 -> int64)
+        else:
+            col = pa.nulls(tbl.num_rows, target)
+        arrays.append(col)
+        names.append(f.name)
+    out = pa.table(arrays, names=names)
+    yield from out.to_batches(max_chunksize=8192)
+
+
+def _positions_mask(positions, n):
+    import numpy as np
+
+    m = np.zeros(n, dtype=bool)
+    idx = np.asarray(positions, dtype="int64")
+    m[idx[idx < n]] = True
+    return m
+
+
+def _slices_for_manifest(
+    root: str, manifest: dict, schema_json: str, files: list[str] | None = None
+) -> list[_FileSlice]:
+    """Driver-side planning: one slice per data file, carrying its
+    segment's write-time column metadata (evolution cohort) and the
+    manifest's delete files."""
+    ids_json = (
+        json.dumps(manifest["column_ids"])
+        if manifest.get("column_ids")
+        else None
+    )
+    delete_paths = [
+        os.path.join(root, f)
+        for f in (manifest.get("delete_files") or [])
+    ]
+    only = set(files) if files is not None else None
+    # segments written BEFORE the first evolution carry no per-segment
+    # column metadata; their write-time mapping is the manifest's
+    # legacy_columns snapshot (same fallback the library read uses)
+    legacy_cj = (
+        json.dumps(manifest["legacy_columns"])
+        if manifest.get("legacy_columns")
+        else None
+    )
+    out = []
+    if "segments" in manifest:
+        for seg in manifest["segments"]:
+            obj = snap._read_segment_obj(root, seg)
+            cj = (
+                json.dumps(obj["columns"])
+                if obj.get("columns")
+                else legacy_cj
+            )
+            for f in obj["files"]:
+                if only is not None and f not in only:
+                    continue
+                out.append(
+                    _FileSlice(
+                        os.path.join(root, f),
+                        schema_json,
+                        ids_json,
+                        cj,
+                        delete_paths,
+                    )
+                )
+    else:  # legacy inline-files manifest
+        for f in manifest.get("files", []):
+            if only is not None and f not in only:
+                continue
+            out.append(
+                _FileSlice(
+                    os.path.join(root, f), schema_json, None, None, []
+                )
+            )
+    return out
+
+
+def _nullable_schema_json(schema_obj: dict) -> dict:
+    """The committed schema with every top-level field nullable.
+
+    Parquet reads are always nullable in Spark's own scan (a user
+    schema's nullable=false is advisory there), and add-only evolution
+    null-fills files written before a column existed — but the
+    DataSource path ENFORCES declared nullability in the arrow
+    exchange, so a non-nullable committed flag would crash the very
+    null-fill the format guarantees. Declare the truth instead."""
+    out = json.loads(json.dumps(schema_obj))
+    for f in out.get("fields", []):
+        f["nullable"] = True
+    return out
+
+
+def _schema_of(root: str, version: int, ref: str = "main") -> StructType:
+    m = snap.read_manifest(root, version, ref)
+    if "schema" not in m:
+        raise ValueError(
+            "legacy table has no committed schema; read it via "
+            "snapshots.read_snapshot"
+        )
+    return StructType.fromJson(_nullable_schema_json(m["schema"]))
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, root: str, version, ref: str):
+        self.root = root
+        if isinstance(version, str) and not version.isdigit():
+            version = snap.tag_version(root, version)
+        self.version = (
+            int(version)
+            if version is not None
+            else snap.current_version(root, ref)
+        )
+        self.ref = ref
+        self.manifest = snap.read_manifest(root, self.version, ref)
+
+    def partitions(self):
+        schema_json = json.dumps(
+            _nullable_schema_json(self.manifest["schema"])
+        )
+        return _slices_for_manifest(self.root, self.manifest, schema_json)
+
+    def read(self, partition):
+        yield from _arrow_read(partition)
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Snapshot versions ARE the offsets: {"version": N}. Each batch
+    serves the new segments of append commits in (start, end] under
+    the schema pinned at stream start (later-added columns surface
+    when the stream restarts on the wider schema)."""
+
+    def __init__(self, root: str, since: int, schema_json: str,
+                 ids_json):
+        self.root = root
+        self.since = since
+        self.schema_json = schema_json
+        self.ids_json = ids_json
+
+    def initialOffset(self):
+        return {"version": self.since}
+
+    def latestOffset(self):
+        return {"version": snap.current_version(self.root)}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["version"]), int(end["version"])
+        self._check_retention(lo)
+        out = []
+        for v in range(lo + 1, hi + 1):
+            m = snap.read_manifest(self.root, v)
+            if m["op"] != "append":
+                continue
+            pm = (
+                snap.read_manifest(self.root, m["parent"])
+                if m["parent"]
+                else {}
+            )
+            if "segments" in m and "segments" in pm:
+                new_segs = snap._append_new_segments(self.root, m, pm)
+            elif "segments" in m:
+                parent_files = (
+                    set(snap.manifest_files(self.root, pm)) if pm else set()
+                )
+                new_segs = [
+                    s
+                    for s in m["segments"]
+                    if not set(snap._read_segment(self.root, s))
+                    <= parent_files
+                ]
+            else:
+                new_segs = []
+            sub = dict(m)
+            sub["segments"] = new_segs
+            sub.pop("delete_files", None)  # appends feed: no retraction
+            out.extend(
+                _slices_for_manifest(self.root, sub, self.schema_json)
+            )
+        return out
+
+    def _check_retention(self, start_version: int) -> None:
+        head = snap.current_version(self.root)
+        names = os.listdir(snap._meta_dir(self.root))
+        retained = sorted(
+            int(n[1:-5])
+            for n in names
+            if n.startswith("v") and n.endswith(".json")
+            and n[1:-5].isdigit()
+        )
+        oldest = head
+        for v in reversed(retained):
+            if v in (oldest, oldest - 1):
+                oldest = v
+            elif v < oldest:
+                break
+        min_since = 0 if oldest <= 1 else oldest
+        if start_version < min_since:
+            raise snap.RetentionExpired(
+                f"stream checkpoint at v{start_version} is behind the "
+                f"retention horizon; oldest readable checkpoint is "
+                f"{min_since} — reseed from a snapshot read"
+            )
+
+    def read(self, partition):
+        yield from _arrow_read(partition)
+
+    def commit(self, end):
+        pass  # offsets live in Spark's checkpoint; nothing to ack
+
+    def stop(self):
+        pass
+
+
+class SnapshotDataSource(DataSource):
+    """``format("snapshot")``: batch + streaming reads of the snapshot
+    table format through Spark's public Python DataSource API."""
+
+    @classmethod
+    def name(cls):
+        return "snapshot"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError(
+                "snapshot source needs a table root: .load(<root>)"
+            )
+        return root
+
+    def schema(self):
+        root = self._root()
+        ref = self.options.get("ref", "main")
+        v = self.options.get("version")
+        if isinstance(v, str) and not v.isdigit():
+            v = snap.tag_version(root, v)
+        version = int(v) if v is not None else snap.current_version(
+            root, ref
+        )
+        return _schema_of(root, version, ref)
+
+    def reader(self, schema):
+        return _BatchReader(
+            self._root(),
+            self.options.get("version"),
+            self.options.get("ref", "main"),
+        )
+
+    def streamReader(self, schema):
+        root = self._root()
+        since = int(self.options.get("since", 0))
+        head = snap.current_version(root)
+        m = snap.read_manifest(root, head)
+        ids_json = (
+            json.dumps(m["column_ids"]) if m.get("column_ids") else None
+        )
+        return _StreamReader(
+            root,
+            since,
+            json.dumps(_nullable_schema_json(m["schema"])),
+            ids_json,
+        )

@@ -1,0 +1,190 @@
+"""The snapshot format as a registered Spark data source
+(metastore_spark/sources/spark_source.py): batch reads with
+version/tag/ref resolution, evolution cohorts, MOR deletes, and the
+version-offset streaming source with exactly-once checkpoint resume."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from metastore_spark.sources import snapshots as snap
+from metastore_spark.sources.spark_source import SnapshotDataSource
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(SnapshotDataSource)
+    return spark
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+    )
+
+
+def _sorted(df):
+    return [tuple(r) for r in df.orderBy("k").collect()]
+
+
+def test_batch_head_matches_library_read(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 500).repartition(3))
+    snap.commit_mor_delete(spark, root, F.col("g") == 3)
+    via_source = spark.read.format("snapshot").load(root)
+    via_lib = snap.read_snapshot(spark, root)
+    assert via_source.schema == via_lib.schema
+    assert _sorted(via_source) == _sorted(via_lib)
+    assert via_source.filter("g = 3").count() == 0
+
+
+def test_batch_version_tag_and_ref(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    snap.create_tag(root, "pin")
+    snap.create_branch(root, "b")
+    snap.commit_append(spark, root, _df(spark, 100, 150), ref="b")
+    snap.commit_append(spark, root, _df(spark, 100, 120))
+    def rd():
+        return spark.read.format("snapshot")
+
+    assert rd().option("version", "1").load(root).count() == 100
+    assert rd().option("version", "pin").load(root).count() == 100
+    assert rd().option("ref", "b").load(root).count() == 150
+    assert rd().load(root).count() == 120
+
+
+def test_batch_reads_across_evolution_cohorts(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark,
+        root,
+        spark.range(50).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 10).cast("int").alias("g"),
+        ),
+    )
+    snap.widen_column(root, "g", "long")
+    snap.commit_append(spark, root, _df(spark, 50, 100))
+    snap.rename_column(root, "g", "grp")
+    via_source = spark.read.format("snapshot").load(root)
+    via_lib = snap.read_snapshot(spark, root)
+    assert via_source.schema == via_lib.schema
+    assert _sorted(via_source) == _sorted(via_lib)
+    # old cohort resolved through the ID mapping, widened type
+    assert via_source.filter("k < 50").agg(F.sum("grp")).first()[0] == sum(
+        i % 10 for i in range(50)
+    )
+
+
+def test_batch_null_fills_added_columns(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 50))
+    snap.commit_append(
+        spark,
+        root,
+        _df(spark, 50, 100).withColumn("extra", F.col("k") * 2),
+    )
+    out = spark.read.format("snapshot").load(root)
+    assert out.filter("extra is null").count() == 50
+    assert out.filter("extra = k * 2").count() == 50
+
+
+def _drain(spark, root, ckpt, sink):
+    q = (
+        spark.readStream.format("snapshot")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_source_exactly_once_resume(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        snap.commit_append(spark, root, _df(spark, lo, lo + 100))
+    snap.commit_mor_delete(spark, root, F.col("g") == 0)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    _drain(spark, root, ckpt, sink)
+    # appends feed: the MOR delete does NOT retract served rows
+    assert spark.read.parquet(sink).count() == 300
+    # new appends + a compaction (contributes nothing) + resume
+    snap.commit_append(spark, root, _df(spark, 300, 350))
+    snap.compact(spark, root, target_files=1)
+    snap.commit_append(spark, root, _df(spark, 350, 360))
+    _drain(spark, root, ckpt, sink)
+    out = spark.read.parquet(sink)
+    assert out.count() == 360  # no duplicates, no loss
+    assert out.agg(F.sum("k")).first()[0] == sum(range(360))
+    # idle re-drain adds nothing
+    _drain(spark, root, ckpt, sink)
+    assert spark.read.parquet(sink).count() == 360
+
+
+def test_stream_since_option_skips_history(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        snap.commit_append(spark, root, _df(spark, lo, lo + 100))
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("snapshot")
+        .option("since", 2)
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(sink)
+    assert out.count() == 100
+    assert out.agg(F.min("k")).first()[0] == 200
+
+
+def test_stream_checkpoint_behind_retention_fails_typed(
+    registered, tmp_path
+):
+    spark = registered
+    root = str(tmp_path / "t")
+    for lo in range(0, 600, 100):
+        snap.commit_append(spark, root, _df(spark, lo, lo + 100))
+    snap.expire_snapshots(root, keep_last=2)
+    q = (
+        spark.readStream.format("snapshot")
+        .option("since", 1)
+        .load(root)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="retention"):
+        q.awaitTermination(180)
+
+
+def test_source_schema_is_the_committed_schema(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+    got = spark.read.format("snapshot").load(root).schema
+    assert [f.name for f in got.fields] == ["k", "g"]
+    assert [f.dataType.simpleString() for f in got.fields] == [
+        "bigint",
+        "bigint",
+    ]
