@@ -1,11 +1,15 @@
 """Model-based commit-protocol test: random op sequences (append /
-delete-where / delete-keys / merge / compact / rollback / rename /
-widen) applied to BOTH the snapshot store and an in-memory Python
-model; after every op the head must equal the model, and every
-historical version must still reproduce its own recorded state UNDER
-ITS OWN committed schema (snapshot isolation + schema evolution
-across arbitrary interleavings — the invariant each per-op test
-checks only pointwise)."""
+delete-where / delete-keys / merge / merge-on-read delete / compact /
+rollback / rename / widen / branch-cycle / tag) applied to BOTH the
+snapshot store and an in-memory Python model; after every op the head
+must equal the model, and every historical version must still
+reproduce its own recorded state UNDER ITS OWN committed schema
+(snapshot isolation + schema evolution across arbitrary interleavings
+— the invariant each per-op test checks only pointwise). Branch
+cycles fork a branch, run 1-2 commits against a branch model in
+isolation (trunk asserted untouched), then publish (trunk adopts the
+branch state) or drop. Tags snapshot (column, state) at creation and
+must reproduce it even AFTER retention expires untagged history."""
 
 import random
 
@@ -37,12 +41,14 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
     vcol, vtype = "v", "int"
     snap.commit_append(spark, root, _to_df(spark, model, vcol, vtype))
     history = {1: (vcol, set(model.items()))}
+    tags: dict[str, tuple] = {}
     next_key = 1000
 
-    for step in range(10):
+    for step in range(14):
         op = rng.choice(
             ["append", "delete_where", "delete_keys", "merge",
-             "compact", "rollback", "rename", "widen"]
+             "compact", "rollback", "rename", "widen",
+             "mor_delete", "branch_cycle", "tag"]
         )
         if op == "append":
             new = {next_key + i: rng.randrange(1000) for i in range(5)}
@@ -78,6 +84,62 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
                 spark, root, _to_df(spark, src, vcol, vtype), ["k"]
             )
             model.update(src)
+        elif op == "mor_delete":
+            mod, rem = rng.choice([(3, 0), (5, 1), (7, 2)])
+            v = snap.commit_mor_delete(
+                spark, root, F.col("k") % mod == rem
+            )
+            model = {
+                k: x for k, x in model.items() if not k % mod == rem
+            }
+        elif op == "branch_cycle":
+            bname = f"b{step}"
+            snap.create_branch(root, bname)
+            bmodel = dict(model)
+            for _ in range(rng.randrange(1, 3)):
+                bop = rng.choice(["append", "mor_delete", "delete"])
+                if bop == "append":
+                    new = {
+                        next_key + i: rng.randrange(1000)
+                        for i in range(3)
+                    }
+                    next_key += 10
+                    snap.commit_append(
+                        spark, root, _to_df(spark, new, vcol, vtype),
+                        ref=bname,
+                    )
+                    bmodel.update(new)
+                elif bop == "mor_delete":
+                    mod, rem = rng.choice([(4, 1), (6, 3)])
+                    snap.commit_mor_delete(
+                        spark, root, F.col("k") % mod == rem, ref=bname
+                    )
+                    bmodel = {
+                        k: x
+                        for k, x in bmodel.items()
+                        if not k % mod == rem
+                    }
+                else:
+                    cut = rng.randrange(0, 2000)
+                    snap.commit_delete_where(
+                        spark, root, F.col("k") >= cut, ref=bname
+                    )
+                    bmodel = {
+                        k: x for k, x in bmodel.items() if not k >= cut
+                    }
+            # isolation: the trunk never moved during the branch work
+            assert _read_state(spark, root, vcol) == set(model.items())
+            if rng.random() < 0.7:
+                v = snap.publish_branch(root, bname)
+                model = bmodel
+            else:
+                snap.drop_branch(root, bname)
+                continue  # no trunk commit this step
+        elif op == "tag":
+            tname = f"tag{step}"
+            snap.create_tag(root, tname)
+            tags[tname] = (vcol, set(model.items()))
+            continue  # metadata-only: no trunk commit this step
         elif op == "compact":
             v = snap.commit_with_retry(
                 root, lambda: snap.compact(spark, root, target_files=1)
@@ -116,3 +178,22 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
         assert _read_state(spark, root, col, ver) == state, (
             f"seed {seed}: version {ver} no longer reproduces its state"
         )
+    # tags reproduce their creation-time state...
+    for tname, (col, state) in tags.items():
+        got = {
+            (r["k"], None if r[col] is None else int(r[col]))
+            for r in snap.read_snapshot(spark, root, tname).collect()
+        }
+        assert got == state, f"seed {seed}: tag {tname} drifted"
+    # ...even after retention expires the untagged history
+    snap.expire_snapshots(root, keep_last=2)
+    for tname, (col, state) in tags.items():
+        got = {
+            (r["k"], None if r[col] is None else int(r[col]))
+            for r in snap.read_snapshot(spark, root, tname).collect()
+        }
+        assert got == state, (
+            f"seed {seed}: tag {tname} lost state after retention"
+        )
+    head_col, head_state = history[max(history)]
+    assert _read_state(spark, root, head_col) == head_state
