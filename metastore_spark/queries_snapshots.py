@@ -1533,3 +1533,90 @@ def events_snapshot_source_batch(
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_snapshot_overwrite_backfill",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, value,
+             event_type FROM events
+    ),
+    target AS (SELECT MIN(day) AS td FROM d),
+    head AS (
+      SELECT day, user_id,
+             CASE WHEN day = (SELECT td FROM target)
+                  THEN value * 2 ELSE value END AS value
+      FROM d
+    )
+    SELECT CASE WHEN day = (SELECT td FROM target)
+                THEN 'backfilled' ELSE 'untouched' END AS slice,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM head GROUP BY slice ORDER BY slice
+    """,
+)
+def events_snapshot_overwrite_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ATOMIC PARTITION BACKFILL (Delta ``replaceWhere`` / Iceberg
+    dynamic overwrite): the earliest day of a day-partitioned events
+    table is restated — its rows doubled — via
+    `commit_overwrite_where` in ONE commit: the day's files rewrite to
+    survivors (none here: the whole day matches), the corrected rows
+    land as a fresh segment, every other day carries by name, and the
+    scan is partition-pruned to the victim day. The oracle recomputes
+    the restated table from raw SQL; a backfill that leaked into
+    another day, dropped a slice row, or double-kept the old slice
+    hash-mismatches. The replaceWhere contract (every replacement row
+    satisfies the predicate) is validated in-commit.
+
+    Scale shape: the restatement a 100 TB pipeline runs nightly —
+    cost O(affected partition) + O(new rows), metadata-carry for the
+    rest, and readers flip atomically (no delete-then-append window
+    where the day is missing). The build is per-call-isolated (fresh
+    tmp store) because the op mutates; cost is one day-partitioned
+    write at sf scale."""
+    import tempfile
+
+    from metastore_spark.ts import ts_us  # noqa: F401 (day derivation)
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    target_day = base.agg(F.min("day")).first()[0]
+    root = os.path.join(
+        tempfile.mkdtemp(prefix="snap_ow_"), "t"
+    )
+    snap.commit_append(spark, root, base, partition_by=["day"])
+    fixed = base.filter(F.col("day") == target_day).withColumn(
+        "value", F.col("value") * 2
+    )
+    snap.commit_overwrite_where(
+        spark,
+        root,
+        fixed,
+        F.col("day") == target_day,
+        scan_prune={"day": [target_day]},
+    )
+    head = snap.read_snapshot(spark, root)
+    return (
+        head.groupBy(
+            F.when(F.col("day") == target_day, F.lit("backfilled"))
+            .otherwise(F.lit("untouched"))
+            .alias("slice")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents_sum"),
+        )
+        .orderBy("slice")
+    )

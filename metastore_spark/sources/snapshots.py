@@ -1233,6 +1233,105 @@ def commit_mor_delete(
     )
 
 
+def commit_overwrite_where(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    predicate,
+    scan_prune: dict | None = None,
+    ref: str = "main",
+) -> int:
+    """ATOMIC REPLACE (Delta ``replaceWhere`` / Iceberg dynamic
+    overwrite): delete every row where ``predicate`` is TRUE and
+    insert ``df``'s rows, as ONE commit — the backfill/restatement op.
+    A reader sees the old slice or the new slice, never neither/both;
+    a crash anywhere leaves either the parent snapshot or the
+    completed overwrite (the single-phase commit contract).
+
+    Validates Delta's replaceWhere contract: every ``df`` row must
+    satisfy ``predicate`` (otherwise the "overwrite day X" commit
+    would smuggle rows into other days — raise instead). Same COW
+    cost model as `commit_delete_where` (affected files only;
+    ``scan_prune`` scopes the scan with the same caller-owed bound),
+    plus one fresh segment for the replacement rows. The changelog
+    treats an overwrite like a delete — a restatement is not an
+    append-feed event; incremental consumers reseed from a snapshot.
+    """
+    parent = current_version(root, ref)
+    if not parent:
+        raise ValueError("cannot overwrite in an empty table or branch")
+    prev_manifest = read_manifest(root, parent, ref)
+    prev_segs = _parent_segments(root, prev_manifest)
+    _check_add_only(prev_manifest, df)
+    hit = F.coalesce(predicate.cast("boolean"), F.lit(False))
+    stray = df.filter(~F.coalesce(predicate.cast("boolean"), F.lit(False)))
+    if stray.limit(1).count():
+        raise ValueError(
+            "replacement rows must satisfy the overwrite predicate "
+            "(Delta replaceWhere contract); found rows outside it"
+        )
+    with_file = _read_files(
+        spark, root, prev_manifest, prune=scan_prune, with_source=True
+    )
+    affected_df = with_file.filter(hit).select("_src").distinct()
+    affected = {
+        os.path.relpath(r["_src"], root) for r in affected_df.collect()
+    }
+    scols = prev_manifest.get("stats_cols") or []
+    spec = prev_manifest.get("partition_spec") or []
+    extra = _schema_extra(df)
+    ev = _ids_for_commit(prev_manifest, extra["schema"]["fields"])
+    extra.update(ev)
+    if scols:
+        extra["stats_cols"] = list(scols)
+    if spec:
+        extra["partition_spec"] = list(spec)
+    _carry_cluster(prev_manifest, extra)
+    _carry_deletes(prev_manifest, extra)
+    new_segs = _segments_after_removal(root, prev_segs, affected)
+    if affected:
+        survivors = (
+            with_file.join(F.broadcast(affected_df), "_src", "left_semi")
+            .filter(~hit)
+            .drop("_src")
+        )
+        rewritten = _write_data_files(survivors, root, spec or None)
+        if rewritten:
+            new_segs.append(
+                _write_segment(
+                    root,
+                    rewritten,
+                    _collect_file_stats(root, rewritten, scols)
+                    if scols
+                    else None,
+                    _spec_partitions(rewritten, spec),
+                    _columns_meta(
+                        prev_manifest["schema"]["fields"],
+                        ev.get("column_ids") or {},
+                    )
+                    if "schema" in prev_manifest
+                    else None,
+                )
+            )
+    inserted = _write_data_files(df, root, spec or None)
+    if inserted:
+        new_segs.append(
+            _write_segment(
+                root,
+                inserted,
+                _collect_file_stats(root, inserted, scols)
+                if scols
+                else None,
+                _spec_partitions(inserted, spec),
+                _columns_meta(
+                    extra["schema"]["fields"],
+                    ev.get("column_ids") or {},
+                ),
+            )
+        )
+    return _commit(root, parent, "overwrite", new_segs, extra, ref)
+
+
 def _segments_after_removal(
     root: str, prev_segs: list[str], affected: set[str]
 ) -> list[str]:

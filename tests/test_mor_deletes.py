@@ -221,3 +221,97 @@ def test_mor_across_schema_evolution_cohorts(spark, tmp_path):
     assert head.filter("g = 2").count() == 0
     # both cohorts lost exactly their g=2 rows
     assert head.filter("k < 50").count() == 45
+
+
+# ------------------------------------------------- atomic replaceWhere
+
+
+def test_overwrite_where_replaces_slice_atomically(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _df(spark, 0, 300).withColumn(
+        "day", (F.col("k") % 3).cast("string")
+    )
+    snap.commit_append(spark, root, df, partition_by=["day"])
+    # backfill day 1 with corrected values (doubled), one commit
+    fixed = (
+        _df(spark, 0, 300)
+        .withColumn("day", (F.col("k") % 3).cast("string"))
+        .filter(F.col("day") == "1")
+        .withColumn("g", F.col("g") * 2)
+    )
+    v = snap.commit_overwrite_where(
+        spark, root, fixed, F.col("day") == "1",
+        scan_prune={"day": ["1"]},
+    )
+    assert snap.read_manifest(root, v)["op"] == "overwrite"
+    head = snap.read_snapshot(spark, root)
+    assert head.count() == 300
+    assert head.filter("day = '1'").agg(F.sum("g")).first()[0] == 2 * sum(
+        i % 10 for i in range(300) if i % 3 == 1
+    )
+    # other days untouched, history intact
+    assert head.filter("day = '0'").agg(F.sum("g")).first()[0] == sum(
+        i % 10 for i in range(300) if i % 3 == 0
+    )
+    assert snap.read_snapshot(spark, root, 1).count() == 300
+
+
+def test_overwrite_where_rejects_stray_rows(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _df(spark, 0, 100).withColumn(
+        "day", (F.col("k") % 2).cast("string")
+    )
+    snap.commit_append(spark, root, df)
+    with pytest.raises(ValueError, match="predicate"):
+        snap.commit_overwrite_where(
+            spark, root, df, F.col("day") == "1"
+        )
+    assert snap.current_version(root) == 1  # nothing committed
+
+
+def test_overwrite_where_not_in_append_feed(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    snap.commit_overwrite_where(
+        spark,
+        root,
+        _df(spark, 0, 100).filter("g = 1").withColumn(
+            "g", F.lit(1).cast("long")
+        ),
+        F.col("g") == 1,
+    )
+    assert snap.read_appends(spark, root, 1).count() == 0
+
+
+def test_overwrite_where_carries_mor_deletes(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(2))
+    snap.commit_mor_delete(spark, root, F.col("g") == 0)
+    snap.commit_overwrite_where(
+        spark,
+        root,
+        _df(spark, 0, 100).filter("g = 5").withColumn(
+            "g", F.lit(5).cast("long")
+        ),
+        F.col("g") == 5,
+    )
+    head = snap.read_snapshot(spark, root)
+    assert head.filter("g = 0").count() == 0  # MOR delete survived
+    assert head.count() == 90  # 10 MOR-deleted, 10 replaced in place
+
+
+def test_overwrite_where_on_branch(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    snap.create_branch(root, "b")
+    snap.commit_overwrite_where(
+        spark,
+        root,
+        _df(spark, 200, 210).withColumn("g", F.lit(3).cast("long")),
+        F.col("g") == 3,
+        ref="b",
+    )
+    assert snap.read_snapshot(spark, root).count() == 100
+    b = snap.read_snapshot(spark, root, ref="b")
+    assert b.count() == 100  # 10 removed, 10 inserted
+    assert b.filter("g = 3 and k >= 200").count() == 10
