@@ -1620,3 +1620,65 @@ def events_snapshot_overwrite_backfill(
         )
         .orderBy("slice")
     )
+
+
+@query(
+    "events_snapshot_cdf",
+    oracle="""
+    WITH cutoff AS (SELECT MAX(user_id) // 10 AS cu FROM events),
+    v1 AS (SELECT * FROM events WHERE event_id % 3 = 0),
+    v2 AS (SELECT * FROM events WHERE event_id % 3 = 1),
+    d3 AS (
+      SELECT u.* FROM (
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2
+      ) u, cutoff WHERE user_id < cu AND event_type = 'click'
+    ),
+    leg AS (
+      SELECT 1 AS commit_version, 'insert' AS change_type,
+             event_type, value FROM v1
+      UNION ALL
+      SELECT 2, 'insert', event_type, value FROM v2
+      UNION ALL
+      SELECT 3, 'delete', event_type, value FROM d3
+    )
+    SELECT commit_version, change_type, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM leg GROUP BY commit_version, change_type, event_type
+    ORDER BY commit_version, change_type, event_type
+    """,
+)
+def events_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL CHANGE DATA FEED (Delta CDF parity): `read_changes`
+    over the shared 3-version events store emits every inserted row of
+    the two appends and every row the v3 COW delete removed, tagged
+    (commit_version, change_type). The oracle recomputes all three
+    change sets from the raw corpus, so a diff that misses an affected
+    file, counts a carried survivor as a change, or tags the wrong
+    version hash-mismatches. Updates appear as delete+insert pairs
+    (keyless-general); value-identical rewrites and compactions are
+    feed-silent; rollback/publish windows raise (reseed contract).
+
+    Scale shape: O(delta) by construction — appends contribute their
+    own segments, COW commits diff ONLY removed-vs-added files (a
+    multiset exceptAll over the affected subset; survivor rows
+    cancel), MOR deletes read just the new position files. This is
+    the downstream-sync surface (search index, feature store, replica)
+    a 100 TB table feeds without ever diffing itself."""
+    root = _events_table(spark, sf_dir)
+    ch = snap.read_changes(spark, root, 0, 3)
+    return (
+        ch.groupBy(
+            F.col("_commit_version").cast("int").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents_sum"),
+        )
+        .orderBy("commit_version", "change_type", "event_type")
+    )

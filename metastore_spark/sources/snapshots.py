@@ -832,6 +832,7 @@ def _read_files(
     prune: dict | None = None,
     with_source: bool = False,
     with_pos: bool = False,
+    only_files: set[str] | None = None,
 ) -> DataFrame:
     """Read a manifest's exact (optionally stats-pruned) file list
     under its COMMITTED schema (Iceberg-style: schema lives in
@@ -860,7 +861,11 @@ def _read_files(
     ``_mor_pos`` columns visible to the caller (the delete writer
     itself needs them); file NAMES (not paths) key the join — write
     UUIDs make them unique per table and rename-safe."""
-    entries = list(_pruned_files_with_columns(root, manifest, prune))
+    entries = [
+        e
+        for e in _pruned_files_with_columns(root, manifest, prune)
+        if only_files is None or e[0] in only_files
+    ]
     dels = manifest.get("delete_files") or []
     need_pos = with_pos or bool(dels)
     if "schema" not in manifest:
@@ -2449,6 +2454,25 @@ def compact(
             continue
 
 
+def _retention_floor(root: str, head: int) -> int:
+    """Oldest checkpoint a changelog consumer may hold: derived from
+    the CONTIGUOUS run of retained manifests ending at head. A
+    tag-pinned island older than the run does not extend the window —
+    the versions between island and run are unreconstructable."""
+    retained = sorted(
+        int(n[1:-5])
+        for n in os.listdir(_meta_dir(root))
+        if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+    )
+    oldest = head
+    for v in reversed(retained):
+        if v in (oldest, oldest - 1):
+            oldest = v
+        elif v < oldest:
+            break
+    return 0 if oldest <= 1 else oldest
+
+
 def _append_new_segments(root: str, m: dict, pm: dict) -> list[str]:
     """The segments an append commit ADDED over its parent — the
     commit's own new rows, by name diff (both manifests two-tier)."""
@@ -2485,28 +2509,13 @@ def read_appends(
     retained manifest (or 0 when the full history survives)."""
     head = current_version(root)
     until = head if until_version is None else until_version
-    retained = sorted(
-        int(n[1:-5])
-        for n in os.listdir(_meta_dir(root))
-        if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
-    )
-    # the readable window is the CONTIGUOUS run of manifests ending at
-    # head: a tag-pinned island older than the run (kept by
-    # expire_snapshots) does not extend the changelog, because
-    # reconstructing the versions between it and the run is impossible
-    oldest = head
-    for v in reversed(retained):
-        if v == oldest or v == oldest - 1:
-            oldest = v
-        elif v < oldest:
-            break
-    min_since = 0 if oldest <= 1 else oldest
+    min_since = _retention_floor(root, head)
     if since_version < min_since:
         raise RetentionExpired(
             f"changelog window ({since_version}, {until}] is behind the "
-            f"retention horizon: manifests up to v{oldest - 1} were "
-            f"expired; oldest readable checkpoint is {min_since} — "
-            "reseed from a snapshot read"
+            "retention horizon: older manifests were expired; oldest "
+            f"readable checkpoint is {min_since} — reseed from a "
+            "snapshot read"
         )
     parts: list[DataFrame] = []
     for v in range(since_version + 1, until + 1):
@@ -2553,6 +2562,158 @@ def read_appends(
     if not parts:
         # empty window: an empty frame under the window-end schema
         return _read_files(spark, root, read_manifest(root, until)).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+def _align_to(df: DataFrame, manifest: dict) -> DataFrame:
+    """Project a frame onto a manifest's committed schema (add-only:
+    missing columns null-fill; column order normalized)."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(manifest["schema"])
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    since_version: int,
+    until_version: int | None = None,
+) -> DataFrame:
+    """ROW-LEVEL CHANGE FEED (Delta Change Data Feed's shape): every
+    row inserted or deleted by the commits in ``(since, until]``,
+    tagged ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version``. An update (merge/overwrite restatement)
+    appears as its delete+insert pair — the keyless-general encoding;
+    consumers with a key reconstruct updates by joining the pair. A
+    physically-rewritten but value-identical row cancels out of the
+    multiset diff, so rewrite-only commits (including value-identical
+    restatements) are feed-silent, exactly like compaction.
+
+    O(delta) by construction, never a table diff:
+    - append commits contribute their new segments as inserts;
+    - COW commits (delete / merge / overwrite) diff ONLY the affected
+      files — removed originals vs added rewrites, a multiset
+      `exceptAll` over the file subsets (survivor rows cancel);
+    - merge-on-read deletes read just the NEW position files and
+      semi-join the referenced data files — the deleted rows exactly;
+    - compact / evolve are logical no-ops and contribute nothing;
+    - rollback / publish RESTATE history non-linearly: a window
+      containing one raises ValueError — consumers reseed from a
+      snapshot read (Delta CDF's contract for RESTORE).
+
+    Same retention contract as `read_appends`: a window behind the
+    contiguous retained run raises `RetentionExpired`."""
+    head = current_version(root)
+    until = head if until_version is None else until_version
+    min_since = _retention_floor(root, head)
+    if since_version < min_since:
+        raise RetentionExpired(
+            f"change window ({since_version}, {until}] is behind the "
+            "retention horizon: older manifests were expired; oldest "
+            f"readable checkpoint is {min_since} — reseed from a "
+            "snapshot read"
+        )
+    parts: list[DataFrame] = []
+
+    def tag(df: DataFrame, kind: str, v: int) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+            "*",
+        )
+
+    for v in range(since_version + 1, until + 1):
+        m = read_manifest(root, v)
+        pm = read_manifest(root, m["parent"]) if m["parent"] else {}
+        op = m["op"]
+        if op in ("rollback", "publish"):
+            raise ValueError(
+                f"v{v} is a {op}: history was restated non-linearly; "
+                "reseed from a snapshot read instead of the change feed"
+            )
+        if op == "append":
+            if "segments" in m and "segments" in pm:
+                new_segs = _append_new_segments(root, m, pm)
+            else:
+                new_segs = m.get("segments", [])
+            if not new_segs:
+                continue
+            sub = dict(m)
+            sub["segments"] = new_segs
+            sub.pop("delete_files", None)
+            parts.append(tag(_read_files(spark, root, sub), "insert", v))
+        elif op == "delete-mor":
+            new_dels = [
+                f
+                for f in (m.get("delete_files") or [])
+                if f not in set(pm.get("delete_files") or [])
+            ]
+            if not new_dels:
+                continue
+            pos = spark.read.parquet(
+                *[os.path.join(root, f) for f in new_dels]
+            )
+            by_name = {
+                os.path.basename(f): f for f in manifest_files(root, pm)
+            }
+            hit_files = {
+                by_name[r["file_name"]]
+                for r in pos.select("file_name").distinct().collect()
+                if r["file_name"] in by_name
+            }
+            live = _read_files(
+                spark, root, pm, with_pos=True, only_files=hit_files
+            )
+            deleted = (
+                live.join(
+                    pos,
+                    (live["_mor_file"] == pos["file_name"])
+                    & (live["_mor_pos"] == pos["pos"]),
+                    "left_semi",
+                )
+                .drop("_mor_file", "_mor_pos")
+            )
+            parts.append(tag(deleted, "delete", v))
+        elif op in ("delete", "merge", "overwrite"):
+            pm_files = set(manifest_files(root, pm))
+            m_files = set(manifest_files(root, m))
+            removed = pm_files - m_files
+            added = m_files - pm_files
+            old = new = None
+            if removed:
+                old = _align_to(
+                    _read_files(spark, root, pm, only_files=removed), m
+                )
+            if added:
+                new = _read_files(spark, root, m, only_files=added)
+            if old is not None and new is not None:
+                parts.append(tag(old.exceptAll(new), "delete", v))
+                parts.append(tag(new.exceptAll(old), "insert", v))
+            elif old is not None:
+                parts.append(tag(old, "delete", v))
+            elif new is not None:
+                parts.append(tag(new, "insert", v))
+        # compact / evolve / branch bookkeeping: no logical change
+    if not parts:
+        base = _read_files(
+            spark, root, read_manifest(root, until)
+        ).limit(0)
+        return base.select(
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).cast("long").alias("_commit_version"),
+            "*",
+        ).limit(0)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
