@@ -142,6 +142,16 @@ HEADLINE = [
     "events_snapshot_day_pruned",
     "events_snapshot_partition_erasure",
     "events_snapshot_history",
+    # round 9 additions: named refs / WAP, metadata tables, MOR
+    # deletes, the registered data source, replaceWhere, CDF
+    "events_snapshot_wap_publish",
+    "events_snapshot_refs_metadata",
+    "events_snapshot_partitions_metadata",
+    "events_snapshot_mor_delete",
+    "events_snapshot_source_batch",
+    "events_snapshot_stream_source",
+    "events_snapshot_overwrite_backfill",
+    "events_snapshot_cdf",
 ]
 
 

@@ -1682,3 +1682,96 @@ def events_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("commit_version", "change_type", "event_type")
     )
+
+
+def _bloom_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once snapshot events table with BLOOM-FILTER skipping on
+    event_id: round-robin layout (every file's min/max range covers
+    every id — range stats provably cannot skip), blooms built at
+    commit from each file's distinct ids."""
+    from metastore_spark.serve import _fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint([src])
+    root = os.path.join(_SNAP_ROOT, f"events-bloom1-{fp}")
+    if snap.current_version(root) >= 1:
+        return root
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    os.makedirs(_SNAP_ROOT, exist_ok=True)
+    tmp = f"{root}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snap.commit_append(
+        spark,
+        tmp,
+        base.repartition(8),
+        stats_cols=["event_id"],
+        bloom_cols=["event_id"],
+    )
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    return root
+
+
+@query(
+    "events_snapshot_bloom_pruned",
+    oracle="""
+    WITH victims AS (
+      SELECT event_id FROM events ORDER BY event_id LIMIT 3
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS value_cents
+    FROM events e
+    WHERE e.event_id IN (SELECT event_id FROM victims)
+    ORDER BY e.event_id
+    """,
+)
+def events_snapshot_bloom_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLOOM-FILTER FILE SKIPPING (Iceberg/Delta bloom parity): a
+    point lookup of three scattered event_ids on a round-robin-laid
+    table where every file's min/max RANGE covers every id — range
+    stats provably keep all files (self-checked), while the per-file
+    blooms built at commit time prune to at most one file per victim
+    (self-checked strict). The pruned read's rows are hash-oracled
+    against the raw corpus, so a bloom that false-negatives a present
+    key (dropping a row) or a probe that mistranslates through the
+    column mapping hash-mismatches.
+
+    Scale shape: the erasure/point-fetch gap at 100 TB — a handful of
+    ids scattered across millions of files whose ranges all overlap.
+    Blooms cost one O(delta) distinct-scan per commit and ~1.25 bytes
+    per distinct key in segment metadata; the probe is pure driver-
+    side metadata, skipping data files range stats never could."""
+    root = _bloom_table(spark, sf_dir)
+    m = snap.read_manifest(root, 1)
+    base = _t(spark, sf_dir, "events")
+    victims = [
+        int(r["event_id"])
+        for r in base.select("event_id")
+        .orderBy("event_id")
+        .limit(3)
+        .collect()
+    ]
+    total = len(snap.files_of(root, 1))
+    kept = snap.pruned_manifest_files(root, m, {"event_id": victims})
+    # self-check: blooms prune strictly — at most one file per victim
+    # out of a layout whose ranges all cover them
+    assert len(kept) <= len(victims) < total, (total, len(kept))
+    return (
+        snap.read_snapshot(spark, root, prune={"event_id": victims})
+        .filter(F.col("event_id").isin(victims))
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_id")
+    )

@@ -176,6 +176,7 @@ def _write_segment(
     stats: dict | None = None,
     partitions: dict | None = None,
     columns: dict | None = None,
+    blooms: dict | None = None,
 ) -> str:
     """Persist an immutable segment (bounded file list, optional
     per-file column min/max stats, per-file partition tuples, and the
@@ -191,12 +192,117 @@ def _write_segment(
         seg["partitions"] = partitions
     if columns:
         seg["columns"] = columns
+    if blooms:
+        seg["blooms"] = blooms
     rows = _collect_file_rows(root, files)
     if rows:
         seg["rows"] = rows
     with open(_segment_path(root, name), "w") as fh:
         json.dump(seg, fh)
     return name
+
+
+def _bloom_key(v) -> bytes:
+    """Canonical bytes for a bloom-hashed value — must agree between
+    build (pyarrow scalars) and probe (driver-side Python values).
+    Integers normalize through int(), strings through utf-8, bytes
+    pass through; floats are rejected (equality probes on floats are
+    a modeling error, not a skipping problem)."""
+    if isinstance(v, bool) or v is None:
+        raise TypeError("bloom columns must be int/str/bytes valued")
+    if isinstance(v, int):
+        return str(v).encode()
+    if isinstance(v, str):
+        return v.encode()
+    if isinstance(v, bytes):
+        return v
+    import numpy as np
+
+    if isinstance(v, np.integer):
+        return str(int(v)).encode()
+    raise TypeError(f"unsupported bloom value type {type(v).__name__}")
+
+
+def _bloom_hashes(key: bytes, m: int, k: int):
+    import hashlib
+
+    d = hashlib.blake2b(key, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values, m: int | None = None, k: int = 7) -> dict:
+    """Build a bloom over distinct values: ~10 bits per distinct
+    (fpp ~1%), m capped at 2^20 bits (128 KB) — the Iceberg/Delta
+    bloom-skipping shape, stored inline in segment JSON (a table at
+    side-file scale would move these to puffin-style companions)."""
+    import base64
+
+    vals = {(_bloom_key(v)) for v in values if v is not None}
+    n = max(1, len(vals))
+    if m is None:
+        m = 1024
+        while m < 10 * n and m < (1 << 20):
+            m <<= 1
+    bits = bytearray(m // 8)
+    for key in vals:
+        for h in _bloom_hashes(key, m, k):
+            bits[h >> 3] |= 1 << (h & 7)
+    return {
+        "m": m,
+        "k": k,
+        "bits": base64.b64encode(bytes(bits)).decode(),
+    }
+
+
+def _bloom_test(bloom: dict, v) -> bool:
+    """True = possibly present; False = PROVEN absent."""
+    import base64
+
+    try:
+        key = _bloom_key(v)
+    except TypeError:
+        return True  # unprobeable type: never skip
+    bits = base64.b64decode(bloom["bits"])
+    for h in _bloom_hashes(key, int(bloom["m"]), int(bloom["k"])):
+        if not bits[h >> 3] & (1 << (h & 7)):
+            return False
+    return True
+
+
+def _collect_file_blooms(
+    root: str, files: list[str], cols: list[str]
+) -> dict | None:
+    """Per-file bloom filters over ``cols`` (one arrow column read per
+    delta file — O(delta) at commit, like stats collection): equality
+    probes (`prune={col: [values]}`) can then skip files whose min/max
+    range COVERS a scattered key that is not actually present — the
+    point-lookup/GDPR-erasure gap range stats cannot close."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, dict]] = {}
+    for f in files:
+        path = os.path.join(root, f)
+        try:
+            names = set(pq.ParquetFile(path).schema_arrow.names)
+        except Exception:
+            continue
+        want = [c for c in cols if c in names]
+        if not want:
+            continue
+        tbl = pq.read_table(path, columns=want)
+        fblooms = {}
+        for c in want:
+            try:
+                distinct = pc.unique(tbl[c]).to_pylist()
+                fblooms[c] = _bloom_build(distinct)
+            except TypeError:
+                continue  # unsupported type: no bloom, never skipped
+        if fblooms:
+            out[f] = fblooms
+    return out or None
 
 
 def _collect_file_rows(root: str, files: list[str]) -> dict[str, int]:
@@ -408,9 +514,18 @@ def _carry_deletes(src_manifest: dict, extra: dict) -> None:
     that carries its parent's row set forward must carry the parent's
     delete set, or merge-on-read deleted rows silently resurrect.
     Compaction is the ONE deliberate non-carrier — it folds with the
-    deletes applied and clears the list."""
+    deletes applied and clears the list (it carries bloom_cols
+    explicitly and rebuilds blooms for the fold).
+
+    ``bloom_cols`` rides along here for the same never-lapse reason
+    as stats_cols: files a rewrite produces without blooms are merely
+    unskippable (conservative), but the COLUMN OPT-IN itself must
+    survive every commit so appends and compactions keep building
+    them."""
     if src_manifest.get("delete_files") and "delete_files" not in extra:
         extra["delete_files"] = list(src_manifest["delete_files"])
+    if src_manifest.get("bloom_cols") and "bloom_cols" not in extra:
+        extra["bloom_cols"] = list(src_manifest["bloom_cols"])
 
 
 def _carry_cluster(src_manifest: dict, extra: dict) -> None:
@@ -746,10 +861,12 @@ def _pruned_files_with_columns(
             continue
         stats = obj.get("stats", {})
         parts = obj.get("partitions", {})
+        blooms = obj.get("blooms", {})
         for f in obj["files"]:
             keep = True
             fstats = stats.get(f, {})
             fparts = parts.get(f, {})
+            fblooms = blooms.get(f, {})
             for col, bound in seg_prune.items():
                 if isinstance(bound, (list, set)) and not bound:
                     keep = False  # empty admissible set matches nothing
@@ -767,10 +884,22 @@ def _pruned_files_with_columns(
                         keep = False
                         break
                     continue
-                if col not in fstats:
-                    continue
-                fmin, fmax = fstats[col]
-                if _bound_excludes(fmin, fmax, bound):
+                if col in fstats:
+                    fmin, fmax = fstats[col]
+                    if _bound_excludes(fmin, fmax, bound):
+                        keep = False
+                        break
+                # bloom skipping: an equality probe (value set) whose
+                # EVERY value tests proven-absent skips the file even
+                # when the min/max range covers it — the scattered-key
+                # point-lookup gap range stats can't close
+                if (
+                    isinstance(bound, (list, set))
+                    and col in fblooms
+                    and not any(
+                        _bloom_test(fblooms[col], v) for v in bound
+                    )
+                ):
                     keep = False
                     break
             if keep:
@@ -999,6 +1128,7 @@ def commit_append(
     stats_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
     ref: str = "main",
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Append-only commit: ONE new segment for the new files, every
     parent segment carried by name — O(delta) data + O(delta) segment
@@ -1039,6 +1169,7 @@ def commit_append(
     _check_add_only(prev_manifest, df)
     prev_segs = _parent_segments(root, prev_manifest) if parent else []
     scols = stats_cols or prev_manifest.get("stats_cols") or []
+    bcols = bloom_cols or prev_manifest.get("bloom_cols") or []
     spec = partition_by or prev_manifest.get("partition_spec") or []
     files = _write_data_files(df, root, spec or None)
     stats = _collect_file_stats(root, files, scols) if scols else None
@@ -1053,9 +1184,12 @@ def commit_append(
         _columns_meta(
             extra["schema"]["fields"], ev.get("column_ids") or {}
         ),
+        _collect_file_blooms(root, files, bcols) if bcols else None,
     )
     if scols:
         extra["stats_cols"] = list(scols)
+    if bcols:
+        extra["bloom_cols"] = list(bcols)
     if spec:
         extra["partition_spec"] = list(spec)
     _carry_cluster(prev_manifest, extra)
@@ -1588,7 +1722,8 @@ def rollback_to(root: str, version: int) -> int:
     # AND mapping; next_column_id stays at the table-wide max so a
     # retired ID is never re-minted
     for k in (
-        "column_ids", "legacy_columns", "cluster_spec", "delete_files"
+        "column_ids", "legacy_columns", "cluster_spec", "delete_files",
+        "bloom_cols",
     ):
         if target.get(k):
             extra[k] = target[k]
@@ -1620,6 +1755,7 @@ def _carry_manifest_extras(src: dict, peer: dict | None = None) -> dict:
         "legacy_columns",
         "cluster_spec",
         "delete_files",
+        "bloom_cols",
     ):
         if src.get(k):
             extra[k] = src[k]
@@ -2350,6 +2486,7 @@ def compact(
     else:
         rewritten = _write_data_files(df.coalesce(target_files), root)
     scols = base_manifest.get("stats_cols") or []
+    bcols = base_manifest.get("bloom_cols") or []
     written_schema = json.loads(df.schema.json())
     folded_ids = _ids_for_commit(base_manifest, written_schema["fields"])
     folded_seg = _write_segment(
@@ -2368,6 +2505,7 @@ def compact(
         )
         if "schema" in base_manifest
         else None,
+        _collect_file_blooms(root, rewritten, bcols) if bcols else None,
     )
     while True:
         head = current_version(root)
@@ -2437,6 +2575,8 @@ def compact(
             )
         if head_manifest.get("stats_cols"):
             extra["stats_cols"] = list(head_manifest["stats_cols"])
+        if head_manifest.get("bloom_cols"):
+            extra["bloom_cols"] = list(head_manifest["bloom_cols"])
         if cluster_spec is not None:
             extra["partition_spec"] = list(spec)
         elif head_manifest.get("partition_spec"):
