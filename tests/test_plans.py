@@ -464,3 +464,33 @@ def test_media_param_fanout_survives_aqe(spark):
     assert re.search(
         rf"RepartitionByExpression \[media_id[^\]]*\], {n}\b", plan
     ), plan
+
+
+def test_mor_read_broadcasts_deletes_and_keeps_pushdown(
+    spark, tmp_path
+):
+    """A merge-on-read read must stay scan-shaped: the position-delete
+    side broadcast (never a sort-merge shuffle of the table), the
+    caller's filter pushed to the parquet scan, and unused columns
+    pruned out of ReadSchema despite the anti-join's metadata
+    columns."""
+    from pyspark.sql import functions as F
+
+    from metastore_spark.sources import snapshots as snap
+
+    root = str(tmp_path / "t")
+    df = spark.range(50000).selectExpr(
+        "id as k", "id % 100 as g", "cast(id as string) as s"
+    )
+    snap.commit_append(spark, root, df.repartition(4))
+    snap.commit_mor_delete(spark, root, F.col("g") == 3)
+    q = snap.read_snapshot(spark, root).filter("g = 7").select("k")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EqualTo(g,7)" in plan, plan  # pushed to the scan
+    # the untouched string column never reaches any ReadSchema
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    assert schemas and all("s:string" not in x for x in schemas), plan
