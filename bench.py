@@ -152,6 +152,8 @@ HEADLINE = [
     "events_snapshot_stream_source",
     "events_snapshot_overwrite_backfill",
     "events_snapshot_cdf",
+    "events_snapshot_bloom_pruned",
+    "events_snapshot_sorted_compaction",
 ]
 
 

@@ -1775,3 +1775,96 @@ def events_snapshot_bloom_pruned(
         )
         .orderBy("event_id")
     )
+
+
+def _sorted_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once snapshot events table exercising SORTED COMPACTION:
+    v1 appends round-robin (overlapping ranges — stats can't skip),
+    v2 is `compact(sort_by=["user_id"])`, range-partitioning the fold
+    so file ranges become disjoint."""
+    from metastore_spark.serve import _fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint([src])
+    root = os.path.join(_SNAP_ROOT, f"events-sorted1-{fp}")
+    if snap.current_version(root) >= 2:
+        return root
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    os.makedirs(_SNAP_ROOT, exist_ok=True)
+    tmp = f"{root}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snap.commit_append(
+        spark, tmp, base.repartition(8), stats_cols=["user_id"]
+    )
+    snap.compact(spark, tmp, target_files=8, sort_by=["user_id"])
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    return root
+
+
+@query(
+    "events_snapshot_sorted_compaction",
+    oracle="""
+    WITH bounds AS (
+      SELECT MAX(user_id) // 5 AS lo, MAX(user_id) // 3 AS hi
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM events, bounds
+    WHERE user_id >= lo AND user_id <= hi
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_snapshot_sorted_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SORTED COMPACTION (Iceberg rewrite with a sort order / Delta
+    OPTIMIZE + sort, the linear-key complement to Z-order clustering):
+    the fold range-partitions on user_id so the rewritten files carry
+    DISJOINT min/max ranges, turning a range probe that kept EVERY
+    round-robin file (self-checked) into a stats-only skip down to the
+    covering files (self-checked strict). The pruned read's aggregate
+    is hash-oracled against the raw corpus, so a fold that drops or
+    duplicates a row, or stats recorded off-by-a-file, mismatches.
+
+    Scale shape: the layout-maintenance loop of a 100 TB user-keyed
+    table — compaction pays one keyed shuffle, after which every
+    user-range scan (GDPR export, per-cohort reads) is O(covering
+    files) from metadata alone, and the sort_spec in the manifest
+    records the layout contract for later writers."""
+    root = _sorted_table(spark, sf_dir)
+    mx = int(
+        _t(spark, sf_dir, "events").agg(F.max("user_id")).first()[0]
+    )
+    lo, hi = mx // 5, mx // 3
+    m1 = snap.read_manifest(root, 1)
+    m2 = snap.read_manifest(root, 2)
+    assert m2.get("sort_spec") == ["user_id"]
+    kept1 = snap.pruned_manifest_files(root, m1, {"user_id": (lo, hi)})
+    kept2 = snap.pruned_manifest_files(root, m2, {"user_id": (lo, hi)})
+    total2 = len(snap.files_of(root, 2))
+    # self-check: pre-sort layout can't skip; sorted layout skips
+    assert len(kept1) == len(snap.files_of(root, 1))
+    assert len(kept2) < total2, (len(kept2), total2)
+    return (
+        snap.read_snapshot(spark, root, prune={"user_id": (lo, hi)})
+        .filter((F.col("user_id") >= lo) & (F.col("user_id") <= hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -2418,6 +2418,7 @@ def compact(
     target_files: int = 1,
     cluster_by: list[str] | None = None,
     cell_col: str = "zcell",
+    sort_by: list[str] | None = None,
 ) -> int:
     """Small-files maintenance: rewrite the head snapshot's files into
     ``target_files`` (one fresh segment), commit as op=compact with
@@ -2479,9 +2480,24 @@ def compact(
         # the rewrite lands one file per partition value (the small-
         # files fix WITHIN the spec, like Iceberg rewrite_data_files
         # honoring the table's spec); target_files bounds nothing
-        # here — file count is the live partition count.
+        # here — file count is the live partition count. sort_by adds
+        # a within-partition sort (Iceberg's sort order inside spec).
+        folded = df.repartition(*spec)
+        if sort_by:
+            folded = folded.sortWithinPartitions(*sort_by)
+        rewritten = _write_data_files(folded, root, spec)
+    elif sort_by:
+        # SORTED fold (Iceberg rewrite with a sort order / Delta
+        # OPTIMIZE+sort): range-partition on the sort key so the
+        # rewritten files carry DISJOINT min/max ranges — after this,
+        # range probes (`prune={col: (lo, hi)}`) skip all but the
+        # covering files from stats alone. The linear-key complement
+        # to Z-order clustering (which trades per-key locality for
+        # multi-column boxes).
         rewritten = _write_data_files(
-            df.repartition(*spec), root, spec
+            df.repartitionByRange(target_files, *sort_by)
+            .sortWithinPartitions(*sort_by),
+            root,
         )
     else:
         rewritten = _write_data_files(df.coalesce(target_files), root)
@@ -2581,6 +2597,8 @@ def compact(
             extra["partition_spec"] = list(spec)
         elif head_manifest.get("partition_spec"):
             extra["partition_spec"] = list(head_manifest["partition_spec"])
+        if sort_by:
+            extra["sort_spec"] = list(sort_by)
         _carry_cluster(head_manifest, extra)
         try:
             return _commit(

@@ -130,3 +130,46 @@ def test_bloom_rejects_float_probes_safely(spark, tmp_path):
         root, snap.read_manifest(root, 1), {"x": [5.0]}
     )
     assert len(kept) == len(snap.files_of(root, 1))
+
+
+# --------------------------------------------------- sorted compaction
+
+
+def test_sorted_compaction_makes_ranges_disjoint(spark, tmp_path):
+    """compact(sort_by=[uid]) range-partitions the fold so file
+    min/max ranges become disjoint — range probes then skip from
+    stats alone, where the round-robin layout kept everything."""
+    root = str(tmp_path / "t")
+    df = spark.range(20000).selectExpr("id as k", "id as uid").repartition(
+        8
+    )
+    snap.commit_append(spark, root, df, stats_cols=["uid"])
+    before = snap.pruned_manifest_files(
+        root, snap.read_manifest(root, 1), {"uid": (100, 200)}
+    )
+    assert len(before) == len(snap.files_of(root, 1))  # can't skip yet
+    v = snap.compact(spark, root, target_files=8, sort_by=["uid"])
+    m = snap.read_manifest(root, v)
+    assert m["sort_spec"] == ["uid"]
+    after = snap.pruned_manifest_files(root, m, {"uid": (100, 200)})
+    assert len(after) <= 2 < len(snap.files_of(root, v))
+    got = (
+        snap.read_snapshot(spark, root, prune={"uid": (100, 200)})
+        .filter("uid between 100 and 200")
+        .count()
+    )
+    assert got == 101
+
+
+def test_sorted_compaction_identical_rows(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.range(5000).selectExpr("id as k", "id % 7 as uid")
+    snap.commit_append(spark, root, df.repartition(4))
+    v = snap.compact(spark, root, target_files=4, sort_by=["uid"])
+    assert snap.read_snapshot(spark, root, v).count() == 5000
+    assert (
+        snap.read_snapshot(spark, root, v)
+        .agg(F.sum("k"))
+        .first()[0]
+        == sum(range(5000))
+    )
