@@ -253,6 +253,10 @@ class _StreamReader(DataSourceStreamReader):
         self.since = since
         self.schema_json = schema_json
         self.ids_json = ids_json
+        self._pinned_fields = [
+            f["name"] for f in json.loads(schema_json)["fields"]
+        ]
+        self._pinned_ids = json.loads(ids_json) if ids_json else None
 
     def initialOffset(self):
         return {"version": self.since}
@@ -266,6 +270,7 @@ class _StreamReader(DataSourceStreamReader):
         out = []
         for v in range(lo + 1, hi + 1):
             m = snap.read_manifest(self.root, v)
+            self._check_schema_stable(m, v)
             if m["op"] != "append":
                 continue
             pm = (
@@ -294,6 +299,27 @@ class _StreamReader(DataSourceStreamReader):
                 _slices_for_manifest(self.root, sub, self.schema_json)
             )
         return out
+
+    def _check_schema_stable(self, m: dict, v: int) -> None:
+        """A rename/drop of a pinned column mid-stream would silently
+        null-fill it (the pinned name no longer resolves through the
+        later manifest's ID map) — fail the stream instead, Delta's
+        contract: restart to adopt the new schema. Added columns are
+        benign (not in the pinned projection)."""
+        wids = m.get("column_ids")
+        if not wids:
+            return
+        for name in self._pinned_fields:
+            ok = name in wids and (
+                self._pinned_ids is None
+                or wids[name] == self._pinned_ids.get(name, wids[name])
+            )
+            if not ok:
+                raise ValueError(
+                    f"column {name!r} was renamed or dropped at "
+                    f"v{v} while this stream was running; restart "
+                    "the stream to adopt the evolved schema"
+                )
 
     def _check_retention(self, start_version: int) -> None:
         head = snap.current_version(self.root)

@@ -188,3 +188,43 @@ def test_source_schema_is_the_committed_schema(registered, tmp_path):
         "bigint",
         "bigint",
     ]
+
+
+def test_stream_rename_guard_and_restart_adoption(
+    registered, tmp_path
+):
+    """An IN-FLIGHT stream whose window crosses a rename of a pinned
+    column must fail loudly (silent null-fill would corrupt the
+    feed); a RESTARTED stream re-pins the evolved schema and adopts
+    it — Delta's contract."""
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    # in-flight: reader pinned on the pre-rename head
+    src = SnapshotDataSource({"path": root})
+    reader = src.streamReader(None)
+    snap.rename_column(root, "g", "grp")
+    snap.commit_append(
+        spark,
+        root,
+        spark.range(100, 120).selectExpr("id as k", "id % 10 as grp"),
+    )
+    with pytest.raises(ValueError, match="renamed"):
+        reader.partitions(
+            {"version": 1}, {"version": snap.current_version(root)}
+        )
+    # restart: a fresh stream adopts the evolved schema end-to-end
+    sink = str(tmp_path / "sink2")
+    q = (
+        spark.readStream.format("snapshot")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(sink)
+    assert out.count() == 120
+    assert "grp" in out.columns
