@@ -1535,6 +1535,33 @@ def events_snapshot_source_batch(
     )
 
 
+def _ow_base_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once day-partitioned base store for the backfill query —
+    the IMMUTABLE trunk the per-run restatement forks from."""
+    from metastore_spark.serve import _fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint([src])
+    root = os.path.join(_SNAP_ROOT, f"events-owbase1-{fp}")
+    if snap.current_version(root) >= 1:
+        return root
+    base = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    os.makedirs(_SNAP_ROOT, exist_ok=True)
+    tmp = f"{root}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snap.commit_append(spark, tmp, base, partition_by=["day"])
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    return root
+
+
 @query(
     "events_snapshot_overwrite_backfill",
     oracle="""
@@ -1562,64 +1589,76 @@ def events_snapshot_overwrite_backfill(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """ATOMIC PARTITION BACKFILL (Delta ``replaceWhere`` / Iceberg
-    dynamic overwrite): the earliest day of a day-partitioned events
-    table is restated — its rows doubled — via
-    `commit_overwrite_where` in ONE commit: the day's files rewrite to
-    survivors (none here: the whole day matches), the corrected rows
-    land as a fresh segment, every other day carries by name, and the
-    scan is partition-pruned to the victim day. The oracle recomputes
-    the restated table from raw SQL; a backfill that leaked into
-    another day, dropped a slice row, or double-kept the old slice
-    hash-mismatches. The replaceWhere contract (every replacement row
-    satisfies the predicate) is validated in-commit.
+    dynamic overwrite), STAGED ON A BRANCH: the run forks a
+    metadata-only branch off the immutable day-partitioned base store,
+    restates the earliest day (values doubled) there with
+    `commit_overwrite_where` — the day's files rewrite, the corrected
+    rows land as one segment, every other day carries by name, the
+    scan partition-pruned to the victim day — and reads the branch
+    head; the trunk is never touched and the branch drops afterward.
+    The oracle recomputes the restated table from raw SQL; a backfill
+    that leaked into another day, dropped a slice row, or double-kept
+    the old slice hash-mismatches. The replaceWhere contract (every
+    replacement row satisfies the predicate) is validated in-commit.
 
-    Scale shape: the restatement a 100 TB pipeline runs nightly —
-    cost O(affected partition) + O(new rows), metadata-carry for the
-    rest, and readers flip atomically (no delete-then-append window
-    where the day is missing). The build is per-call-isolated (fresh
-    tmp store) because the op mutates; cost is one day-partitioned
-    write at sf scale."""
-    import tempfile
-
-    from metastore_spark.ts import ts_us  # noqa: F401 (day derivation)
+    Scale shape: the nightly restatement loop a 100 TB pipeline runs —
+    fork is O(#segments) metadata, the overwrite costs O(affected
+    partition) + O(new rows), readers flip atomically, and staging on
+    a branch means the trunk never serves a half-audited restatement
+    (the WAP composition)."""
+    import uuid as _uuid
 
     base = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
         "event_id",
         "user_id",
         "value",
-        F.date_format("ts", "yyyy-MM-dd").alias("day"),
     )
     target_day = base.agg(F.min("day")).first()[0]
-    root = os.path.join(
-        tempfile.mkdtemp(prefix="snap_ow_"), "t"
-    )
-    snap.commit_append(spark, root, base, partition_by=["day"])
-    fixed = base.filter(F.col("day") == target_day).withColumn(
-        "value", F.col("value") * 2
-    )
-    snap.commit_overwrite_where(
-        spark,
-        root,
-        fixed,
-        F.col("day") == target_day,
-        scan_prune={"day": [target_day]},
-    )
-    head = snap.read_snapshot(spark, root)
-    return (
-        head.groupBy(
-            F.when(F.col("day") == target_day, F.lit("backfilled"))
-            .otherwise(F.lit("untouched"))
-            .alias("slice")
+    root = _ow_base_table(spark, sf_dir)
+    branch = f"bf-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+    snap.create_branch(root, branch)
+    try:
+        fixed = (
+            base.filter(F.col("day") == target_day)
+            .withColumn("value", F.col("value") * 2)
+            .select("event_id", "user_id", "value", "day")
         )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.countDistinct("user_id").cast("bigint").alias("n_users"),
-            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
-            .cast("bigint")
-            .alias("value_cents_sum"),
+        snap.commit_overwrite_where(
+            spark,
+            root,
+            fixed,
+            F.col("day") == target_day,
+            scan_prune={"day": [target_day]},
+            ref=branch,
         )
-        .orderBy("slice")
-    )
+        head = snap.read_snapshot(spark, root, ref=branch)
+        out = (
+            head.groupBy(
+                F.when(F.col("day") == target_day, F.lit("backfilled"))
+                .otherwise(F.lit("untouched"))
+                .alias("slice")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                .cast("bigint")
+                .alias("value_cents_sum"),
+            )
+            .orderBy("slice")
+        )
+        out = out.localCheckpoint()  # materialize before branch drop
+    finally:
+        try:
+            snap.drop_branch(root, branch)
+        except ValueError:
+            pass
+    return out
 
 
 @query(
