@@ -106,9 +106,14 @@ _BRANCH_FILE_RE = re.compile(r"^r-([A-Za-z0-9_-]+)\.v(\d+)\.json$")
 
 
 def _check_ref_name(name: str) -> None:
-    if name == "main" or not _REF_NAME_RE.match(name):
+    if (
+        name == "main"
+        or name.isdigit()  # would be ambiguous with version numbers
+        or not _REF_NAME_RE.match(name)
+    ):
         raise ValueError(
-            f"invalid ref name {name!r}: use [A-Za-z0-9_-]+, not 'main'"
+            f"invalid ref name {name!r}: use [A-Za-z0-9_-]+ with at "
+            "least one non-digit, not 'main'"
         )
 
 

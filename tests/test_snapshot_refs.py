@@ -82,7 +82,7 @@ def test_branch_create_once_and_bad_names(spark, tmp_path):
     snap.create_branch(root, "b")
     with pytest.raises(ValueError):
         snap.create_branch(root, "b")
-    for bad in ("main", "", "a/b", "x.y", "-lead"):
+    for bad in ("main", "", "a/b", "x.y", "-lead", "7"):
         with pytest.raises(ValueError):
             snap.create_branch(root, bad)
     with pytest.raises(ValueError):
