@@ -331,3 +331,68 @@ def test_table_files_by_ref_and_tag(spark, tmp_path):
         for r in snap.table_files(spark, root, ref="b").collect()
     )
     assert (n_tag, n_branch) == (90, 60)
+
+
+# ------------------------------------------------ crash & race hardening
+
+
+def test_crashed_ref_staging_is_invisible_and_reclaimed(
+    spark, tmp_path
+):
+    """A writer that died between staging and link leaves only tmp
+    files: refs listings ignore them and pid-gated vacuum reclaims
+    them without touching live refs."""
+    root = _table(spark, tmp_path)
+    snap.create_tag(root, "live")
+    snap.create_branch(root, "b")
+    meta = os.path.join(root, "meta")
+    # dead-pid staging debris for a tag, a branch manifest, a commit
+    for n in (
+        "t-ghost.json.tmp-99999999-abcd1234",
+        "r-ghost.v1.json.tmp-99999999-abcd1234",
+        "v9.json.tmp-99999999-abcd1234",
+    ):
+        with open(os.path.join(meta, n), "w") as fh:
+            fh.write("{}")
+    assert snap.list_tags(root) == {"live": 1}
+    assert set(snap.list_branches(root)) == {"b"}
+    snap.vacuum(root, keep_last=5)
+    left = [n for n in os.listdir(meta) if ".tmp-" in n]
+    assert left == []
+    # live refs untouched
+    assert snap.tag_version(root, "live") == 1
+    assert snap.read_snapshot(spark, root, ref="b").count() == 90
+
+
+def test_publish_loses_put_if_absent_race(spark, tmp_path, monkeypatch):
+    """A trunk commit landing between publish's head read and its
+    link must surface as ConcurrentCommit (the loser), leaving the
+    racer's commit intact."""
+    root = _table(spark, tmp_path)
+    snap.create_branch(root, "b")
+    snap.commit_delete_where(spark, root, F.col("g") == 1, ref="b")
+    orig = snap._carry_manifest_extras
+    state = {"raced": False}
+
+    def hooked(src, peer=None):
+        out = orig(src, peer)
+        if not state["raced"] and peer is not None:
+            state["raced"] = True
+            monkeypatch.setattr(snap, "_carry_manifest_extras", orig)
+            snap.commit_append(spark, root, _df(spark, 90, 95))
+        return out
+
+    monkeypatch.setattr(snap, "_carry_manifest_extras", hooked)
+    with pytest.raises(snap.ConcurrentCommit):
+        snap.publish_branch(root, "b")
+    # the racer's append is the head, untouched
+    assert snap.read_snapshot(spark, root).count() == 95
+
+
+def test_concurrent_tag_creators_one_wins(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    snap.commit_append(spark, root, _df(spark, 90, 100))
+    snap.create_tag(root, "t", version=1)
+    with pytest.raises(ValueError):
+        snap.create_tag(root, "t", version=2)
+    assert snap.tag_version(root, "t") == 1  # first writer won

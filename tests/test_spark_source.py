@@ -228,3 +228,61 @@ def test_stream_rename_guard_and_restart_adoption(
     out = spark.read.parquet(sink)
     assert out.count() == 120
     assert "grp" in out.columns
+
+
+def test_batch_source_on_partitioned_store(registered, tmp_path):
+    """Partition mirror columns live in the data files, so the source
+    serves them like any column; per-day counts match the library."""
+    spark = registered
+    root = str(tmp_path / "t")
+    df = _df(spark, 0, 300).withColumn(
+        "day", (F.col("k") % 3).cast("string")
+    )
+    snap.commit_append(spark, root, df, partition_by=["day"])
+    snap.commit_delete_where(spark, root, F.col("day") == "2")
+    out = spark.read.format("snapshot").load(root)
+    got = {
+        r["day"]: r["count"]
+        for r in out.groupBy("day").count().collect()
+    }
+    assert got == {"0": 100, "1": 100}
+
+
+def test_stream_window_with_publish_serves_only_appends(
+    registered, tmp_path
+):
+    """Publish (like compact) restates by reference — the stream feed
+    must serve append commits only, before and after it."""
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    snap.create_branch(root, "b")
+    snap.commit_delete_where(spark, root, F.col("g") == 0, ref="b")
+    snap.publish_branch(root, "b")  # trunk v2
+    snap.commit_append(spark, root, _df(spark, 100, 150))  # v3
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("snapshot")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(sink)
+    assert out.count() == 150  # two appends; publish contributed nothing
+    assert out.agg(F.sum("k")).first()[0] == sum(range(150))
+
+
+def test_batch_source_accumulated_mor_deletes(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 500).repartition(4))
+    snap.commit_mor_delete(spark, root, F.col("g") == 1)
+    snap.commit_mor_delete(spark, root, F.col("g") == 2)
+    out = spark.read.format("snapshot").load(root)
+    assert out.count() == 400
+    assert out.filter("g in (1, 2)").count() == 0
+    assert _sorted(out) == _sorted(snap.read_snapshot(spark, root))
