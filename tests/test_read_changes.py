@@ -136,3 +136,14 @@ def test_empty_window_has_feed_schema(spark, tmp_path):
     assert {"_change_type", "_commit_version", "k", "g"} <= set(
         ch.columns
     )
+
+
+def test_mor_then_compact_feed_emits_once(spark, tmp_path):
+    """The MOR delete emits its rows as deletes; the compaction that
+    physically applies them is feed-silent — no double retraction."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(2))
+    snap.commit_mor_delete(spark, root, F.col("g") == 4)
+    snap.compact(spark, root, target_files=1)
+    ch = snap.read_changes(spark, root, 0)
+    assert _counts(ch) == {(1, "insert"): 100, (2, "delete"): 10}
