@@ -1903,8 +1903,13 @@ def publish_branch(
     bh = current_version(root, name)
     if not bh:
         raise ValueError(f"no branch {name!r}")
-    bm = read_manifest(root, bh, name)
-    fork = int(read_manifest(root, 1, name).get("fork_version") or 0)
+    try:
+        bm = read_manifest(root, bh, name)
+        fork = int(
+            read_manifest(root, 1, name).get("fork_version") or 0
+        )
+    except OSError:  # concurrent drop_branch between head and read
+        raise ValueError(f"no branch {name!r}") from None
     head = current_version(root)
     if head != fork and not allow_diverged:
         raise ConcurrentCommit(
@@ -1931,7 +1936,12 @@ def table_refs(spark: SparkSession, root: str) -> DataFrame:
     from O(#refs) small JSON — no data files open."""
     rows = [("main", "branch", current_version(root), None)]
     for b, head in sorted(list_branches(root).items()):
-        fork = int(read_manifest(root, 1, b).get("fork_version") or 0)
+        try:
+            fork = int(
+                read_manifest(root, 1, b).get("fork_version") or 0
+            )
+        except OSError:
+            continue  # branch dropped between the listing and the read
         rows.append((b, "branch", head, fork))
     for t, v in sorted(list_tags(root).items()):
         rows.append((t, "tag", v, None))
@@ -2003,9 +2013,16 @@ def table_partitions(
         )
     files = table_files(spark, root, v, ref)
     keys = [files["partition"][c].alias(c) for c in spec]
+    # per-file counts are null for segments written before row
+    # accounting; sum() would silently skip them and present a
+    # plausible UNDERCOUNT as metadata-exact — null the aggregate
+    # instead whenever any file in the group lacks a count (the
+    # honest answer table_files already gives per file)
     return files.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_files"),
-        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.when(F.count("n_rows") == F.count(F.lit(1)), F.sum("n_rows"))
+        .cast("bigint")
+        .alias("n_rows"),
     )
 
 
@@ -2643,6 +2660,54 @@ def _append_new_segments(root: str, m: dict, pm: dict) -> list[str]:
     return [s for s in m["segments"] if s not in parent_segs]
 
 
+def _append_delta(root: str, m: dict, pm: dict) -> dict | None:
+    """Sub-manifest carrying EXACTLY the rows an append commit added
+    over its parent, or None when it added nothing. The ONE place the
+    append diff lives — `read_appends`, `read_changes`, and the
+    streaming data source all consume it, so the legacy-boundary rule
+    below cannot drift between them.
+
+    Three manifest-shape cases:
+    - both two-tier: new segments by name diff;
+    - two-tier child over a legacy inline-files parent: the child's
+      lazily-folded segment carries a fresh ``s-<uuid>`` never present
+      in the parent, so a name diff would re-emit the parent's whole
+      row set as this commit's rows; diff by RESOLVED FILES instead —
+      a segment whose files all exist in the parent adds nothing;
+    - legacy child: inline file diff.
+
+    Carried ``delete_files`` are popped: position deletes can only
+    reference files that PREDATE this commit's own new rows, so the
+    anti-join would match nothing — appends-feed semantics anyway
+    serve rows AS OF their append."""
+    if "segments" in m and "segments" in pm:
+        new_segs = _append_new_segments(root, m, pm)
+    elif "segments" in m:
+        parent_files = set(manifest_files(root, pm)) if pm else set()
+        new_segs = [
+            s
+            for s in m["segments"]
+            if not set(_read_segment(root, s)) <= parent_files
+        ]
+    else:  # legacy append commit itself: inline files, no segments
+        parent_files = set(manifest_files(root, pm)) if pm else set()
+        new_files = [
+            f for f in m.get("files", []) if f not in parent_files
+        ]
+        if not new_files:
+            return None
+        sub = dict(m)
+        sub["files"] = new_files
+        sub.pop("delete_files", None)
+        return sub
+    if not new_segs:
+        return None
+    sub = dict(m)
+    sub["segments"] = new_segs
+    sub.pop("delete_files", None)
+    return sub
+
+
 def read_appends(
     spark: SparkSession,
     root: str,
@@ -2686,41 +2751,9 @@ def read_appends(
         if m["op"] != "append":
             continue
         pm = read_manifest(root, m["parent"]) if m["parent"] else {}
-        if "segments" in m and "segments" in pm:
-            new_segs = _append_new_segments(root, m, pm)
-        elif "segments" in m:
-            # legacy boundary: the parent is a round-6 inline-files
-            # manifest, so its lazily-folded segment carries a fresh
-            # s-<uuid> never present in the parent — a name diff would
-            # return the whole pre-existing table as this append's
-            # rows. Diff by resolved files instead: a segment whose
-            # files all exist in the parent contributes no new rows.
-            parent_files = (
-                set(manifest_files(root, pm)) if pm else set()
-            )
-            new_segs = [
-                s
-                for s in m["segments"]
-                if not set(_read_segment(root, s)) <= parent_files
-            ]
-        else:
-            # legacy append commit itself: inline files, no segments
-            parent_files = (
-                set(manifest_files(root, pm)) if pm else set()
-            )
-            new_files = [
-                f for f in m.get("files", []) if f not in parent_files
-            ]
-            if not new_files:
-                continue
-            sub = dict(m)
-            sub["files"] = new_files
-            parts.append(_read_files(spark, root, sub))
+        sub = _append_delta(root, m, pm)
+        if sub is None:
             continue
-        if not new_segs:
-            continue
-        sub = dict(m)
-        sub["segments"] = new_segs
         parts.append(_read_files(spark, root, sub))
     if not parts:
         # empty window: an empty frame under the window-end schema
@@ -2806,15 +2839,13 @@ def read_changes(
                 "reseed from a snapshot read instead of the change feed"
             )
         if op == "append":
-            if "segments" in m and "segments" in pm:
-                new_segs = _append_new_segments(root, m, pm)
-            else:
-                new_segs = m.get("segments", [])
-            if not new_segs:
+            # _append_delta handles the legacy boundary (a two-tier
+            # child over an inline-files parent) by file-subset diff —
+            # a name diff here re-emitted the parent's ENTIRE row set
+            # as inserts of the child commit (ADVICE r9).
+            sub = _append_delta(root, m, pm)
+            if sub is None:
                 continue
-            sub = dict(m)
-            sub["segments"] = new_segs
-            sub.pop("delete_files", None)
             parts.append(tag(_read_files(spark, root, sub), "insert", v))
         elif op == "delete-mor":
             new_dels = [

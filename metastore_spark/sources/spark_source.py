@@ -187,7 +187,11 @@ def _slices_for_manifest(
                 continue
             out.append(
                 _FileSlice(
-                    os.path.join(root, f), schema_json, None, None, []
+                    os.path.join(root, f),
+                    schema_json,
+                    ids_json,
+                    legacy_cj,
+                    delete_paths,
                 )
             )
     return out
@@ -248,7 +252,7 @@ class _StreamReader(DataSourceStreamReader):
     when the stream restarts on the wider schema)."""
 
     def __init__(self, root: str, since: int, schema_json: str,
-                 ids_json):
+                 ids_json, legacy_json=None):
         self.root = root
         self.since = since
         self.schema_json = schema_json
@@ -257,6 +261,9 @@ class _StreamReader(DataSourceStreamReader):
             f["name"] for f in json.loads(schema_json)["fields"]
         ]
         self._pinned_ids = json.loads(ids_json) if ids_json else None
+        self._pinned_legacy = (
+            json.loads(legacy_json) if legacy_json else None
+        )
 
     def initialOffset(self):
         return {"version": self.since}
@@ -278,23 +285,24 @@ class _StreamReader(DataSourceStreamReader):
                 if m["parent"]
                 else {}
             )
-            if "segments" in m and "segments" in pm:
-                new_segs = snap._append_new_segments(self.root, m, pm)
-            elif "segments" in m:
-                parent_files = (
-                    set(snap.manifest_files(self.root, pm)) if pm else set()
-                )
-                new_segs = [
-                    s
-                    for s in m["segments"]
-                    if not set(snap._read_segment(self.root, s))
-                    <= parent_files
-                ]
-            else:
-                new_segs = []
-            sub = dict(m)
-            sub["segments"] = new_segs
-            sub.pop("delete_files", None)  # appends feed: no retraction
+            sub = snap._append_delta(self.root, m, pm)
+            if sub is None:
+                continue
+            if self._pinned_ids and not m.get("column_ids"):
+                # backlog commit written BEFORE the table's first
+                # evolution: its files carry write-time names, and the
+                # pinned (possibly renamed) schema would resolve to
+                # nothing and null-fill. Resolve through the head's
+                # legacy_columns snapshot — the same mapping
+                # snapshots._read_files uses for pre-ID segments.
+                if not self._pinned_legacy:
+                    raise ValueError(
+                        f"v{v} predates the table's column IDs and no "
+                        "legacy_columns snapshot exists to resolve the "
+                        "pinned schema; restart the stream"
+                    )
+                sub["column_ids"] = self._pinned_ids
+                sub["legacy_columns"] = self._pinned_legacy
             out.extend(
                 _slices_for_manifest(self.root, sub, self.schema_json)
             )
@@ -370,23 +378,33 @@ class SnapshotDataSource(DataSource):
             )
         return root
 
+    def _pinned(self) -> tuple[int, str]:
+        """Resolve (version, ref) ONCE per DataSource instance: Spark
+        calls schema() then reader() on the same instance, and a
+        commit landing between two independent head resolutions would
+        plan a newer manifest than the advertised schema (an arrow /
+        schema mismatch at read time)."""
+        if not hasattr(self, "_pinned_version"):
+            root = self._root()
+            ref = self.options.get("ref", "main")
+            v = self.options.get("version")
+            if isinstance(v, str) and not v.isdigit():
+                v = snap.tag_version(root, v)
+            self._pinned_version = (
+                int(v)
+                if v is not None
+                else snap.current_version(root, ref)
+            )
+            self._pinned_ref = ref
+        return self._pinned_version, self._pinned_ref
+
     def schema(self):
-        root = self._root()
-        ref = self.options.get("ref", "main")
-        v = self.options.get("version")
-        if isinstance(v, str) and not v.isdigit():
-            v = snap.tag_version(root, v)
-        version = int(v) if v is not None else snap.current_version(
-            root, ref
-        )
-        return _schema_of(root, version, ref)
+        version, ref = self._pinned()
+        return _schema_of(self._root(), version, ref)
 
     def reader(self, schema):
-        return _BatchReader(
-            self._root(),
-            self.options.get("version"),
-            self.options.get("ref", "main"),
-        )
+        version, ref = self._pinned()
+        return _BatchReader(self._root(), version, ref)
 
     def streamReader(self, schema):
         root = self._root()
@@ -396,9 +414,15 @@ class SnapshotDataSource(DataSource):
         ids_json = (
             json.dumps(m["column_ids"]) if m.get("column_ids") else None
         )
+        legacy_json = (
+            json.dumps(m["legacy_columns"])
+            if m.get("legacy_columns")
+            else None
+        )
         return _StreamReader(
             root,
             since,
             json.dumps(_nullable_schema_json(m["schema"])),
             ids_json,
+            legacy_json,
         )

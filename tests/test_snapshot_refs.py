@@ -396,3 +396,79 @@ def test_concurrent_tag_creators_one_wins(spark, tmp_path):
     with pytest.raises(ValueError):
         snap.create_tag(root, "t", version=2)
     assert snap.tag_version(root, "t") == 1  # first writer won
+
+
+def test_table_partitions_nulls_when_rows_unaccounted(spark, tmp_path):
+    """ADVICE r9 (low): per-file row counts are null for segments
+    written before row accounting, and sum() silently skips nulls —
+    a partition mixing counted and uncounted files must report
+    n_rows=null (stale metadata made visible), never a plausible
+    undercount presented as metadata-exact."""
+    import json as _json
+
+    root = str(tmp_path / "t")
+    df = _df(spark, 0, 90).withColumn(
+        "day", (F.col("k") % 3).cast("string")
+    )
+    snap.commit_append(spark, root, df, partition_by=["day"])
+    df2 = _df(spark, 90, 120).withColumn("day", F.lit("0"))
+    snap.commit_append(spark, root, df2, partition_by=["day"])
+    # age the second commit's segment back to the pre-row-accounting
+    # era: its files (all day=0) lose their recorded counts
+    m1 = snap.read_manifest(root, 1)
+    m2 = snap.read_manifest(root, 2)
+    new_seg = [s for s in m2["segments"] if s not in m1["segments"]][0]
+    p = snap._segment_path(root, new_seg)
+    with open(p) as fh:
+        obj = _json.load(fh)
+    obj.pop("rows", None)
+    with open(p, "w") as fh:
+        _json.dump(obj, fh)
+    parts = {
+        r["day"]: (r["n_files"], r["n_rows"])
+        for r in snap.table_partitions(spark, root).collect()
+    }
+    assert parts["1"][1] == 30 and parts["2"][1] == 30
+    n_files, n_rows = parts["0"]
+    assert n_files > parts["1"][0]  # both commits' files present
+    assert n_rows is None  # mixed counted/uncounted group: honest null
+
+
+def test_table_refs_skips_concurrently_dropped_branch(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9 (low): a branch whose manifests vanish between the
+    ref listing and the fork-point read (concurrent drop_branch) is
+    omitted from the refs table, not surfaced as FileNotFoundError."""
+    root = _table(spark, tmp_path)
+    snap.create_branch(root, "b")
+    real = snap.list_branches
+
+    def stale(r):
+        out = dict(real(r))
+        out["ghost"] = 1  # listed, but no manifest exists any more
+        return out
+
+    monkeypatch.setattr(snap, "list_branches", stale)
+    refs = {r["ref"] for r in snap.table_refs(spark, root).collect()}
+    assert refs == {"main", "b"}
+
+
+def test_publish_concurrently_dropped_branch_raises_value_error(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9 (low): publish racing a drop_branch gets the typed
+    'no branch' ValueError, not a raw FileNotFoundError from the
+    fork-point manifest read."""
+    root = _table(spark, tmp_path)
+    snap.create_branch(root, "b")
+    bh = snap.current_version(root, "b")
+    snap.drop_branch(root, "b")
+    real_cv = snap.current_version
+
+    def stale(r, ref="main"):
+        return bh if ref == "b" else real_cv(r, ref)
+
+    monkeypatch.setattr(snap, "current_version", stale)
+    with pytest.raises(ValueError, match="no branch"):
+        snap.publish_branch(root, "b")

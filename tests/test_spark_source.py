@@ -228,6 +228,32 @@ def test_stream_rename_guard_and_restart_adoption(
     out = spark.read.parquet(sink)
     assert out.count() == 120
     assert "grp" in out.columns
+    # ADVICE r9 (medium): the backlog commit (v1) predates the
+    # table's column IDs, so the restarted stream must resolve the
+    # pinned 'grp' through the head's legacy_columns write-time
+    # mapping ('g') — NOT silently null-fill the renamed column.
+    assert out.filter("grp is null").count() == 0
+    backlog = {
+        (r["k"], r["grp"]) for r in out.filter("k < 100").collect()
+    }
+    assert backlog == {(k, k % 10) for k in range(100)}
+
+
+def test_batch_source_pins_version_across_schema_and_reader(
+    registered, tmp_path
+):
+    """ADVICE r9 (low): schema() and reader() must resolve the head
+    ONCE per DataSource instance — a commit landing between the two
+    calls must not make the reader plan a newer manifest than the
+    advertised schema (arrow/schema mismatch at read time)."""
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 50))
+    src = SnapshotDataSource({"path": root})
+    src.schema()
+    snap.commit_append(spark, root, _df(spark, 50, 80))
+    reader = src.reader(None)
+    assert reader.version == 1  # the version schema() advertised
 
 
 def test_batch_source_on_partitioned_store(registered, tmp_path):
