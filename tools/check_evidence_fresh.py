@@ -112,6 +112,21 @@ def main() -> int:
                 f"no result row: {', '.join(missing[:10])}"
                 + (" ..." if len(missing) > 10 else "")
             )
+        # a {"skipped": true} row is NOT coverage: only
+        # validation_only-tagged queries may be skipped (their
+        # scale_path sibling carries the production evidence) — an
+        # untagged skip is a silent coverage hole (VERDICT r9 #1)
+        skipped_untagged = sorted(
+            n
+            for n, r in data.get("results", {}).items()
+            if isinstance(r, dict) and r.get("skipped") and n in untagged
+        )
+        if skipped_untagged:
+            failures.append(
+                f"{name}: {len(skipped_untagged)} UNTAGGED queries were "
+                f"skipped, not run: {', '.join(skipped_untagged[:10])}"
+                + (" ..." if len(skipped_untagged) > 10 else "")
+            )
         print(
             f"{name}: ts={ts} (+{ts - code_ts}s after last code commit), "
             f"{len(data.get('results', {}))} rows, "

@@ -46,6 +46,28 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # CHECK_ORACLE_SKIP refusal runs BEFORE Spark startup: only
+    # validation_only-tagged queries may be skipped (VERDICT r9
+    # what's-wrong #1) — the tag names the scale-safe sibling that
+    # does run, so a skip can never silently drop production coverage.
+    from metastore_spark.queries import REGISTRY
+
+    requested_skip = {
+        s for s in os.environ.get("CHECK_ORACLE_SKIP", "").split(",") if s
+    }
+    bad_skip = sorted(
+        s
+        for s in requested_skip
+        if s not in REGISTRY or not REGISTRY[s].validation_only
+    )
+    if bad_skip:
+        print(
+            "CHECK_ORACLE_SKIP refused — not validation_only-tagged: "
+            + ", ".join(bad_skip),
+            file=sys.stderr,
+        )
+        return 2
+
     if os.environ.get("ORACLE_GET_SPARK"):
         from metastore_spark.session import get_spark
 
@@ -102,9 +124,8 @@ def main() -> int:
     # skipped — for queries whose OUTPUT is corpus-degenerate at the
     # sweep SF (e.g. token-SET jaccard on a 30-word-vocab corpus:
     # every pair qualifies, so the result itself is O(n^2) rows).
-    skip = {
-        s for s in os.environ.get("CHECK_ORACLE_SKIP", "").split(",") if s
-    }
+    # Tag-gated above, before Spark startup.
+    skip = requested_skip
     failed = []
     report: dict[str, dict] = {}
     out_path = os.environ.get("CHECK_ORACLE_JSON")
