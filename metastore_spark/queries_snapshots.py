@@ -36,9 +36,11 @@ def _events_table(spark: SparkSession, sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "events.parquet")
     fp = _fingerprint([src])
-    # v2 store key: v2 added manifest min/max stats on user_id —
-    # pre-stats stores must not satisfy the build-once check
-    root = os.path.join(_SNAP_ROOT, f"events-v2-{fp}")
+    # v3 store key: v3 commits record microsecond ts_us, which
+    # TIMESTAMP AS OF resolution needs to distinguish commits landing
+    # within one wall-clock second (v2 added min/max stats on user_id)
+    # — older stores must not satisfy the build-once check
+    root = os.path.join(_SNAP_ROOT, f"events-v3-{fp}")
     if snap.current_version(root) >= 3:
         return root
 
@@ -147,6 +149,76 @@ def events_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out.orderBy("version")
+
+
+@query(
+    "events_snapshot_timetravel_ts",
+    oracle="""
+    WITH cutoff AS (SELECT MAX(user_id) // 10 AS cu FROM events),
+    v2 AS (
+      SELECT user_id, value FROM events WHERE event_id % 3 IN (0, 1)
+    ),
+    v3 AS (
+      SELECT e.user_id, e.value FROM events e, cutoff
+      WHERE event_id % 3 IN (0, 1)
+        AND NOT (user_id < cu AND event_type = 'click')
+    )
+    SELECT 'asof_mid' AS leg,
+           CAST(2 AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM v2
+    UNION ALL
+    SELECT 'asof_now', CAST(3 AS INT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM v3
+    ORDER BY leg
+    """,
+)
+def events_snapshot_timetravel_ts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``TIMESTAMP AS OF`` time travel (VERDICT r9 task 3): the same
+    three-version events table read back BY WALL-CLOCK INSTANT, not
+    version number — `timestamp_version` resolves a timestamp to the
+    newest commit at-or-before it through the manifest chain's
+    microsecond ``ts_us`` (strictly increasing along the chain, so
+    commits landing within one second still resolve exactly).
+
+    Two legs pin both boundary behaviors: ``asof_mid`` reads at
+    EXACTLY v2's commit instant (inclusive: <=, Delta's contract)
+    and must see v2's row set, not v1's or v3's; ``asof_now`` reads
+    at a timestamp after the head and must resolve the head (v3).
+    The oracle recomputes both row sets from the base table, so an
+    off-by-one in the resolution (exclusive bound, wrong tie-break,
+    second-granularity collision) hash-mismatches.
+
+    Scale shape: resolution is O(head - answer) small JSON reads on
+    the driver, newest-first, no data files open; the read itself is
+    the same manifest-exact file list as VERSION AS OF.
+
+    Parity anchor: Delta `timestampAsOf` / Iceberg
+    `SELECT ... FOR SYSTEM_TIME AS OF` — the first thing a user types
+    after "time travel"."""
+    import time as _time
+
+    root = _events_table(spark, sf_dir)
+    t_mid = snap._manifest_ts_us(snap.read_manifest(root, 2)) / 1e6
+    legs = []
+    for leg, t in (("asof_mid", t_mid), ("asof_now", _time.time() + 3600)):
+        v = snap.timestamp_version(root, t)
+        legs.append(
+            snap.read_snapshot(spark, root, timestamp=t).agg(
+                F.lit(leg).alias("leg"),
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("value_cents_sum"),
+            )
+        )
+    return legs[0].unionAll(legs[1]).orderBy("leg")
 
 
 @query(

@@ -460,6 +460,15 @@ def _partition_values(path: str, spec: list[str]) -> dict[str, str] | None:
     return out
 
 
+def _manifest_ts_us(m: dict) -> int:
+    """A manifest's commit time in epoch microseconds. Manifests
+    written before ``ts_us`` existed fall back to their whole-second
+    ``ts`` — coarser, but still non-decreasing along the chain."""
+    if "ts_us" in m:
+        return int(m["ts_us"])
+    return int(m.get("ts", 0)) * 1_000_000
+
+
 def _commit(
     root: str,
     parent: int,
@@ -479,11 +488,24 @@ def _commit(
     the branch, so branch writers serialize against each other and
     never against the trunk."""
     version = parent + 1
+    # Commit time in MICROSECONDS, forced strictly increasing along
+    # the chain (Delta bumps a regressed commit clock the same way):
+    # `TIMESTAMP AS OF` resolution needs a total order even when two
+    # commits land within one wall-clock second or NTP steps back.
+    now_us = int(time.time() * 1_000_000)
+    if parent:
+        try:
+            parent_us = _manifest_ts_us(read_manifest(root, parent, ref))
+            if now_us <= parent_us:
+                now_us = parent_us + 1
+        except OSError:
+            pass  # parent expired mid-flight; wall clock stands
     manifest = {
         "version": version,
         "parent": parent,
         "op": op,
-        "ts": int(time.time()),
+        "ts": now_us // 1_000_000,
+        "ts_us": now_us,
         "segments": segments,
         **({"ref": ref} if ref != "main" else {}),
         **(extra or {}),
@@ -2056,12 +2078,66 @@ def clustered_prune(
     return {cs["cell_col"]: cells}
 
 
+def _to_epoch_us(t) -> int:
+    """Normalize a user-facing timestamp to epoch microseconds:
+    int/float epoch seconds (fractional OK), datetime (naive = local,
+    like Delta), or an ISO-8601 string."""
+    import datetime as _dt
+
+    if isinstance(t, _dt.datetime):
+        return int(t.timestamp() * 1_000_000)
+    if isinstance(t, str):
+        return int(_dt.datetime.fromisoformat(t).timestamp() * 1_000_000)
+    if isinstance(t, (int, float)):
+        return int(t * 1_000_000)
+    raise TypeError(f"timestamp must be seconds/datetime/ISO str, got {t!r}")
+
+
+def timestamp_version(root: str, t, ref: str = "main") -> int:
+    """``TIMESTAMP AS OF`` resolution (Delta/Iceberg semantics): the
+    NEWEST commit on ``ref`` whose commit time is <= ``t`` — exactly
+    the snapshot a reader at wall-clock ``t`` would have seen.
+    ``t`` is epoch seconds (fractional OK), a datetime, or an ISO
+    string; commit times compare at microsecond resolution
+    (``ts_us``, strictly increasing along the chain since r10;
+    pre-r10 manifests fall back to whole-second ``ts``).
+
+    Raises ValueError when ``t`` predates the table's first commit,
+    and the typed `RetentionExpired` when the target snapshot existed
+    but `expire_snapshots` already dropped its manifest — the same
+    contract every other historical read path gives a lagging
+    consumer. Cost: O(head - answer) small JSON reads, newest-first,
+    no data files open."""
+    t_us = _to_epoch_us(t)
+    head = current_version(root, ref)
+    if not head:
+        raise ValueError("empty table has no snapshots")
+    oldest_readable = None
+    for v in range(head, 0, -1):
+        try:
+            m = read_manifest(root, v, ref)
+        except OSError:
+            # expired below here; every older manifest is gone too
+            raise RetentionExpired(
+                f"no retained snapshot at or before timestamp {t!r}: "
+                f"versions <= {v} were expired; oldest readable is "
+                f"{oldest_readable}"
+            ) from None
+        oldest_readable = v
+        if _manifest_ts_us(m) <= t_us:
+            return v
+    raise ValueError(
+        f"timestamp {t!r} predates the table's first commit"
+    )
+
+
 def read_snapshot(
     spark: SparkSession,
     root: str,
     version: int | str | None = None,
     prune: dict | None = None,
     ref: str = "main",
+    timestamp=None,
 ) -> DataFrame:
     """Time-travel read: the exact file list of ``version`` (default:
     current head). Empty table -> raises like a missing parquet path
@@ -2075,7 +2151,18 @@ def read_snapshot(
     ``prune`` = {col: (lo, hi)} applies manifest min/max file
     skipping (see `pruned_manifest_files`) — an optimization only
     valid under the caller's equivalent row filter, exactly like
-    partition pruning."""
+    partition pruning.
+
+    ``timestamp`` is ``TIMESTAMP AS OF``: epoch seconds / datetime /
+    ISO string, resolved through `timestamp_version` to the newest
+    commit at-or-before that instant (mutually exclusive with
+    ``version``)."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "version and timestamp are mutually exclusive"
+            )
+        version = timestamp_version(root, timestamp, ref)
     if isinstance(version, str):
         if ref != "main":
             raise ValueError("a tag read targets the trunk; drop ref=")
