@@ -151,6 +151,113 @@ def events_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("version")
 
 
+def _eqdel_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once snapshot table pinning EQUALITY-DELETE semantics:
+    v1 appends the even-event rows, v2 equality-deletes every
+    user_id divisible by 7 (by KEY, no position scan), v3 appends the
+    odd-event rows — which include the deleted users, so the scope
+    rule (deletes bind rows written BEFORE them) is observable."""
+    from metastore_spark.serve import _fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint([src])
+    root = os.path.join(_SNAP_ROOT, f"eqdel-v1-{fp}")
+    if snap.current_version(root) >= 3:
+        return root
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    os.makedirs(_SNAP_ROOT, exist_ok=True)
+    tmp = f"{root}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snap.commit_append(
+        spark, tmp, base.filter(F.col("event_id") % 2 == 0)
+    )
+    keys = (
+        base.filter(F.col("user_id") % 7 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    snap.commit_mor_delete_keys(spark, tmp, keys)
+    snap.commit_append(
+        spark, tmp, base.filter(F.col("event_id") % 2 == 1)
+    )
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+@query(
+    "events_snapshot_eq_delete",
+    oracle="""
+    WITH v1 AS (
+      SELECT user_id, value FROM events WHERE event_id % 2 = 0
+    ),
+    v2 AS (
+      SELECT user_id, value FROM v1 WHERE user_id % 7 <> 0
+    ),
+    v3 AS (
+      SELECT user_id, value FROM v2
+      UNION ALL
+      SELECT user_id, value FROM events WHERE event_id % 2 = 1
+    )
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM v1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM v2
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM v3
+    ORDER BY version
+    """,
+)
+def events_snapshot_eq_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE-ON-READ EQUALITY DELETES (VERDICT r9 task 4 — Iceberg v2
+    equality deletes): delete-by-key with NO scan and NO rewrite at
+    commit. v2 equality-deletes every user_id % 7 == 0 by writing the
+    key set itself (`commit_mor_delete_keys`); readers anti-join the
+    keys out of rows written BEFORE the delete. v3 appends rows that
+    REUSE the deleted keys (the CDC re-insert) — they must be served,
+    pinning the Iceberg sequence-number scope rule; and the pinned
+    pre-delete v1 stays intact (time travel). All three versions are
+    reduced to exact-integer aggregates and recomputed by the oracle
+    from the base table, so a reader that swallows the re-inserts,
+    misses a key, or mutates history hash-mismatches.
+
+    Scale shape: the delete commit is O(distinct keys) written +
+    O(#segments) metadata — the upsert-heavy CDC shape where scanning
+    100 TB per micro-batch for row positions would dominate; the read
+    pays one anti-join per accumulated entry (AQE broadcasts the key
+    set) and `compact` folds + clears the list."""
+    root = _eqdel_table(spark, sf_dir)
+    legs = []
+    for v in (1, 2, 3):
+        legs.append(
+            snap.read_snapshot(spark, root, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("value_cents_sum"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("version")
+
+
 @query(
     "events_snapshot_timetravel_ts",
     oracle="""

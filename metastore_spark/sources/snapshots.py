@@ -551,6 +551,11 @@ def _carry_deletes(src_manifest: dict, extra: dict) -> None:
     them."""
     if src_manifest.get("delete_files") and "delete_files" not in extra:
         extra["delete_files"] = list(src_manifest["delete_files"])
+    if (
+        src_manifest.get("eq_delete_files")
+        and "eq_delete_files" not in extra
+    ):
+        extra["eq_delete_files"] = list(src_manifest["eq_delete_files"])
     if src_manifest.get("bloom_cols") and "bloom_cols" not in extra:
         extra["bloom_cols"] = list(src_manifest["bloom_cols"])
 
@@ -661,6 +666,23 @@ def _evolve(root: str, transform) -> int:
         list(m.get("partition_spec") or []),
         list(m.get("stats_cols") or []),
     )
+    # live equality-delete key files bind column NAMES at their
+    # commit time — renaming or dropping a referenced key column
+    # would silently detach the delete from its rows
+    eq_cols = {
+        c
+        for e in (m.get("eq_delete_files") or [])
+        for c in e["cols"]
+    }
+    if eq_cols:
+        new_names = {f["name"] for f in schema["fields"]}
+        broken = sorted(eq_cols - new_names)
+        if broken:
+            raise SchemaEvolutionError(
+                f"column(s) {broken} are referenced by live "
+                "equality-delete key files; compact the table to fold "
+                "the deletes before renaming or dropping them"
+            )
     extra: dict = {
         "schema": schema,
         "column_ids": ids,
@@ -981,6 +1003,66 @@ def _apply_mor_deletes(
     return df
 
 
+def _plan_eq_deletes(
+    root: str, manifest: dict, scanned: set[str]
+) -> list[tuple[list[str], list[str], set[str] | None]]:
+    """Driver-side plan for the manifest's equality-delete entries
+    against THIS scan's file subset: (key file paths, key cols,
+    scope file NAMES or None). None scope = every scanned file is in
+    the entry's scope (no appends since the delete touched this
+    subset), so the reader can anti-join without per-row file
+    tests — the common fast path. Entries whose scope misses the
+    whole scan are dropped here (nothing to delete)."""
+    plans = []
+    for entry in manifest.get("eq_delete_files") or []:
+        scope: set[str] = set()
+        for s in entry["scope_segments"]:
+            scope.update(_read_segment(root, s))
+        if not scanned & scope:
+            continue  # this scan reads only post-delete files
+        names = (
+            None
+            if scanned <= scope
+            else {os.path.basename(f) for f in scope}
+        )
+        plans.append((list(entry["files"]), list(entry["cols"]), names))
+    return plans
+
+
+def _apply_eq_deletes(
+    spark: SparkSession, root: str, df: DataFrame, plans
+) -> DataFrame:
+    """Anti-join each planned equality-delete key set out of the
+    assembled frame (Iceberg v2 equality deletes). Full-scope entries
+    are one name-keyed anti-join (AQE broadcasts small key sets);
+    partially-scoped entries (rows appended AFTER the delete are in
+    the frame) split on the row's ``_mor_file``: in-scope rows
+    anti-join, out-of-scope rows pass through untouched — the
+    sequence-number rule, expressed as a metadata-sized semi/anti
+    split. NULL keys never match (SQL equality), so null-keyed rows
+    are never deleted."""
+    if not plans:
+        return df
+    orig_cols = list(df.columns)  # USING-joins move key cols first
+    for paths, cols, scope_names in plans:
+        keys = spark.read.parquet(
+            *[os.path.join(root, f) for f in paths]
+        ).select(*cols).dropDuplicates()
+        if scope_names is None:
+            df = df.join(keys, on=cols, how="left_anti")
+            continue
+        scope_df = spark.createDataFrame(
+            [(n,) for n in sorted(scope_names)], "_eq_scope_file string"
+        )
+        cond = df["_mor_file"] == scope_df["_eq_scope_file"]
+        in_scope = df.join(scope_df, cond, "left_semi")
+        out_scope = df.join(scope_df, cond, "left_anti")
+        df = in_scope.join(keys, on=cols, how="left_anti").unionByName(
+            out_scope
+        )
+    return df.select(*orig_cols)
+
+
 def _read_files(
     spark: SparkSession,
     root: str,
@@ -1023,7 +1105,19 @@ def _read_files(
         if only_files is None or e[0] in only_files
     ]
     dels = manifest.get("delete_files") or []
-    need_pos = with_pos or bool(dels)
+    eq_plans = _plan_eq_deletes(root, manifest, {f for f, _c in entries})
+    # partially-scoped equality deletes split rows on _mor_file, so
+    # the scan must capture it even without position deletes
+    need_pos = with_pos or bool(dels) or any(
+        s is not None for _f, _c, s in eq_plans
+    )
+
+    def _finish(frame: DataFrame) -> DataFrame:
+        frame = _apply_mor_deletes(spark, root, frame, dels, True)
+        frame = _apply_eq_deletes(spark, root, frame, eq_plans)
+        if not with_pos and "_mor_file" in frame.columns:
+            frame = frame.drop("_mor_file", "_mor_pos")
+        return frame
     if "schema" not in manifest:
         # legacy manifest, no committed schema to stand on
         if not entries:
@@ -1039,7 +1133,7 @@ def _read_files(
             df = _with_pos(df)
         if with_source:
             df = _with_src(df)
-        return _apply_mor_deletes(spark, root, df, dels, with_pos)
+        return _finish(df)
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(manifest["schema"])
@@ -1059,7 +1153,7 @@ def _read_files(
             df = _with_pos(df)
         if with_source:
             df = _with_src(df)
-        return _apply_mor_deletes(spark, root, df, dels, with_pos)
+        return _finish(df)
 
     cur = [
         (f["name"], f["type"], ids.get(f["name"]))
@@ -1118,7 +1212,7 @@ def _read_files(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return _apply_mor_deletes(spark, root, out, dels, with_pos)
+    return _finish(out)
 
 
 def _field_type_str(type_json):
@@ -1394,8 +1488,92 @@ def commit_mor_delete(
     extra["delete_files"] = (
         list(prev_manifest.get("delete_files") or []) + written
     )
+    if prev_manifest.get("eq_delete_files"):
+        extra["eq_delete_files"] = list(prev_manifest["eq_delete_files"])
     return _commit(
         root, parent, "delete-mor", prev_segs, extra or None, ref
+    )
+
+
+def commit_mor_delete_keys(
+    spark: SparkSession,
+    root: str,
+    keys_df: DataFrame,
+    ref: str = "main",
+) -> int:
+    """MERGE-ON-READ EQUALITY DELETE (Iceberg v2 equality deletes):
+    delete every row whose key columns match a row of ``keys_df`` —
+    with NO scan at commit time. Where `commit_mor_delete` must first
+    locate row positions (one table scan), this writes the key set
+    itself as a delete file and commits O(keys): the shape an
+    upsert-heavy CDC stream wants, where the keys are already in hand
+    and scanning 100 TB per micro-batch to find positions would
+    dominate the pipeline.
+
+    Scope semantics (Iceberg's sequence-number rule): the delete
+    applies ONLY to rows written BEFORE it — each entry records the
+    parent snapshot's segments as its scope, so a row with a deleted
+    key appended LATER (the CDC re-insert) is served, not swallowed.
+    Readers anti-join scoped rows against the key set at scan
+    assembly; `compact` folds the deletes in and clears the list.
+    SQL semantics: NULL key values never match (like Iceberg), so a
+    null-keyed row cannot be deleted by equality.
+
+    ``keys_df`` columns name the key (one or more committed columns,
+    matched by name); duplicates are deduped at write. Renaming or
+    dropping a column referenced by a live equality delete raises
+    `SchemaEvolutionError` — compact first (the keys file binds the
+    old name).
+
+    Cost model: commit is O(distinct keys) written + O(#segments)
+    metadata; reads pay one anti-join per accumulated entry (AQE
+    broadcasts small key sets), so compact regularly under sustained
+    CDC — exactly Iceberg's guidance."""
+    parent = current_version(root, ref)
+    if not parent:
+        raise ValueError("cannot delete from an empty table or branch")
+    prev_manifest = read_manifest(root, parent, ref)
+    cols = list(keys_df.columns)
+    if not cols:
+        raise ValueError("keys_df needs at least one key column")
+    if "schema" in prev_manifest:
+        committed = {
+            f["name"] for f in prev_manifest["schema"]["fields"]
+        }
+        missing = [c for c in cols if c not in committed]
+        if missing:
+            raise ValueError(
+                f"key column(s) {missing} not in the committed schema"
+            )
+    prev_segs = _parent_segments(root, prev_manifest)
+    written = _write_data_files(
+        keys_df.dropDuplicates().coalesce(4), root
+    )
+    entry = {
+        "files": written,
+        "cols": cols,
+        "scope_segments": list(prev_segs),
+    }
+    extra: dict = {}
+    if "schema" in prev_manifest:
+        extra["schema"] = prev_manifest["schema"]
+        extra.update(
+            _ids_for_commit(
+                prev_manifest, prev_manifest["schema"]["fields"]
+            )
+        )
+    if prev_manifest.get("stats_cols"):
+        extra["stats_cols"] = list(prev_manifest["stats_cols"])
+    if prev_manifest.get("partition_spec"):
+        extra["partition_spec"] = list(prev_manifest["partition_spec"])
+    _carry_cluster(prev_manifest, extra)
+    if prev_manifest.get("delete_files"):
+        extra["delete_files"] = list(prev_manifest["delete_files"])
+    extra["eq_delete_files"] = list(
+        prev_manifest.get("eq_delete_files") or []
+    ) + [entry]
+    return _commit(
+        root, parent, "delete-mor-eq", prev_segs, extra or None, ref
     )
 
 
@@ -1750,7 +1928,7 @@ def rollback_to(root: str, version: int) -> int:
     # retired ID is never re-minted
     for k in (
         "column_ids", "legacy_columns", "cluster_spec", "delete_files",
-        "bloom_cols",
+        "eq_delete_files", "bloom_cols",
     ):
         if target.get(k):
             extra[k] = target[k]
@@ -1782,6 +1960,7 @@ def _carry_manifest_extras(src: dict, peer: dict | None = None) -> dict:
         "legacy_columns",
         "cluster_spec",
         "delete_files",
+        "eq_delete_files",
         "bloom_cols",
     ):
         if src.get(k):
@@ -2238,13 +2417,21 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     expired_segs: set[str] = set()
     for v in versions:
         m = read_manifest(root, v)
-        refs_v = manifest_files(root, m) + list(
-            m.get("delete_files") or []
+        eq_entries = m.get("eq_delete_files") or []
+        refs_v = (
+            manifest_files(root, m)
+            + list(m.get("delete_files") or [])
+            + [f for e in eq_entries for f in e["files"]]
         )
         (live if v in keep else expired_refs).update(refs_v)
-        (live_segs if v in keep else expired_segs).update(
-            m.get("segments", [])
-        )
+        # equality-delete SCOPE segments stay live with the manifest
+        # carrying them: readers resolve scope file names through the
+        # segment JSON even after a COW rewrite dropped the segment
+        # from the data list
+        segs_v = list(m.get("segments", [])) + [
+            s for e in eq_entries for s in e["scope_segments"]
+        ]
+        (live_segs if v in keep else expired_segs).update(segs_v)
     # every BRANCH manifest is live by definition (branches are
     # dropped explicitly, never expired): their files/segments must
     # survive the sweep even when no trunk version references them
@@ -2256,7 +2443,10 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
                 continue  # racing drop_branch
             live.update(manifest_files(root, bm))
             live.update(bm.get("delete_files") or [])
+            beq = bm.get("eq_delete_files") or []
+            live.update(f for e in beq for f in e["files"])
             live_segs.update(bm.get("segments", []))
+            live_segs.update(s for e in beq for s in e["scope_segments"])
     deleted: list[str] = []
     for v in versions:
         if v not in keep:
@@ -2658,6 +2848,19 @@ def compact(
                 "would resurrect the deleted rows — re-run compaction "
                 "on the new head"
             )
+        # same rule for equality deletes: the fold applied the BASE's
+        # key sets and clears eq_delete_files on commit
+        if json.dumps(
+            head_manifest.get("eq_delete_files") or [], sort_keys=True
+        ) != json.dumps(
+            base_manifest.get("eq_delete_files") or [], sort_keys=True
+        ):
+            raise ConcurrentCommit(
+                "equality deletes changed under this compaction "
+                "(concurrent commit_mor_delete_keys); committing the "
+                "fold would resurrect the deleted rows — re-run "
+                "compaction on the new head"
+            )
         # Segments added since the compacted base, by RESOLVED FILE
         # diff, not segment name: `_parent_segments` mints a fresh
         # s-<uuid> each time it lazily folds a legacy inline-files
@@ -2763,10 +2966,11 @@ def _append_delta(root: str, m: dict, pm: dict) -> dict | None:
       a segment whose files all exist in the parent adds nothing;
     - legacy child: inline file diff.
 
-    Carried ``delete_files`` are popped: position deletes can only
-    reference files that PREDATE this commit's own new rows, so the
-    anti-join would match nothing — appends-feed semantics anyway
-    serve rows AS OF their append."""
+    Carried ``delete_files``/``eq_delete_files`` are popped: position
+    deletes can only reference files that PREDATE this commit's own
+    new rows, and equality deletes scope to segments that predate them
+    too, so the anti-joins would match nothing — appends-feed
+    semantics anyway serve rows AS OF their append."""
     if "segments" in m and "segments" in pm:
         new_segs = _append_new_segments(root, m, pm)
     elif "segments" in m:
@@ -2786,12 +2990,14 @@ def _append_delta(root: str, m: dict, pm: dict) -> dict | None:
         sub = dict(m)
         sub["files"] = new_files
         sub.pop("delete_files", None)
+        sub.pop("eq_delete_files", None)
         return sub
     if not new_segs:
         return None
     sub = dict(m)
     sub["segments"] = new_segs
     sub.pop("delete_files", None)
+    sub.pop("eq_delete_files", None)
     return sub
 
 
@@ -2966,6 +3172,29 @@ def read_changes(
                 .drop("_mor_file", "_mor_pos")
             )
             parts.append(tag(deleted, "delete", v))
+        elif op == "delete-mor-eq":
+            prev_n = len(pm.get("eq_delete_files") or [])
+            for entry in (m.get("eq_delete_files") or [])[prev_n:]:
+                keys = (
+                    spark.read.parquet(
+                        *[os.path.join(root, f) for f in entry["files"]]
+                    )
+                    .select(*entry["cols"])
+                    .dropDuplicates()
+                )
+                scope_files: set[str] = set()
+                for s in entry["scope_segments"]:
+                    scope_files.update(_read_segment(root, s))
+                # parent read applies the parent's OWN deletes, so
+                # rows this commit retracts are exactly the still-live
+                # scoped rows matching the new key set
+                live_rows = _read_files(
+                    spark, root, pm, only_files=scope_files
+                )
+                deleted = live_rows.join(
+                    keys, on=entry["cols"], how="left_semi"
+                )
+                parts.append(tag(deleted, "delete", v))
         elif op in ("delete", "merge", "overwrite"):
             pm_files = set(manifest_files(root, pm))
             m_files = set(manifest_files(root, m))

@@ -57,15 +57,18 @@ from metastore_spark.sources import snapshots as snap
 class _FileSlice(InputPartition):
     """One data file plus everything the worker kernel needs: the
     target schema (JSON), the manifest's column-ID map, the file's
-    write-time column metadata, and the snapshot's delete files."""
+    write-time column metadata, the snapshot's position-delete files,
+    and the equality-delete entries whose scope covers THIS file
+    (resolved driver-side; [{paths, cols}] JSON)."""
 
     def __init__(self, path, schema_json, ids_json, columns_json,
-                 delete_paths):
+                 delete_paths, eq_json=None):
         self.path = path
         self.schema_json = schema_json
         self.ids_json = ids_json
         self.columns_json = columns_json
         self.delete_paths = delete_paths
+        self.eq_json = eq_json
 
 
 def _arrow_read(part: _FileSlice):
@@ -124,6 +127,15 @@ def _arrow_read(part: _FileSlice):
         arrays.append(col)
         names.append(f.name)
     out = pa.table(arrays, names=names)
+    # equality deletes scoped to this file: anti-join the key sets on
+    # the PROJECTED (committed-name) frame — keys bind committed names
+    # at their commit time, and evolution of a referenced key column
+    # is blocked while the delete is live
+    for entry in json.loads(part.eq_json) if part.eq_json else []:
+        keys = pq.read_table(entry["paths"], columns=entry["cols"])
+        out = out.join(
+            keys, keys=entry["cols"], join_type="left anti"
+        )
     yield from out.to_batches(max_chunksize=8192)
 
 
@@ -151,6 +163,29 @@ def _slices_for_manifest(
         os.path.join(root, f)
         for f in (manifest.get("delete_files") or [])
     ]
+    # equality-delete entries with their scope resolved ONCE to file
+    # sets; each slice carries only the entries that cover its file
+    eq_entries = []
+    for e in manifest.get("eq_delete_files") or []:
+        scope: set[str] = set()
+        for s in e["scope_segments"]:
+            scope.update(snap._read_segment(root, s))
+        eq_entries.append(
+            (
+                scope,
+                {
+                    "paths": [os.path.join(root, f) for f in e["files"]],
+                    "cols": list(e["cols"]),
+                },
+            )
+        )
+
+    def _eq_json_for(f: str):
+        if not eq_entries:
+            return None
+        hits = [payload for scope, payload in eq_entries if f in scope]
+        return json.dumps(hits) if hits else None
+
     only = set(files) if files is not None else None
     # segments written BEFORE the first evolution carry no per-segment
     # column metadata; their write-time mapping is the manifest's
@@ -179,6 +214,7 @@ def _slices_for_manifest(
                         ids_json,
                         cj,
                         delete_paths,
+                        _eq_json_for(f),
                     )
                 )
     else:  # legacy inline-files manifest
@@ -192,6 +228,7 @@ def _slices_for_manifest(
                     ids_json,
                     legacy_cj,
                     delete_paths,
+                    _eq_json_for(f),
                 )
             )
     return out

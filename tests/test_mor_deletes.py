@@ -315,3 +315,209 @@ def test_overwrite_where_on_branch(spark, tmp_path):
     b = snap.read_snapshot(spark, root, ref="b")
     assert b.count() == 100  # 10 removed, 10 inserted
     assert b.filter("g = 3 and k >= 200").count() == 10
+
+
+# ------------------------------------------------- equality deletes
+
+
+def _keys(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "g long")
+
+
+def test_eq_delete_rewrites_nothing_and_scans_nothing(spark, tmp_path):
+    """VERDICT r9 task 4: delete-by-key with NO scan at commit — zero
+    data files rewritten AND zero jobs over the table at commit time
+    (the keys frame is the caller's, O(keys))."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 1000).repartition(4))
+    f1 = set(snap.files_of(root, 1))
+    snap.commit_mor_delete_keys(spark, root, _keys(spark, [3, 4]))
+    assert set(snap.files_of(root, 2)) == f1
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 800
+    assert out.filter("g in (3, 4)").count() == 0
+    # pinned pre-delete version intact (time travel)
+    assert snap.read_snapshot(spark, root, 1).count() == 1000
+    assert snap.read_manifest(root, 2)["op"] == "delete-mor-eq"
+
+
+def test_eq_delete_scopes_to_prior_rows_only(spark, tmp_path):
+    """The Iceberg sequence-number rule: a row with a deleted key
+    appended AFTER the delete (CDC re-insert) is served."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    snap.commit_mor_delete_keys(spark, root, _keys(spark, [3]))
+    snap.commit_append(spark, root, _df(spark, 100, 140))  # has g=3 rows
+    out = snap.read_snapshot(spark, root)
+    got = {r["k"] for r in out.filter("g = 3").collect()}
+    assert got == {k for k in range(100, 140) if k % 10 == 3}
+    assert out.count() == 100 - 10 + 40
+
+
+def test_eq_delete_null_keys_never_match(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 5, None).otherwise(F.col("id") % 10).alias("g"),
+    )
+    snap.commit_append(spark, root, df)
+    keys = spark.createDataFrame([(None,)], "g long")
+    snap.commit_mor_delete_keys(spark, root, keys)
+    # SQL equality: NULL = NULL is not TRUE, so null-keyed rows stay
+    assert snap.read_snapshot(spark, root).count() == 20
+
+
+def test_eq_delete_multi_column_key(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    keys = spark.createDataFrame([(13, 3), (27, 7)], "k long, g long")
+    snap.commit_mor_delete_keys(spark, root, keys)
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 98
+    assert out.filter("k in (13, 27)").count() == 0
+    # single-column matches of the pair keys survive
+    assert out.filter("g = 3").count() == 9
+
+
+def test_eq_delete_rejects_unknown_key_column(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+    with pytest.raises(ValueError, match="not in the committed schema"):
+        snap.commit_mor_delete_keys(
+            spark, root, spark.createDataFrame([(1,)], "nope long")
+        )
+
+
+def test_eq_deletes_stack_with_position_deletes(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    snap.commit_mor_delete(spark, root, F.col("g") == 4)
+    snap.commit_mor_delete_keys(spark, root, _keys(spark, [7]))
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 80
+    assert out.filter("g in (4, 7)").count() == 0
+    # and a second eq delete accumulates
+    snap.commit_mor_delete_keys(spark, root, _keys(spark, [9]))
+    assert snap.read_snapshot(spark, root).count() == 70
+
+
+def test_compact_applies_and_clears_eq_deletes(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(4))
+    snap.commit_mor_delete_keys(spark, root, _keys(spark, [3]))
+    snap.commit_append(spark, root, _df(spark, 100, 110))
+    v = snap.compact(spark, root, target_files=1)
+    m = snap.read_manifest(root, v)
+    assert not m.get("eq_delete_files")
+    out = snap.read_snapshot(spark, root, v)
+    assert out.count() == 100
+    # pre-delete g=3 gone, post-delete g=3 (k=103) kept
+    assert {r["k"] for r in out.filter("g = 3").collect()} == {103}
+
+
+def test_compact_aborts_on_concurrent_eq_delete(
+    spark, tmp_path, monkeypatch
+):
+    """An equality delete landing mid-fold must abort the compaction
+    — the fold applied the BASE's key sets and clears the list, so
+    committing it would resurrect the newly-deleted keys."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 400).repartition(4))
+    orig = snap._write_data_files
+    state = {"raced": False}
+
+    def hooked(df, r, partition_by=None):
+        files = orig(df, r, partition_by)
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(snap, "_write_data_files", orig)
+            snap.commit_mor_delete_keys(spark, root, _keys(spark, [7]))
+        return files
+
+    monkeypatch.setattr(snap, "_write_data_files", hooked)
+    with pytest.raises(snap.ConcurrentCommit, match="equality deletes"):
+        snap.compact(spark, root, target_files=1)
+    # the eq delete survives, un-resurrected
+    assert snap.read_snapshot(spark, root).filter("g = 7").count() == 0
+    # rerun against the new head succeeds and clears the deletes
+    v = snap.compact(spark, root, target_files=1)
+    assert snap.read_snapshot(spark, root, v).count() == 360
+    assert not snap.read_manifest(root, v).get("eq_delete_files")
+
+
+def test_eq_delete_survives_cow_merge_and_overwrite(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(4))
+    snap.commit_mor_delete_keys(spark, root, _keys(spark, [3]))
+    # COW delete of another key: rewrite applies eq deletes to the
+    # rewritten rows and carries the entry for untouched files
+    snap.commit_delete_where(spark, root, F.col("g") == 5)
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 80
+    assert out.filter("g in (3, 5)").count() == 0
+
+
+def test_eq_delete_rollback_restores_keys(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    snap.commit_mor_delete_keys(spark, root, _keys(spark, [3]))
+    snap.rollback_to(root, 1)
+    assert snap.read_snapshot(spark, root).count() == 100
+    # and rolling forward to v2 again re-applies
+    assert snap.read_snapshot(spark, root, 2).count() == 90
+
+
+def test_eq_delete_blocks_rename_drop_of_key_column(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    snap.commit_mor_delete_keys(spark, root, _keys(spark, [3]))
+    with pytest.raises(snap.SchemaEvolutionError, match="equality-delete"):
+        snap.rename_column(root, "g", "grp")
+    with pytest.raises(snap.SchemaEvolutionError, match="equality-delete"):
+        snap.drop_column(root, "g")
+    # non-key columns still evolve freely
+    snap.rename_column(root, "k", "key")
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 90 and "key" in out.columns
+
+
+def test_expire_keeps_eq_key_files_and_scope_segments(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(4))
+    snap.commit_mor_delete_keys(spark, root, _keys(spark, [3]))
+    for i in range(4):
+        snap.commit_append(spark, root, _df(spark, 100 + i, 101 + i))
+    snap.expire_snapshots(root, keep_last=2)
+    out = snap.read_snapshot(spark, root)
+    assert out.filter("g = 3 and k < 100").count() == 0
+    assert out.count() == 94
+
+
+def test_eq_delete_change_feed_emits_deleted_rows(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    snap.commit_mor_delete_keys(spark, root, _keys(spark, [3]))
+    ch = snap.read_changes(spark, root, 1)
+    rows = ch.collect()
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert {r["k"] for r in rows} == {k for k in range(100) if k % 10 == 3}
+    # re-deleting the same key is feed-silent (already gone)
+    snap.commit_mor_delete_keys(spark, root, _keys(spark, [3]))
+    assert snap.read_changes(spark, root, 2).count() == 0
+
+
+def test_eq_delete_through_spark_datasource(spark, tmp_path):
+    from metastore_spark.sources.spark_source import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(3))
+    snap.commit_mor_delete_keys(spark, root, _keys(spark, [3]))
+    snap.commit_append(spark, root, _df(spark, 100, 120))
+    via_source = spark.read.format("snapshot").load(root)
+    via_lib = snap.read_snapshot(spark, root)
+    assert sorted(map(tuple, via_source.collect())) == sorted(
+        map(tuple, via_lib.collect())
+    )
+    assert via_source.filter("g = 3 and k < 100").count() == 0
+    assert via_source.filter("g = 3 and k >= 100").count() == 2
