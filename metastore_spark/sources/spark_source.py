@@ -36,6 +36,18 @@ read per NEW file, pruned to the projected columns. This is the
 "table format as streaming source" design of Delta's source /
 Iceberg's incremental scan, expressed through Spark's public Python
 DataSource API.
+
+PERF ASYMMETRY (deliberate): this source reads parquet per-file via
+pyarrow inside Python workers — the Spark 4 Python DataSource API's
+shape — so it is the INTEROP surface, not the fast path. Library
+reads (`snapshots.read_snapshot`) scan through Spark's JVM parquet
+reader with whole-stage codegen and are what the serving layer uses.
+File skipping IS available here: ``option("prune.<col>", "lo,hi")``
+range bounds and ``option("prune_in.<col>", "a,b,c")`` value sets
+resolve manifest min/max stats, partition tuples, and bloom filters
+before planning, so a pruned scan plans strictly fewer input
+partitions (same caller-owed row-filter contract as read_snapshot's
+``prune``).
 """
 
 from __future__ import annotations
@@ -260,7 +272,7 @@ def _schema_of(root: str, version: int, ref: str = "main") -> StructType:
 
 
 class _BatchReader(DataSourceReader):
-    def __init__(self, root: str, version, ref: str):
+    def __init__(self, root: str, version, ref: str, prune=None):
         self.root = root
         if isinstance(version, str) and not version.isdigit():
             version = snap.tag_version(root, version)
@@ -270,13 +282,24 @@ class _BatchReader(DataSourceReader):
             else snap.current_version(root, ref)
         )
         self.ref = ref
+        self.prune = prune
         self.manifest = snap.read_manifest(root, self.version, ref)
 
     def partitions(self):
         schema_json = json.dumps(
             _nullable_schema_json(self.manifest["schema"])
         )
-        return _slices_for_manifest(self.root, self.manifest, schema_json)
+        files = None
+        if self.prune:
+            # manifest min/max + partition-tuple + bloom skipping,
+            # resolved BEFORE planning: skipped files are never
+            # listed, opened, or footer-read
+            files = snap.pruned_manifest_files(
+                self.root, self.manifest, self.prune
+            )
+        return _slices_for_manifest(
+            self.root, self.manifest, schema_json, files=files
+        )
 
     def read(self, partition):
         yield from _arrow_read(partition)
@@ -439,9 +462,54 @@ class SnapshotDataSource(DataSource):
         version, ref = self._pinned()
         return _schema_of(self._root(), version, ref)
 
+    def _prune_opts(self) -> dict | None:
+        """File-skipping bounds from reader options (option keys are
+        lowercased by Spark — name engine columns accordingly):
+
+            .option("prune.<col>", "lo,hi")     # range; empty = open
+            .option("prune_in.<col>", "a,b,c")  # value set (+ blooms)
+
+        Resolved through the manifest's min/max stats, partition
+        tuples, and bloom filters BEFORE partition planning, so the
+        source plans strictly fewer input partitions. Same contract
+        as read_snapshot's ``prune``: an optimization only valid
+        UNDER the caller's equivalent row filter."""
+
+        def coerce(s: str):
+            s = s.strip()
+            if not s:
+                return None
+            for cast in (int, float):
+                try:
+                    return cast(s)
+                except ValueError:
+                    continue
+            return s
+
+        prune: dict = {}
+        for k, v in self.options.items():
+            if k.startswith("prune."):
+                parts = v.split(",")
+                if len(parts) != 2:
+                    raise ValueError(
+                        f"option {k!r} wants 'lo,hi' (empty side = "
+                        f"open), got {v!r}"
+                    )
+                prune[k[len("prune."):]] = (
+                    coerce(parts[0]),
+                    coerce(parts[1]),
+                )
+            elif k.startswith("prune_in."):
+                prune[k[len("prune_in."):]] = [
+                    coerce(x) for x in v.split(",")
+                ]
+        return prune or None
+
     def reader(self, schema):
         version, ref = self._pinned()
-        return _BatchReader(self._root(), version, ref)
+        return _BatchReader(
+            self._root(), version, ref, self._prune_opts()
+        )
 
     def streamReader(self, schema):
         root = self._root()

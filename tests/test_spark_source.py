@@ -312,3 +312,77 @@ def test_batch_source_accumulated_mor_deletes(registered, tmp_path):
     assert out.count() == 400
     assert out.filter("g in (1, 2)").count() == 0
     assert _sorted(out) == _sorted(snap.read_snapshot(spark, root))
+
+
+def test_batch_source_prune_options_plan_fewer_partitions(
+    registered, tmp_path
+):
+    """VERDICT r9 task 5: pruning pushed through the Python
+    DataSource — a prune option plans STRICTLY fewer input partitions
+    (files skipped from manifest stats, never opened) and the result
+    under the equivalent row filter is unchanged."""
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark,
+        root,
+        _df(spark, 0, 1000).repartitionByRange(8, "k"),
+        stats_cols=["k"],
+    )
+    src = SnapshotDataSource({"path": root})
+    full = src.reader(None).partitions()
+    pruned_reader = SnapshotDataSource(
+        {"path": root, "prune.k": "100,199"}
+    ).reader(None)
+    pruned = pruned_reader.partitions()
+    assert 0 < len(pruned) < len(full)
+    got = (
+        spark.read.format("snapshot")
+        .option("prune.k", "100,199")
+        .load(root)
+        .filter("k between 100 and 199")
+    )
+    want = snap.read_snapshot(spark, root).filter(
+        "k between 100 and 199"
+    )
+    assert _sorted(got) == _sorted(want)
+    # open-ended range
+    open_hi = SnapshotDataSource(
+        {"path": root, "prune.k": "900,"}
+    ).reader(None).partitions()
+    assert 0 < len(open_hi) < len(full)
+
+
+def test_batch_source_prune_in_uses_blooms(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark,
+        root,
+        _df(spark, 0, 1000).repartition(8),
+        bloom_cols=["k"],
+    )
+    full = SnapshotDataSource({"path": root}).reader(None).partitions()
+    pruned = SnapshotDataSource(
+        {"path": root, "prune_in.k": "17"}
+    ).reader(None).partitions()
+    # hash-partitioned on a different key, so k=17 lives in few files;
+    # blooms prove absence where min/max ranges cannot
+    assert 0 < len(pruned) < len(full)
+    got = (
+        spark.read.format("snapshot")
+        .option("prune_in.k", "17")
+        .load(root)
+        .filter("k = 17")
+    )
+    assert _sorted(got) == [(17, 7)]
+
+
+def test_batch_source_prune_option_rejects_bad_shape(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 10))
+    with pytest.raises(Exception, match="lo,hi"):
+        SnapshotDataSource(
+            {"path": root, "prune.k": "1,2,3"}
+        ).reader(None)
