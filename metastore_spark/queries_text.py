@@ -1560,3 +1560,211 @@ def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             fps, F.lit(0).cast("bigint"), lambda a, h: a + h
         ).alias("fp_checksum"),
     )
+
+
+_QT_FEAT_CTES = f"""
+    qt_tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS t
+      FROM documents
+    ),
+    qt_f AS (
+      SELECT doc_id,
+             COUNT(*)                                            AS n_tokens,
+             SUM(length(t))                                      AS sum_len,
+             SUM(CASE WHEN t IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END) AS n_stop,
+             SUM(CASE WHEN regexp_matches(t, '^[0-9]+$') THEN 1 ELSE 0 END)
+                                                                 AS n_num
+      FROM qt_tok GROUP BY doc_id
+    ),
+    qt_feat AS (
+      SELECT doc_id,
+             (n_stop * 1000) // n_tokens AS stop_m,
+             (sum_len * 1000) // n_tokens AS len_m,
+             (n_num * 1000) // n_tokens AS num_m,
+             CASE WHEN (n_stop * 1000) // n_tokens >= 150
+                   AND (n_num * 1000) // n_tokens <= 200
+                  THEN 1 ELSE 0 END AS y
+      FROM qt_f
+    )
+"""
+
+_QUALITY_TRAINED_ORACLE = f"""
+    WITH {_QT_FEAT_CTES.strip()},
+    g1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT)                  AS n,
+             CAST(SUM((1 - 2*y) * 1000)   AS BIGINT)   AS g_b,
+             CAST(SUM((1 - 2*y) * stop_m) AS BIGINT)   AS g_s,
+             CAST(SUM((1 - 2*y) * len_m)  AS BIGINT)   AS g_l,
+             CAST(SUM((1 - 2*y) * num_m)  AS BIGINT)   AS g_n
+      FROM qt_feat
+    ),
+    w1 AS (
+      SELECT n,
+             -0.1 * g_b / (2.0 * n * 1000.0) AS w_b,
+             -0.1 * g_s / (2.0 * n * 1000.0) AS w_s,
+             -0.1 * g_l / (2.0 * n * 1000.0) AS w_l,
+             -0.1 * g_n / (2.0 * n * 1000.0) AS w_n
+      FROM g1
+    ),
+    p2 AS (
+      SELECT qt_feat.*,
+             CAST(round((round(1.0 / (1.0 + exp(-(
+               (w_b * 1000 + w_s * stop_m + w_l * len_m + w_n * num_m)
+               / 1000.0))), 6) - y) * 1000000) AS BIGINT) AS d
+      FROM qt_feat, w1
+    ),
+    g2 AS (
+      SELECT CAST(SUM(d * 1000)   AS BIGINT) AS g_b,
+             CAST(SUM(d * stop_m) AS BIGINT) AS g_s,
+             CAST(SUM(d * len_m)  AS BIGINT) AS g_l,
+             CAST(SUM(d * num_m)  AS BIGINT) AS g_n
+      FROM p2
+    ),
+    w2 AS (
+      SELECT w1.n,
+             w1.w_b - 0.1 * g2.g_b / (1000000.0 * n * 1000.0) AS w_b,
+             w1.w_s - 0.1 * g2.g_s / (1000000.0 * n * 1000.0) AS w_s,
+             w1.w_l - 0.1 * g2.g_l / (1000000.0 * n * 1000.0) AS w_l,
+             w1.w_n - 0.1 * g2.g_n / (1000000.0 * n * 1000.0) AS w_n
+      FROM w1, g2
+    ),
+    pred AS (
+      SELECT CASE WHEN (w_b * 1000 + w_s * stop_m + w_l * len_m
+                        + w_n * num_m) / 1000.0 >= 0.0
+                  THEN 1 ELSE 0 END AS p,
+             y
+      FROM qt_feat, w2
+    ),
+    score AS (
+      SELECT CAST(COUNT(*) AS BIGINT)                       AS n_docs,
+             CAST(SUM(p) AS BIGINT)                         AS n_pred_quality,
+             CAST(SUM(CASE WHEN p = y THEN 1 ELSE 0 END) AS BIGINT)
+                                                            AS n_correct
+      FROM pred
+    )
+    SELECT ROUND(w2.w_b, 6) AS w_bias,
+           ROUND(w2.w_s, 6) AS w_stop,
+           ROUND(w2.w_l, 6) AS w_len,
+           ROUND(w2.w_n, 6) AS w_num,
+           score.n_docs, score.n_pred_quality, score.n_correct
+    FROM w2, score
+    """
+
+
+@query("docs_quality_trained", oracle=_QUALITY_TRAINED_ORACLE)
+def docs_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier (VERDICT r9 task 6): two unrolled
+    full-batch logistic-regression epochs learn the weights that
+    `docs_quality_score` hard-codes, then inference runs through the
+    LEARNED weights — the `docs_bpe_trainer`/`emb_kmeans_quantized`
+    pattern applied to model fitting: per-epoch gradient = ONE
+    partial-agg reduction to four BIGINT scalars, weight update = a
+    driver-side scalar fold, every number cross-engine-exact by
+    construction:
+
+    - features are fixed-point INTEGERS (per-mille stopword ratio,
+      mean token length, numeric ratio via integer division), labels
+      a rule-based integer teacher;
+    - epoch 1 starts at w=0 where sigma(0)=1/2 EXACTLY, so its
+      gradient is a pure-integer sum (1-2y)*x;
+    - epoch 2 rounds sigma to 6dp and quantizes each residual to an
+      integer micro-unit before the BIGINT gradient sum, so float
+      summation order can never split the engines;
+    - the decision thresholds z >= 0 (no exp at inference).
+
+    Output: the learned weights (6dp) + corpus prediction counts +
+    training-label agreement. The oracle replays the identical two
+    epochs in unrolled SQL CTEs.
+
+    Scale shape: each epoch is one scan + one O(1)-row aggregate (4
+    longs), weights ship driver-side as scalars — at 100 TB an epoch
+    is exactly the cost of a count(*), and nothing model-sized ever
+    shuffles. Reference anchor: the trainable twin of the fasttext
+    quality filter stand-in (`docs_quality_score`)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(ops.word_tokens(F.col("text"))).alias("t")
+    )
+    f = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("t")).alias("sum_len"),
+        F.count(F.when(F.col("t").isin(*ENGLISH_STOPWORDS), 1)).alias(
+            "n_stop"
+        ),
+        F.count(F.when(F.col("t").rlike("^[0-9]+$"), 1)).alias("n_num"),
+    )
+    stop_m = F.expr("(n_stop * 1000) div n_tokens")
+    len_m = F.expr("(sum_len * 1000) div n_tokens")
+    num_m = F.expr("(n_num * 1000) div n_tokens")
+    feat = f.select(
+        stop_m.alias("stop_m"),
+        len_m.alias("len_m"),
+        num_m.alias("num_m"),
+        F.when((stop_m >= 150) & (num_m <= 200), 1)
+        .otherwise(0)
+        .alias("y"),
+    ).persist()
+
+    # epoch 1: w = 0 -> sigma = 1/2 exactly; gradient is integer
+    r = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((1 - 2 * F.col("y")) * 1000).cast("long").alias("g_b"),
+        F.sum((1 - 2 * F.col("y")) * F.col("stop_m")).cast("long").alias("g_s"),
+        F.sum((1 - 2 * F.col("y")) * F.col("len_m")).cast("long").alias("g_l"),
+        F.sum((1 - 2 * F.col("y")) * F.col("num_m")).cast("long").alias("g_n"),
+    ).first()
+    n = r["n"]
+    # same literal expression shape as the oracle's w1 CTE
+    w = {
+        k: -0.1 * r[g] / (2.0 * n * 1000.0)
+        for k, g in (("b", "g_b"), ("s", "g_s"), ("l", "g_l"), ("n", "g_n"))
+    }
+
+    def z_of(wts):
+        return (
+            F.lit(wts["b"]) * 1000
+            + F.lit(wts["s"]) * F.col("stop_m")
+            + F.lit(wts["l"]) * F.col("len_m")
+            + F.lit(wts["n"]) * F.col("num_m")
+        ) / 1000.0
+
+    # epoch 2: sigma rounded to 6dp, residual quantized to BIGINT
+    dcol = F.round(
+        (F.round(1.0 / (1.0 + F.exp(-z_of(w))), 6) - F.col("y"))
+        * 1000000,
+        0,
+    ).cast("long")
+    r2 = feat.select(dcol.alias("d"), "stop_m", "len_m", "num_m").agg(
+        F.sum(F.col("d") * 1000).cast("long").alias("g_b"),
+        F.sum(F.col("d") * F.col("stop_m")).cast("long").alias("g_s"),
+        F.sum(F.col("d") * F.col("len_m")).cast("long").alias("g_l"),
+        F.sum(F.col("d") * F.col("num_m")).cast("long").alias("g_n"),
+    ).first()
+    w2 = {
+        k: w[k] - 0.1 * r2[g] / (1000000.0 * n * 1000.0)
+        for k, g in (("b", "g_b"), ("s", "g_s"), ("l", "g_l"), ("n", "g_n"))
+    }
+
+    # inference through the LEARNED weights: threshold z >= 0 (exact)
+    pred = feat.select(
+        F.when(z_of(w2) >= 0.0, 1).otherwise(0).alias("p"), "y"
+    )
+    out = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("p").cast("long").alias("n_pred_quality"),
+        F.sum(F.when(F.col("p") == F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    ).select(
+        F.round(F.lit(w2["b"]), 6).alias("w_bias"),
+        F.round(F.lit(w2["s"]), 6).alias("w_stop"),
+        F.round(F.lit(w2["l"]), 6).alias("w_len"),
+        F.round(F.lit(w2["n"]), 6).alias("w_num"),
+        "n_docs",
+        "n_pred_quality",
+        "n_correct",
+    )
+    feat.unpersist()
+    return out
