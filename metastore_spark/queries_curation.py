@@ -358,3 +358,144 @@ def docs_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+_GS_PH60 = (
+    "list_sum(list_transform(range(1,16), i -> "
+    "(strpos('0123456789abcdef', substr(md5("
+    "CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)"
+    "), i, 1)) - 1)::BIGINT * (1::BIGINT << (4*(15-i)))))"
+)
+
+
+@query(
+    "docs_global_shuffle",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, n_tokens, CAST(epoch AS INT) AS epoch
+      FROM sized, (SELECT UNNEST([1, 2]) AS epoch)
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens, epoch, {_GS_PH60} AS k
+      FROM e
+    ),
+    o AS (
+      SELECT epoch, k >> 57 AS shard, k, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY epoch, k >> 57 ORDER BY k, doc_id
+             ) AS r,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY epoch, k >> 57 ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS off
+      FROM keyed
+    )
+    SELECT epoch,
+           CAST(shard AS BIGINT)                      AS shard,
+           CAST(COUNT(*) AS BIGINT)                   AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)              AS total_tokens,
+           CAST(SUM((r % 1000003) * (k % 1000003))
+                % 1000000007 AS BIGINT)               AS order_checksum,
+           CAST(SUM((r % 1000003) * (off % 1000003))
+                % 1000000007 AS BIGINT)               AS offset_checksum,
+           CAST(MIN(k) AS BIGINT)                     AS min_key,
+           CAST(MAX(k) AS BIGINT)                     AS max_key
+    FROM o
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC GLOBAL CORPUS SHUFFLE (VERDICT r9 task 7): the
+    operator every training run needs between curation and packing —
+    a content-independent, seed-keyed TOTAL ORDER over the corpus,
+    materialized shard-preserving, one fresh permutation per epoch.
+
+    The sort key is ``portable_hash60(doc_id ':' epoch)``: stable
+    across runs and engines, independent of document content (a
+    one-byte edit moves nothing), re-keyed per epoch (epoch 2 is a
+    different permutation of the same corpus). Shard = the key's top
+    3 bits, so shards ARE hash ranges: workers can materialize each
+    shard independently and concatenating shards 0..7 reproduces the
+    global order — no global rank needed. Within each shard, the
+    packing offset (cumulative token count in shuffle order) composes
+    this with `docs_pack_sequences`' layout.
+
+    Output pins the permutation EXACTLY: per (epoch, shard), the
+    rank-weighted key checksum fixes the order (any transposition
+    changes it) and the rank-weighted offset checksum fixes the
+    packed layout; counts/min/max pin membership. All checksums are
+    modular-integer arithmetic — cross-engine exact.
+
+    Scale shape: one hash exchange on (epoch, shard) + per-shard
+    sorts, NO single-partition global sort and no range-sampling
+    pass (tests/test_plans.py asserts the plan). At 100 TB: raise
+    the shard bit-width (top-k bits) so each hash range fits an
+    executor — the order stays identical, only the parallelism
+    changes. Reference anchor: the epoch-shuffle every data loader
+    (e.g. MosaicML StreamingDataset's deterministic shuffle) performs
+    ahead of sequence packing."""
+    from metastore_spark.dedup.ops import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.size(ops.word_tokens(F.col("text"))).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    e = sized.select(
+        "*",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("epoch"),
+    )
+    keyed = e.select(
+        "doc_id",
+        "n_tokens",
+        "epoch",
+        portable_hash60(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("k"),
+    ).withColumn("shard", F.shiftright(F.col("k"), 57))
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    o = keyed.select(
+        "epoch",
+        "shard",
+        "k",
+        "n_tokens",
+        F.row_number().over(w).cast("bigint").alias("r"),
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("off"),
+    )
+    return (
+        o.groupBy("epoch", F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (
+                F.sum((F.col("r") % 1000003) * (F.col("k") % 1000003))
+                % 1000000007
+            ).cast("bigint").alias("order_checksum"),
+            (
+                F.sum((F.col("r") % 1000003) * (F.col("off") % 1000003))
+                % 1000000007
+            ).cast("bigint").alias("offset_checksum"),
+            F.min("k").cast("bigint").alias("min_key"),
+            F.max("k").cast("bigint").alias("max_key"),
+        )
+        .orderBy("epoch", "shard")
+    )

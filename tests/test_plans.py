@@ -494,3 +494,25 @@ def test_mor_read_broadcasts_deletes_and_keeps_pushdown(
 
     schemas = re.findall(r"ReadSchema: struct<[^>]*>", plan)
     assert schemas and all("s:string" not in x for x in schemas), plan
+
+
+def test_global_shuffle_no_single_partition_sort(spark):
+    """VERDICT r9 task 7: docs_global_shuffle's total order must plan
+    as hash-partitioned per-shard window sorts — ONE hash exchange for
+    the windows, no `Exchange SinglePartition` (a global window) and
+    no rangepartitioning sampling pass (a global orderBy feeding the
+    windows). The final tiny orderBy on the 16-row aggregate is the
+    only acceptable range exchange."""
+    import metastore_spark.queries_curation  # noqa: F401
+
+    plan = _plan(spark, "docs_global_shuffle")
+    assert "Exchange SinglePartition" not in plan
+    # exactly ONE hash exchange: it feeds BOTH window functions (one
+    # shared Window node) AND the per-(epoch, shard) aggregate — the
+    # partial agg reuses the window partitioning, no second shuffle
+    assert plan.count("hashpartitioning") == 1
+    # the only range exchange is the final orderBy on the 16-row
+    # aggregate — never a corpus-wide global sort
+    assert plan.count("rangepartitioning") == 1
+    assert plan.index("rangepartitioning") > plan.index("row_number()")
+    assert "row_number()" in plan
