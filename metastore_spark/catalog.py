@@ -63,6 +63,15 @@ def _raw_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Serving-store file fan-out. The fixture parquet ships as ONE file,
+# and a one-file store caps every downstream CPU-heavy kernel (BPE,
+# winnowing, shingling) at ONE scan task regardless of cores — the
+# r7-r9 winnowing bench variance was single-task scheduling noise.
+# Range layout on the primary key keeps per-file min/max stats tight.
+_STORE_PARTS = 32
+_STORE_KEYS = {"events": "event_id", "documents": "doc_id"}
+
+
 def snapshot_root(
     spark: SparkSession, sf_dir: str, name: str
 ) -> str | None:
@@ -70,13 +79,23 @@ def snapshot_root(
     (built once per corpus content; None when the warehouse is
     unwritable). The committed frame is the NORMALIZED table — the
     snapshot schema is canonical (events.ts TIMESTAMP_NTZ), so
-    readers skip per-scan adaptation."""
+    readers skip per-scan adaptation — laid out `_STORE_PARTS`-way by
+    primary-key range so scans parallelize independently of the
+    fixture's single-file shape."""
     from metastore_spark.serve import snapshot_store
 
     src = table_path(sf_dir, name)
-    return snapshot_store(
-        spark, [src], name, lambda: _raw_table(spark, sf_dir, name)
-    )
+
+    def build():
+        df = _raw_table(spark, sf_dir, name)
+        key = _STORE_KEYS.get(name)
+        return (
+            df.repartitionByRange(_STORE_PARTS, key) if key else df
+        )
+
+    # tag carries the layout generation: pre-fanout one-file stores
+    # must not satisfy the build-once check
+    return snapshot_store(spark, [src], f"{name}-r{_STORE_PARTS}", build)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
