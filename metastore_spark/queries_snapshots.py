@@ -258,6 +258,103 @@ def events_snapshot_eq_delete(
     return out.orderBy("version")
 
 
+def _upsert_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once snapshot table pinning MOR-UPSERT semantics: v1
+    appends the even-event rows; v2 `commit_mor_upsert`s ONE atomic
+    CDC batch — restated values (x2) for event_id % 4 == 0 plus all
+    odd-event rows as inserts — keyed on event_id, zero scan, zero
+    rewrite."""
+    from metastore_spark.serve import _fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint([src])
+    root = os.path.join(_SNAP_ROOT, f"upsert-v1-{fp}")
+    if snap.current_version(root) >= 2:
+        return root
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    os.makedirs(_SNAP_ROOT, exist_ok=True)
+    tmp = f"{root}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    snap.commit_append(
+        spark, tmp, base.filter(F.col("event_id") % 2 == 0)
+    )
+    batch = base.filter(F.col("event_id") % 4 == 0).withColumn(
+        "value", F.col("value") * 2
+    ).unionByName(base.filter(F.col("event_id") % 2 == 1))
+    snap.commit_mor_upsert(spark, tmp, batch, ["event_id"])
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+@query(
+    "events_snapshot_mor_upsert",
+    oracle="""
+    WITH v1 AS (
+      SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0
+    ),
+    v2 AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 4 = 0 THEN value * 2 ELSE value END
+               AS value
+      FROM events
+    )
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM v1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM v2
+    ORDER BY version
+    """,
+)
+def events_snapshot_mor_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE-ON-READ UPSERT — the CDC apply as ONE zero-scan commit
+    (`commit_mor_upsert`, the Iceberg v2 equality-delete + data-file
+    encoding): v2 restates half of v1's rows with doubled values AND
+    inserts the whole odd-event half, keyed on event_id, without
+    scanning or rewriting a single prior file. The head must show
+    exactly one row per key (updates not duplicated, inserts present,
+    restated values served); the pinned v1 must still show the
+    pre-upsert values. Exact-integer aggregates, oracle recomputed
+    from the base table — a reader that double-serves an updated key,
+    loses an insert, or leaks a pre-update value hash-mismatches.
+
+    Scale shape: the commit is O(batch) data + O(distinct keys)
+    delete rows + O(#segments) metadata — per-micro-batch cost for an
+    upsert-heavy CDC stream where COW merge would scan the table; the
+    read pays one scoped anti-join per accumulated batch and compact
+    folds the backlog away. Parity anchor: Iceberg v2 upsert writes /
+    Delta MERGE-on-CDF, and the reference's append-only events kind
+    upgraded to mutable CDC serving."""
+    root = _upsert_table(spark, sf_dir)
+    legs = []
+    for v in (1, 2):
+        legs.append(
+            snap.read_snapshot(spark, root, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("event_id").cast("bigint").alias(
+                    "n_keys"
+                ),
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("value_cents_sum"),
+            )
+        )
+    return legs[0].unionAll(legs[1]).orderBy("version")
+
+
 @query(
     "events_snapshot_timetravel_ts",
     oracle="""
@@ -388,6 +485,98 @@ def events_stream_snapshot_ingest(
         )
         # the tmp table must outlive the driver's collect: materialize
         # the 1-row result before cleanup
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@query(
+    "events_stream_cdc_upsert",
+    oracle="""
+    WITH v2 AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 4 = 0 THEN value * 2 ELSE value END
+               AS value
+      FROM events
+    )
+    SELECT 5 AS head_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM v2
+    """,
+)
+def events_stream_cdc_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING CDC APPLY through merge-on-read upserts, end-to-end:
+    the even-event rows land as the base table (v1), then a CDC feed
+    — restated values (x2) for event_id % 4 == 0 plus every odd-event
+    row as inserts — drains through foreachBatch `upsert_sink` in 4
+    micro-batches (maxFilesPerTrigger=1), each an exactly-once
+    `commit_mor_upsert` with ZERO table scan (v2-v5). The head must
+    equal the batch-computed CDC result exactly: one row per key,
+    restated values served, inserts present, nothing double-applied
+    across batch replays. head_version pins the structure: 1 base
+    append + 4 upsert commits, exactly.
+
+    Scale shape: THE 100 TB CDC ingest loop — per micro-batch cost is
+    O(batch) data + O(batch keys) delete rows + O(#segments)
+    metadata, never a scan or rewrite of the table; the idempotence
+    ledger is the manifest history itself (stream_id, batch_id), so
+    crash-replays converge to the same history. Parity anchor:
+    Iceberg v2 streaming upsert / Delta streaming MERGE, serving the
+    reference's events kind as a mutable CDC table."""
+    import hashlib
+    import tempfile
+
+    from metastore_spark.catalog import load_table
+    from metastore_spark.streaming.events import read_event_stream
+
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    root = os.path.join(tempfile.mkdtemp(prefix="cdc_tbl_"), "t")
+    try:
+        base = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        snap.commit_append(
+            spark, root, base.filter(F.col("event_id") % 2 == 0)
+        )
+        feed = (
+            base.filter(F.col("event_id") % 4 == 0)
+            .withColumn("value", F.col("value") * 2)
+            .unionByName(base.filter(F.col("event_id") % 2 == 1))
+        )
+        feed.repartition(4).write.mode("overwrite").parquet(src)
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        (
+            stream.writeStream.foreachBatch(
+                snap.upsert_sink(
+                    root,
+                    hashlib.md5(ckpt.encode()).hexdigest()[:12],
+                    ["event_id"],
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        out = snap.read_snapshot(spark, root).agg(
+            F.lit(snap.current_version(root)).cast("int").alias(
+                "head_version"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("event_id").cast("bigint").alias("n_keys"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+            ).cast("bigint").alias("value_cents_sum"),
+        )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:

@@ -1577,6 +1577,106 @@ def commit_mor_delete_keys(
     )
 
 
+def commit_mor_upsert(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    key_cols: list[str],
+    ref: str = "main",
+    extra_meta: dict | None = None,
+) -> int:
+    """MERGE-ON-READ UPSERT — the CDC apply, with ZERO table scan and
+    ZERO rewrite at commit: equality-delete the incoming rows' keys
+    from everything written before, and append the incoming rows, as
+    ONE atomic commit. A reader sees the pre-upsert snapshot or the
+    fully-applied one, never a gap where old rows are gone and new
+    ones not yet visible (the hazard of composing delete+append as
+    two commits).
+
+    This is the Iceberg v2 upsert encoding (equality-delete file +
+    data file, same sequence number) and the shape an upsert-heavy
+    CDC stream needs: where `commit_merge` (COW) must scan to locate
+    and rewrite affected files per batch, this writes O(batch) data +
+    O(distinct keys) delete rows + O(#segments) metadata — per
+    100 TB micro-batch, the difference between seconds and a table
+    scan. Readers pay the same scoped anti-join as
+    `commit_mor_delete_keys`; `compact` folds the accumulated
+    entries away. Latest-wins across repeated upserts of one key:
+    each upsert's delete scopes every EARLIER segment, including
+    prior upserts' appends.
+
+    Same add-only schema contract as `commit_append`; ``key_cols``
+    must exist in both the incoming frame and the committed schema.
+    SQL NULL semantics: a null key never matches, so null-keyed prior
+    rows survive (and null-keyed incoming rows are plain inserts)."""
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    parent = current_version(root, ref)
+    if not parent:
+        raise ValueError(
+            "cannot upsert into an empty table or branch; "
+            "commit_append first"
+        )
+    missing = [c for c in key_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"key column(s) {missing} not in the frame")
+    prev_manifest = read_manifest(root, parent, ref)
+    if "schema" in prev_manifest:
+        committed = {
+            f["name"] for f in prev_manifest["schema"]["fields"]
+        }
+        alien = [c for c in key_cols if c not in committed]
+        if alien:
+            raise ValueError(
+                f"key column(s) {alien} not in the committed schema"
+            )
+    _check_add_only(prev_manifest, df)
+    prev_segs = _parent_segments(root, prev_manifest)
+    scols = prev_manifest.get("stats_cols") or []
+    bcols = prev_manifest.get("bloom_cols") or []
+    spec = prev_manifest.get("partition_spec") or []
+    files = _write_data_files(df, root, spec or None)
+    key_files = _write_data_files(
+        df.select(*key_cols).dropDuplicates().coalesce(4), root
+    )
+    stats = _collect_file_stats(root, files, scols) if scols else None
+    extra = _schema_extra(df)
+    ev = _ids_for_commit(prev_manifest, extra["schema"]["fields"])
+    extra.update(ev)
+    seg = _write_segment(
+        root,
+        files,
+        stats,
+        _spec_partitions(files, spec),
+        _columns_meta(
+            extra["schema"]["fields"], ev.get("column_ids") or {}
+        ),
+        _collect_file_blooms(root, files, bcols) if bcols else None,
+    )
+    if scols:
+        extra["stats_cols"] = list(scols)
+    if bcols:
+        extra["bloom_cols"] = list(bcols)
+    if spec:
+        extra["partition_spec"] = list(spec)
+    _carry_cluster(prev_manifest, extra)
+    _carry_deletes(prev_manifest, extra)  # position deletes; eq below
+    extra["eq_delete_files"] = list(
+        prev_manifest.get("eq_delete_files") or []
+    ) + [
+        {
+            "files": key_files,
+            "cols": list(key_cols),
+            "scope_segments": list(prev_segs),
+        }
+    ]
+    if extra_meta:
+        extra.update(extra_meta)  # e.g. the (stream_id, batch_id) ledger
+    return _commit(
+        root, parent, "upsert-mor", prev_segs + [seg], extra, ref
+    )
+
+
 def commit_overwrite_where(
     spark: SparkSession,
     root: str,
@@ -2697,6 +2797,42 @@ def snapshot_sink(root: str, stream_id: str):
     return write_batch
 
 
+def upsert_sink(root: str, stream_id: str, key_cols: list[str]):
+    """foreachBatch writer applying each micro-batch as a MERGE-ON-READ
+    UPSERT (`commit_mor_upsert`) with the same EXACTLY-ONCE ledger as
+    `snapshot_sink`: the manifest records (stream_id, batch_id), so a
+    batch re-delivered after a post-commit crash is recognized and
+    skipped, and a crash before the commit re-runs the batch with the
+    first attempt's files left as vacuum-able orphans. THE streaming
+    CDC apply: per batch, O(batch) data + O(keys) delete rows, never
+    a table scan — where a COW merge sink would rewrite affected
+    files every micro-batch.
+
+    Retries on ConcurrentCommit re-run the full upsert against the
+    new head (the delete SCOPE must be recomputed, so the cheap
+    segment-only retry of the append sink does not apply)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _find_stream_commit(root, stream_id, batch_id) is not None:
+            return  # re-delivered after a post-commit crash
+        spark = batch_df.sparkSession
+        commit_with_retry(
+            root,
+            lambda: commit_mor_upsert(
+                spark,
+                root,
+                batch_df,
+                key_cols,
+                extra_meta={
+                    "stream_id": stream_id,
+                    "batch_id": batch_id,
+                },
+            )
+        )
+
+    return write_batch
+
+
 def ingest_stream(
     stream: DataFrame, root: str, checkpoint_dir: str, stream_id: str
 ) -> None:
@@ -3172,7 +3308,7 @@ def read_changes(
                 .drop("_mor_file", "_mor_pos")
             )
             parts.append(tag(deleted, "delete", v))
-        elif op == "delete-mor-eq":
+        elif op in ("delete-mor-eq", "upsert-mor"):
             prev_n = len(pm.get("eq_delete_files") or [])
             for entry in (m.get("eq_delete_files") or [])[prev_n:]:
                 keys = (
@@ -3195,6 +3331,19 @@ def read_changes(
                     keys, on=entry["cols"], how="left_semi"
                 )
                 parts.append(tag(deleted, "delete", v))
+            if op == "upsert-mor":
+                # insert leg: the commit's own new segment(s); an
+                # update surfaces as its delete+insert pair (Delta
+                # CDF's keyless-general encoding)
+                sub = _append_delta(root, m, pm)
+                if sub is not None:
+                    parts.append(
+                        tag(
+                            _align_to(_read_files(spark, root, sub), m),
+                            "insert",
+                            v,
+                        )
+                    )
         elif op in ("delete", "merge", "overwrite"):
             pm_files = set(manifest_files(root, pm))
             m_files = set(manifest_files(root, m))

@@ -521,3 +521,171 @@ def test_eq_delete_through_spark_datasource(spark, tmp_path):
     )
     assert via_source.filter("g = 3 and k < 100").count() == 0
     assert via_source.filter("g = 3 and k >= 100").count() == 2
+
+
+# --------------------------------------------------- MOR upsert (CDC)
+
+
+def test_mor_upsert_is_one_atomic_commit_no_rewrite(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(4))
+    f1 = set(snap.files_of(root, 1))
+    up = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 10 + 100).alias("g")
+    )  # restate k<20 with g+100, keys k
+    snap.commit_mor_upsert(spark, root, up, ["k"])
+    assert snap.current_version(root) == 2  # ONE commit
+    assert f1 <= set(snap.files_of(root, 2))  # zero files rewritten
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 100  # no dupes for updated keys
+    assert out.filter("k < 20 and g < 100").count() == 0  # old gone
+    assert out.filter("k < 20 and g >= 100").count() == 20  # new served
+    assert out.filter("k >= 20 and g >= 100").count() == 0
+    # pinned pre-upsert version intact
+    assert snap.read_snapshot(spark, root, 1).filter("g >= 100").count() == 0
+    assert snap.read_manifest(root, 2)["op"] == "upsert-mor"
+
+
+def test_mor_upsert_inserts_new_keys(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 50))
+    up = _df(spark, 40, 70)  # 10 updates + 20 inserts
+    snap.commit_mor_upsert(spark, root, up, ["k"])
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 70
+    assert {r["k"] for r in out.collect()} == set(range(70))
+
+
+def test_mor_upsert_latest_wins_across_repeats(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 30))
+    for bump in (100, 200):
+        up = spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") + bump).alias("g")
+        )
+        snap.commit_mor_upsert(spark, root, up, ["k"])
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 30
+    got = {r["k"]: r["g"] for r in out.filter("k < 10").collect()}
+    assert got == {k: k + 200 for k in range(10)}  # second upsert wins
+
+
+def test_mor_upsert_change_feed_emits_delete_insert_pair(
+    spark, tmp_path
+):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 50))
+    up = spark.range(45, 60).select(
+        F.col("id").alias("k"), (F.col("id") + 500).alias("g")
+    )
+    snap.commit_mor_upsert(spark, root, up, ["k"])
+    ch = snap.read_changes(spark, root, 1)
+    counts = {
+        (r["_commit_version"], r["_change_type"]): r["count"]
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .count()
+        .collect()
+    }
+    # 5 updated keys retract, 15 rows insert (5 updates + 10 new)
+    assert counts == {(2, "delete"): 5, (2, "insert"): 15}
+    # replaying the feed over v1 reconstructs v2
+    assert snap.read_snapshot(spark, root).count() == 60
+
+
+def test_mor_upsert_not_in_appends_feed(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 50))
+    snap.commit_mor_upsert(spark, root, _df(spark, 40, 60), ["k"])
+    # like COW merge, an upsert is not an append: consumers of the
+    # appends feed reseed via snapshots/CDF for restatements
+    assert snap.read_appends(spark, root, 1).count() == 0
+
+
+def test_mor_upsert_validates_keys_and_empty_table(spark, tmp_path):
+    root = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="empty table"):
+        snap.commit_mor_upsert(spark, root, _df(spark, 0, 5), ["k"])
+    snap.commit_append(spark, root, _df(spark, 0, 5))
+    with pytest.raises(ValueError, match="not in the frame"):
+        snap.commit_mor_upsert(
+            spark, root, _df(spark, 0, 5).select("g"), ["k"]
+        )
+    with pytest.raises(ValueError, match="at least one column"):
+        snap.commit_mor_upsert(spark, root, _df(spark, 0, 5), [])
+
+
+def test_mor_upsert_compact_folds_and_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(4))
+    snap.commit_mor_upsert(
+        spark,
+        root,
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") + 100).alias("g")
+        ),
+        ["k"],
+    )
+    v = snap.compact(spark, root, target_files=1)
+    m = snap.read_manifest(root, v)
+    assert not m.get("eq_delete_files")
+    out = snap.read_snapshot(spark, root, v)
+    assert out.count() == 100
+    assert out.filter("k < 10 and g < 100").count() == 0
+    # conflict: an upsert landing mid-fold aborts the compaction
+    orig = snap._write_data_files
+    state = {"raced": False}
+
+    def hooked(df, r, partition_by=None):
+        files = orig(df, r, partition_by)
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(snap, "_write_data_files", orig)
+            snap.commit_mor_upsert(
+                spark,
+                root,
+                spark.range(0, 5).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") + 900).alias("g"),
+                ),
+                ["k"],
+            )
+        return files
+
+    monkeypatch.setattr(snap, "_write_data_files", hooked)
+    with pytest.raises(snap.ConcurrentCommit, match="equality deletes"):
+        snap.compact(spark, root, target_files=1)
+    assert (
+        snap.read_snapshot(spark, root).filter("k < 5 and g < 900").count()
+        == 0
+    )
+
+
+def test_upsert_sink_exactly_once_replay(spark, tmp_path):
+    """A batch re-delivered to the upsert sink (crash between the
+    manifest link and the checkpoint commit) must be recognized by
+    the (stream_id, batch_id) ledger and skipped — replay converges
+    to the same history, nothing double-applied."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 50))
+    sink = snap.upsert_sink(root, "cdc-1", ["k"])
+    up = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") + 100).alias("g")
+    )
+    sink(up, 0)
+    v_after = snap.current_version(root)
+    sink(up, 0)  # re-delivery: ledger hit, no new commit
+    assert snap.current_version(root) == v_after
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 50
+    assert out.filter("k < 10 and g < 100").count() == 0
+    # a NEW batch commits and latest-wins over the first
+    up2 = spark.range(5, 15).select(
+        F.col("id").alias("k"), (F.col("id") + 200).alias("g")
+    )
+    sink(up2, 1)
+    got = {r["k"]: r["g"] for r in snap.read_snapshot(spark, root).filter("k < 15").collect()}
+    want = {k: k + 100 for k in range(5)}
+    want |= {k: k + 200 for k in range(5, 15)}
+    assert got == want
