@@ -154,6 +154,15 @@ HEADLINE = [
     "events_snapshot_cdf",
     "events_snapshot_bloom_pruned",
     "events_snapshot_sorted_compaction",
+    # round 10 additions: TIMESTAMP AS OF, equality deletes, the
+    # zero-scan CDC upsert (batch + streaming), the trained quality
+    # classifier, and the deterministic global shuffle
+    "events_snapshot_timetravel_ts",
+    "events_snapshot_eq_delete",
+    "events_snapshot_mor_upsert",
+    "events_stream_cdc_upsert",
+    "docs_quality_trained",
+    "docs_global_shuffle",
 ]
 
 
