@@ -689,3 +689,71 @@ def test_upsert_sink_exactly_once_replay(spark, tmp_path):
     want = {k: k + 100 for k in range(5)}
     want |= {k: k + 200 for k in range(5, 15)}
     assert got == want
+
+
+def test_eq_delete_after_rename_resolves_old_cohorts(spark, tmp_path):
+    """An equality delete committed AFTER a rename binds the NEW name;
+    rows in pre-rename files resolve through the column-ID mapping at
+    read, so the anti-join on the assembled (committed-name) frame
+    must still delete them."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 50))
+    snap.rename_column(root, "g", "grp")
+    snap.commit_append(
+        spark,
+        root,
+        spark.range(50, 80).selectExpr("id as k", "id % 10 as grp"),
+    )
+    keys = spark.createDataFrame([(3,)], "grp long")
+    snap.commit_mor_delete_keys(spark, root, keys)
+    out = snap.read_snapshot(spark, root)
+    # grp=3 deleted from BOTH cohorts (old files stored it as 'g')
+    assert out.filter("grp = 3").count() == 0
+    assert out.count() == 80 - 5 - 3
+
+
+def test_eq_delete_widened_key_column_still_matches(spark, tmp_path):
+    """Widening a key column (int->long) after an eq delete keeps the
+    join matching: old key files carry the narrow type, the join
+    coerces."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 10).cast("int").alias("g")
+    )
+    snap.commit_append(spark, root, df)
+    keys = spark.createDataFrame([(7,)], "g int")
+    snap.commit_mor_delete_keys(spark, root, keys)
+    snap.widen_column(root, "g", "long")
+    out = snap.read_snapshot(spark, root)
+    assert out.filter("g = 7").count() == 0
+    assert out.count() == 36
+    assert dict(out.dtypes)["g"] == "bigint"
+
+
+def test_timestamp_version_unreachable_tag_island(spark, tmp_path):
+    """A tag-pinned manifest BELOW the contiguous retained run is an
+    island: timestamp resolution must raise RetentionExpired for
+    instants in the gap rather than resolving to the island (the
+    versions between island and run are unreconstructable)."""
+    import json as _json
+
+    root = str(tmp_path / "t")
+    for i in range(5):
+        snap.commit_append(spark, root, _df(spark, i * 10, i * 10 + 10))
+    for v, t in ((1, 100), (2, 200), (3, 300), (4, 400), (5, 500)):
+        p = snap._manifest_path(root, v)
+        with open(p) as fh:
+            m = _json.load(fh)
+        m["ts_us"] = t * 1_000_000
+        m["ts"] = t
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    snap.create_tag(root, "pin", 1)  # island below the run
+    snap.expire_snapshots(root, keep_last=2)
+    # v1 survives (tag-pinned), v2-v3 expired, v4-v5 retained
+    assert snap.read_snapshot(spark, root, 1).count() == 10
+    with pytest.raises(snap.RetentionExpired):
+        snap.timestamp_version(root, 250)  # in the expired gap
+    with pytest.raises(snap.RetentionExpired):
+        snap.timestamp_version(root, 150)  # island instant: also gone
+    assert snap.timestamp_version(root, 450) == 4
