@@ -757,3 +757,72 @@ def test_timestamp_version_unreachable_tag_island(spark, tmp_path):
     with pytest.raises(snap.RetentionExpired):
         snap.timestamp_version(root, 150)  # island instant: also gone
     assert snap.timestamp_version(root, 450) == 4
+
+
+def test_crashed_upsert_leaves_reclaimable_orphans(spark, tmp_path):
+    """A writer killed between the upsert's file writes and the
+    manifest link leaves orphan data+key files and NO commit: the
+    head is untouched, reads are unaffected, and vacuum reclaims the
+    debris once past the abandonment window."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 50))
+    # crash simulation: stage the upsert's data and key files, die
+    # before _commit
+    up = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") + 100).alias("g")
+    )
+    orphan_data = snap._write_data_files(up, root)
+    orphan_keys = snap._write_data_files(up.select("k").distinct(), root)
+    assert snap.current_version(root) == 1
+    assert snap.read_snapshot(spark, root).count() == 50
+    old = time.time() - 2 * snap._ORPHAN_AGE_SEC
+    for f in orphan_data + orphan_keys:
+        p = os.path.join(root, f)
+        os.utime(p, (old, old))
+        os.utime(os.path.dirname(p), (old, old))
+    snap.vacuum(root, keep_last=2)
+    for f in orphan_data + orphan_keys:
+        assert not os.path.exists(os.path.join(root, f))
+    assert snap.read_snapshot(spark, root).count() == 50
+
+
+def test_upsert_sink_retry_recomputes_scope(
+    spark, tmp_path, monkeypatch
+):
+    """An upsert losing its optimistic commit to a concurrent append
+    must retry with the scope RECOMPUTED against the new head: the
+    CDC batch is ordered after the interleaved append, so its keys
+    must override the interleaved rows too (latest-wins), not slip
+    underneath them."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 30))
+    orig = snap._write_data_files
+    state = {"raced": False}
+
+    def hooked(df, r, partition_by=None):
+        files = orig(df, r, partition_by)
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(snap, "_write_data_files", orig)
+            # interleaved append REUSES keys 0-4 while the upsert is
+            # mid-write: the upsert's first commit attempt loses
+            snap.commit_append(
+                spark,
+                root,
+                spark.range(0, 5).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") + 500).alias("g"),
+                ),
+            )
+        return files
+
+    monkeypatch.setattr(snap, "_write_data_files", hooked)
+    sink = snap.upsert_sink(root, "cdc-r", ["k"])
+    up = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") + 100).alias("g")
+    )
+    sink(up, 0)
+    out = snap.read_snapshot(spark, root)
+    got = {r["k"]: r["g"] for r in out.filter("k < 10").collect()}
+    assert got == {k: k + 100 for k in range(10)}  # upsert wins
+    assert out.count() == 30
