@@ -1008,11 +1008,15 @@ def _plan_eq_deletes(
 ) -> list[tuple[list[str], list[str], set[str] | None]]:
     """Driver-side plan for the manifest's equality-delete entries
     against THIS scan's file subset: (key file paths, key cols,
-    scope file NAMES or None). None scope = every scanned file is in
+    OUT-OF-SCOPE file names or None). None = every scanned file is in
     the entry's scope (no appends since the delete touched this
-    subset), so the reader can anti-join without per-row file
-    tests — the common fast path. Entries whose scope misses the
-    whole scan are dropped here (nothing to delete)."""
+    subset), so the reader anti-joins without per-row file tests —
+    the common fast path. When the scan does include post-delete
+    files, the plan carries their names — the COMPLEMENT of the
+    scope, sized by appends-since-the-delete (small under the
+    compact-regularly CDC contract), never the O(table files) scope
+    itself. Entries whose scope misses the whole scan are dropped
+    (nothing to delete)."""
     plans = []
     for entry in manifest.get("eq_delete_files") or []:
         scope: set[str] = set()
@@ -1020,10 +1024,11 @@ def _plan_eq_deletes(
             scope.update(_read_segment(root, s))
         if not scanned & scope:
             continue  # this scan reads only post-delete files
+        newer = scanned - scope
         names = (
             None
-            if scanned <= scope
-            else {os.path.basename(f) for f in scope}
+            if not newer
+            else {os.path.basename(f) for f in newer}
         )
         plans.append((list(entry["files"]), list(entry["cols"]), names))
     return plans
@@ -1036,27 +1041,28 @@ def _apply_eq_deletes(
     assembled frame (Iceberg v2 equality deletes). Full-scope entries
     are one name-keyed anti-join (AQE broadcasts small key sets);
     partially-scoped entries (rows appended AFTER the delete are in
-    the frame) split on the row's ``_mor_file``: in-scope rows
-    anti-join, out-of-scope rows pass through untouched — the
-    sequence-number rule, expressed as a metadata-sized semi/anti
-    split. NULL keys never match (SQL equality), so null-keyed rows
-    are never deleted."""
+    the frame) split on the row's ``_mor_file`` against the
+    POST-DELETE file names: newer rows pass through untouched, scoped
+    rows anti-join — the sequence-number rule, with the broadcast
+    sized by appends-since-the-delete rather than the table. NULL
+    keys never match (SQL equality), so null-keyed rows are never
+    deleted."""
     if not plans:
         return df
     orig_cols = list(df.columns)  # USING-joins move key cols first
-    for paths, cols, scope_names in plans:
+    for paths, cols, newer_names in plans:
         keys = spark.read.parquet(
             *[os.path.join(root, f) for f in paths]
         ).select(*cols).dropDuplicates()
-        if scope_names is None:
+        if newer_names is None:
             df = df.join(keys, on=cols, how="left_anti")
             continue
-        scope_df = spark.createDataFrame(
-            [(n,) for n in sorted(scope_names)], "_eq_scope_file string"
+        newer_df = spark.createDataFrame(
+            [(n,) for n in sorted(newer_names)], "_eq_newer_file string"
         )
-        cond = df["_mor_file"] == scope_df["_eq_scope_file"]
-        in_scope = df.join(scope_df, cond, "left_semi")
-        out_scope = df.join(scope_df, cond, "left_anti")
+        cond = df["_mor_file"] == newer_df["_eq_newer_file"]
+        out_scope = df.join(newer_df, cond, "left_semi")
+        in_scope = df.join(newer_df, cond, "left_anti")
         df = in_scope.join(keys, on=cols, how="left_anti").unionByName(
             out_scope
         )
