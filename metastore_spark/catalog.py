@@ -68,7 +68,13 @@ def _raw_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # winnowing, shingling) at ONE scan task regardless of cores — the
 # r7-r9 winnowing bench variance was single-task scheduling noise.
 # Range layout on the primary key keeps per-file min/max stats tight.
-_STORE_PARTS = 32
+# 8 files is the measured sweet spot at local sf0.1: enough stable
+# parallelism for the CPU-heavy kernels, without taxing the many
+# sub-second queries ~20 ms/task x 32 tasks per scan stage (a 32-way
+# layout regressed the events/docs bench groups ~1.3x beyond host
+# drift). At real scale the table's own file count dominates and
+# this knob only shapes local fixtures.
+_STORE_PARTS = 8
 _STORE_KEYS = {"events": "event_id", "documents": "doc_id"}
 
 
