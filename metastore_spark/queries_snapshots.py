@@ -553,6 +553,19 @@ def events_stream_cdc_upsert(
             .unionByName(base.filter(F.col("event_id") % 2 == 1))
         )
         feed.repartition(4).write.mode("overwrite").parquet(src)
+        # the oracle pins head_version=5 (1 base append + 4 upserts),
+        # which holds ONLY if the feed landed as exactly 4 part files
+        # (maxFilesPerTrigger=1 -> 4 micro-batches). Assert it here so
+        # a change in Spark's writer/file-source batching fails loudly
+        # instead of silently drifting the commit count (ADVICE r10).
+        n_parts = len(
+            [f for f in os.listdir(src) if f.endswith(".parquet")]
+        )
+        assert n_parts == 4, (
+            f"CDC feed wrote {n_parts} part files, expected 4 — the "
+            "pinned head_version=5 oracle no longer matches Spark's "
+            "writer batching"
+        )
         stream = read_event_stream(spark, src, max_files_per_trigger=1)
         (
             stream.writeStream.foreachBatch(
@@ -855,9 +868,12 @@ def _day_table(spark: SparkSession, sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "events.parquet")
     fp = _fingerprint([src])
-    # day2: day2 added per-file row accounting in segment metadata —
-    # pre-rows stores must not satisfy the build-once check
-    root = os.path.join(_SNAP_ROOT, f"day2-{fp}")
+    # day3: day-CLUSTERED layout (repartition on the spec column
+    # before each append -> one file per day per append, instead of
+    # one per input partition x day after the r10 serving-store
+    # fan-out); day2 added per-file row accounting — older-generation
+    # stores must not satisfy the build-once check
+    root = os.path.join(_SNAP_ROOT, f"day3-{fp}")
     if snap.current_version(root) >= 2:
         return root
     base = _t(spark, sf_dir, "events").select(
@@ -867,7 +883,7 @@ def _day_table(spark: SparkSession, sf_dir: str) -> str:
         "value",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         ts_us("ts").alias("ts_us"),
-    )
+    ).repartition(F.col("day"))
     os.makedirs(_SNAP_ROOT, exist_ok=True)
     tmp = f"{root}.build-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -972,7 +988,17 @@ def _zcell_table(spark: SparkSession, sf_dir: str) -> tuple[str, int, list]:
 
     src = os.path.join(sf_dir, "events.parquet")
     fp = _fingerprint([src])
-    root = os.path.join(_SNAP_ROOT, f"zcells-{fp}")
+    # zcells2: cell-CLUSTERED layout — the frame is repartitioned on
+    # the partition column before the identity-partitioned append, so
+    # the table lands ONE file per cell instead of one per (input
+    # partition x cell). The r10 8-way serving-store fan-out tripled
+    # this table's file count (552 vs 180) and with it every full-
+    # version scan (the r11 A/B's one code_regression); clustering by
+    # the spec column is also the correct 100 TB write shape
+    # (Iceberg/Delta guidance: sort/cluster on partition keys before
+    # an identity-partitioned write). Name bump busts pre-clustered
+    # build-once stores.
+    root = os.path.join(_SNAP_ROOT, f"zcells2-{fp}")
     meta_path = os.path.join(root, "erasure.json")
     if snap.current_version(root) >= 2 and os.path.exists(meta_path):
         with open(meta_path) as fh:
@@ -1009,7 +1035,12 @@ def _zcell_table(spark: SparkSession, sf_dir: str) -> tuple[str, int, list]:
     os.makedirs(_SNAP_ROOT, exist_ok=True)
     tmp = f"{root}.build-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    snap.commit_append(spark, tmp, base, partition_by=["zcell"])
+    snap.commit_append(
+        spark,
+        tmp,
+        base.repartition(F.col("zcell")),  # one file per cell
+        partition_by=["zcell"],
+    )
     snap.commit_with_retry(
         tmp,
         lambda: snap.commit_delete_where(

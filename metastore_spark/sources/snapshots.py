@@ -683,6 +683,12 @@ def _evolve(root: str, transform) -> int:
                 "equality-delete key files; compact the table to fold "
                 "the deletes before renaming or dropping them"
             )
+        # widening a referenced key column is ALLOWED (unlike rename/
+        # drop): the key parquet keeps its narrow write-time type and
+        # every reader coerces it up before the anti-join — the JVM
+        # path via Spark's implicit cast, the pyarrow DataSource path
+        # via an explicit cast in spark_source._arrow_read (all legal
+        # widenings are lossless, so equality is preserved).
     extra: dict = {
         "schema": schema,
         "column_ids": ids,
@@ -775,10 +781,22 @@ def _check_add_only(parent_manifest: dict, df: DataFrame) -> None:
     """Add-only schema evolution: every parent column must survive
     with its type. New columns are fine — the stored snapshot schema
     null-fills them when reading older files."""
+    _check_add_only_fields(
+        parent_manifest,
+        [json.loads(f.json()) for f in df.schema.fields],
+    )
+
+
+def _check_add_only_fields(
+    parent_manifest: dict, fields: list[dict]
+) -> None:
+    """`_check_add_only` against schema-JSON fields directly — the
+    file-based commit paths (Python DataSource writer) have a schema
+    dict, not a DataFrame."""
     ps = parent_manifest.get("schema")
     if not ps:
         return
-    new = {f.name: f.dataType.jsonValue() for f in df.schema.fields}
+    new = {f["name"]: f["type"] for f in fields}
     for field in ps["fields"]:
         name = field["name"]
         if name not in new:
@@ -1322,6 +1340,196 @@ def commit_append(
     _carry_cluster(prev_manifest, extra)
     _carry_deletes(prev_manifest, extra)
     return _commit(root, parent, "append", prev_segs + [seg], extra, ref)
+
+
+# ---- file-based commits (the Python DataSource WRITE path) ---------
+#
+# `df.write.format("snapshot")` executes through Spark's Python
+# DataSource writer API: EXECUTOR tasks stream their arrow batches
+# straight into staged parquet files (spark_source._write_task) and
+# the driver links the already-written files into a manifest commit.
+# These three functions are that link step — the same segment/stats/
+# bloom/partition metadata as their DataFrame twins (`commit_append`,
+# `commit_mor_upsert`), minus the write, so the data never makes a
+# second pass through the driver. A failed job leaves the staged
+# files as unreferenced orphans for `vacuum` — the format's standard
+# crash model.
+
+
+def commit_append_files(
+    root: str,
+    files: list[str],
+    schema: dict,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    extra_meta: dict | None = None,
+) -> int:
+    """Commit ALREADY-WRITTEN table-relative parquet files as an
+    append. ``schema`` is the frame's schema JSON (StructType.json());
+    add-only evolution is enforced against the head exactly like
+    `commit_append`, and stats/bloom/partition specs inherit from the
+    head (caller values only seed a new table). Retries on concurrent
+    commits re-link the staged segment (write-once data)."""
+    create_table(root)
+    head = current_version(root)
+    hm = read_manifest(root, head) if head else {}
+    _check_add_only_fields(hm, schema["fields"])
+    scols = stats_cols or hm.get("stats_cols") or []
+    bcols = bloom_cols or hm.get("bloom_cols") or []
+    spec = partition_by or hm.get("partition_spec") or []
+    extra: dict = {"schema": schema}
+    ev = _ids_for_commit(hm, schema["fields"])
+    extra.update(ev)
+    seg = _write_segment(
+        root,
+        files,
+        _collect_file_stats(root, files, scols) if scols else None,
+        _spec_partitions(files, spec),
+        _columns_meta(schema["fields"], ev.get("column_ids") or {}),
+        _collect_file_blooms(root, files, bcols) if bcols else None,
+    )
+    if scols:
+        extra["stats_cols"] = list(scols)
+    if bcols:
+        extra["bloom_cols"] = list(bcols)
+    if spec:
+        extra["partition_spec"] = list(spec)
+    if extra_meta:
+        extra.update(extra_meta)
+    return _commit_segments_with_retry(root, "append", [seg], extra)
+
+
+def commit_overwrite_files(
+    root: str,
+    files: list[str],
+    schema: dict,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    extra_meta: dict | None = None,
+) -> int:
+    """FULL-TABLE REPLACE with already-written files
+    (``df.write.format("snapshot").mode("overwrite")``): one fresh
+    segment, NO carried parent segments and NO carried deletes — the
+    old rows are gone, so carrying their delete files would be dead
+    metadata. Cluster specs are dropped too (the new files are not
+    Z-clustered). The add-only schema contract still applies while
+    the table exists: changing a column's type or dropping it goes
+    through the evolution API, not an overwrite. Readers pinned to
+    older versions keep their files until retention GC; snapshot
+    STREAMS skip the commit (op != append) — Delta's
+    ignoreChanges-style contract, documented not silent."""
+    create_table(root)
+    while True:
+        parent = current_version(root)
+        pm = read_manifest(root, parent) if parent else {}
+        _check_add_only_fields(pm, schema["fields"])
+        scols = stats_cols or pm.get("stats_cols") or []
+        bcols = bloom_cols or pm.get("bloom_cols") or []
+        spec = partition_by or pm.get("partition_spec") or []
+        extra: dict = {"schema": schema}
+        ev = _ids_for_commit(pm, schema["fields"])
+        extra.update(ev)
+        seg = _write_segment(
+            root,
+            files,
+            _collect_file_stats(root, files, scols) if scols else None,
+            _spec_partitions(files, spec),
+            _columns_meta(schema["fields"], ev.get("column_ids") or {}),
+            _collect_file_blooms(root, files, bcols) if bcols else None,
+        )
+        if scols:
+            extra["stats_cols"] = list(scols)
+        if bcols:
+            extra["bloom_cols"] = list(bcols)
+        if spec:
+            extra["partition_spec"] = list(spec)
+        if extra_meta:
+            extra.update(extra_meta)
+        try:
+            return _commit(root, parent, "overwrite", [seg], extra)
+        except ConcurrentCommit:
+            continue
+
+
+def commit_mor_upsert_files(
+    root: str,
+    files: list[str],
+    key_files: list[str],
+    key_cols: list[str],
+    schema: dict,
+    extra_meta: dict | None = None,
+) -> int:
+    """`commit_mor_upsert` over ALREADY-WRITTEN data + key files (the
+    streaming DataSource sink's upsert mode): equality-delete the key
+    set from everything written before and link the new segment, one
+    atomic commit, zero scan. ``key_files`` hold exactly the
+    ``key_cols`` columns; executor tasks dedup keys within their own
+    slice — CROSS-task duplicate keys are fine (the anti-join is
+    set-semantics). Retries on concurrent commits recompute the
+    delete SCOPE from the new head (the staged files never move)."""
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    incoming = {f["name"] for f in schema["fields"]}
+    missing = [c for c in key_cols if c not in incoming]
+    if missing:
+        raise ValueError(f"key column(s) {missing} not in the frame")
+    while True:
+        parent = current_version(root)
+        if not parent:
+            raise ValueError(
+                "cannot upsert into an empty table; append first"
+            )
+        pm = read_manifest(root, parent)
+        if "schema" in pm:
+            committed = {f["name"] for f in pm["schema"]["fields"]}
+            alien = [c for c in key_cols if c not in committed]
+            if alien:
+                raise ValueError(
+                    f"key column(s) {alien} not in the committed schema"
+                )
+        _check_add_only_fields(pm, schema["fields"])
+        prev_segs = _parent_segments(root, pm)
+        scols = pm.get("stats_cols") or []
+        bcols = pm.get("bloom_cols") or []
+        spec = pm.get("partition_spec") or []
+        extra: dict = {"schema": schema}
+        ev = _ids_for_commit(pm, schema["fields"])
+        extra.update(ev)
+        seg = _write_segment(
+            root,
+            files,
+            _collect_file_stats(root, files, scols) if scols else None,
+            _spec_partitions(files, spec),
+            _columns_meta(schema["fields"], ev.get("column_ids") or {}),
+            _collect_file_blooms(root, files, bcols) if bcols else None,
+        )
+        if scols:
+            extra["stats_cols"] = list(scols)
+        if bcols:
+            extra["bloom_cols"] = list(bcols)
+        if spec:
+            extra["partition_spec"] = list(spec)
+        _carry_cluster(pm, extra)
+        _carry_deletes(pm, extra)  # position deletes; eq below
+        extra["eq_delete_files"] = list(
+            pm.get("eq_delete_files") or []
+        ) + [
+            {
+                "files": list(key_files),
+                "cols": list(key_cols),
+                "scope_segments": list(prev_segs),
+            }
+        ]
+        if extra_meta:
+            extra.update(extra_meta)
+        try:
+            return _commit(
+                root, parent, "upsert-mor", prev_segs + [seg], extra
+            )
+        except ConcurrentCommit:
+            continue
 
 
 def commit_delete_where(

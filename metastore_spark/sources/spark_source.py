@@ -9,8 +9,17 @@ instead of a library call:
     spark.read.format("snapshot").option("version", 3).load(root)
     spark.read.format("snapshot").option("version", "prod").load(root)
     spark.read.format("snapshot").option("ref", "audit").load(root)
+    spark.read.format("snapshot")                             # AS OF
+         .option("timestamp", "2026-08-16T12:00:00").load(root)
     (spark.readStream.format("snapshot").load(root)            # tail
          .writeStream...)                                      # the feed
+
+    df.write.format("snapshot").mode("append").save(root)     # commit
+    df.write.format("snapshot").mode("overwrite").save(root)  # replace
+    (df.writeStream.format("snapshot")                         # sink
+       .option("stream_id", "ingest-1")                       # ledger
+       .option("checkpointLocation", ckpt).start(root))
+    # CDC apply: .option("mode", "upsert").option("keys", "id")
 
 Batch reads resolve the manifest exactly like
 `snapshots.read_snapshot` — committed schema, column-ID evolution
@@ -48,18 +57,32 @@ resolve manifest min/max stats, partition tuples, and bloom filters
 before planning, so a pruned scan plans strictly fewer input
 partitions (same caller-owed row-filter contract as read_snapshot's
 ``prune``).
+
+The WRITE path is symmetric: executor tasks stage parquet via
+pyarrow (`_write_task` — hive partition layout, per-task distinct-key
+sidecars for upserts) and the driver links the staged files into one
+atomic manifest commit (`snapshots.commit_append_files` /
+`commit_overwrite_files` / `commit_mor_upsert_files`), so data never
+passes through the driver and a failed job leaves only vacuum-able
+orphans. The streaming sink carries the same (stream_id, batch_id)
+exactly-once ledger as the library's `snapshot_sink`/`upsert_sink`.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -141,10 +164,21 @@ def _arrow_read(part: _FileSlice):
     out = pa.table(arrays, names=names)
     # equality deletes scoped to this file: anti-join the key sets on
     # the PROJECTED (committed-name) frame — keys bind committed names
-    # at their commit time, and evolution of a referenced key column
-    # is blocked while the delete is live
+    # at their commit time; rename/drop of a referenced key column is
+    # blocked while the delete is live, and a WIDENED key column's
+    # narrow write-time key type is cast up to the projected type
+    # before the join (lossless for every legal widening, matching
+    # the JVM path's implicit coercion)
     for entry in json.loads(part.eq_json) if part.eq_json else []:
         keys = pq.read_table(entry["paths"], columns=entry["cols"])
+        for c in entry["cols"]:
+            want = out.schema.field(c).type
+            if keys.schema.field(c).type != want:
+                keys = keys.set_column(
+                    keys.column_names.index(c),
+                    c,
+                    keys[c].cast(want),
+                )
         out = out.join(
             keys, keys=entry["cols"], join_type="left anti"
         )
@@ -259,6 +293,32 @@ def _nullable_schema_json(schema_obj: dict) -> dict:
     for f in out.get("fields", []):
         f["nullable"] = True
     return out
+
+
+def _typed_literal(s: str, type_name: str):
+    """Coerce an option-string literal to the committed column type —
+    the types parquet footer stats / partition tuples compare against.
+    Unknown primitive names fall back to the raw string (compares
+    lexically, the pre-typed behavior)."""
+    if type_name in ("byte", "short", "integer", "long"):
+        return int(s)
+    if type_name in ("float", "double"):
+        return float(s)
+    if type_name.startswith("decimal"):
+        from decimal import Decimal
+
+        return Decimal(s)
+    if type_name == "boolean":
+        return s.lower() in ("true", "1", "t")
+    if type_name == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(s)
+    if type_name.startswith("timestamp"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(s)
+    return s
 
 
 def _schema_of(root: str, version: int, ref: str = "main") -> StructType:
@@ -422,9 +482,263 @@ class _StreamReader(DataSourceStreamReader):
         pass
 
 
+class _WriteResult(WriterCommitMessage):
+    """One task's staged output: table-relative data files, plus the
+    task's distinct-key sidecar files in upsert mode."""
+
+    def __init__(self, files, key_files=None):
+        self.files = files
+        self.key_files = key_files or []
+
+
+def _write_task(batches, root, spec, key_cols=None):
+    """Executor write kernel: stream this task's arrow batches into
+    staged parquet under ``root/data/<task-uuid>/``, hive
+    ``_p_<col>=<value>`` layout when the table carries an identity
+    partition spec (one open ParquetWriter per partition tuple — the
+    same mirror-column layout as `snapshots._write_data_files`, so
+    partition values live in BOTH the path and the data). In upsert
+    mode also writes one sidecar parquet of the task's DISTINCT key
+    tuples (cross-task duplicates are fine — the eq-delete anti-join
+    is set-semantics). Returns table-relative paths; the driver's
+    commit links them into the manifest. Data never passes through
+    the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from urllib.parse import quote
+
+    task_dir = f"{snap._DATA}/{uuid.uuid4().hex[:12]}"
+    writers: dict = {}
+    files: list[str] = []
+    key_tables: list = []
+
+    def _hive(v):
+        if v is None:
+            return "__HIVE_DEFAULT_PARTITION__"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return quote(str(v), safe="")
+
+    def _sink(rel_dir, tbl):
+        w = writers.get(rel_dir)
+        if w is None:
+            os.makedirs(os.path.join(root, rel_dir), exist_ok=True)
+            rel = f"{rel_dir}/part-{uuid.uuid4().hex}.parquet"
+            w = pq.ParquetWriter(os.path.join(root, rel), tbl.schema)
+            writers[rel_dir] = w
+            files.append(rel)
+        w.write_table(tbl)
+
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        if key_cols:
+            key_tables.append(tbl.select(key_cols))
+        if not spec:
+            _sink(task_dir, tbl)
+            continue
+        uniq = tbl.select(spec).group_by(spec).aggregate([])
+        for i in range(uniq.num_rows):
+            tup = [uniq[c][i] for c in spec]
+            mask = None
+            for c, v in zip(spec, tup):
+                eq = (
+                    pc.is_null(tbl[c])
+                    if not v.is_valid
+                    else pc.equal(tbl[c], v)
+                )
+                mask = eq if mask is None else pc.and_(mask, eq)
+            rel_dir = task_dir + "".join(
+                f"/_p_{c}={_hive(v.as_py())}"
+                for c, v in zip(spec, tup)
+            )
+            _sink(rel_dir, tbl.filter(mask))
+    for w in writers.values():
+        w.close()
+    key_files: list[str] = []
+    if key_cols and key_tables:
+        kt = (
+            pa.concat_tables(key_tables)
+            .group_by(key_cols)
+            .aggregate([])
+            .select(key_cols)
+        )
+        os.makedirs(os.path.join(root, task_dir), exist_ok=True)
+        rel = f"{task_dir}/keys-{uuid.uuid4().hex}.parquet"
+        pq.write_table(kt, os.path.join(root, rel))
+        key_files.append(rel)
+    return files, key_files
+
+
+def _abort_cleanup(root: str, messages) -> None:
+    """Best-effort removal of staged task dirs after a failed job.
+    Tasks that died before returning a message leave orphans — the
+    format's standard crash model; `vacuum` age-gates them away."""
+    dirs = set()
+    for m in messages or []:
+        if m is None:
+            continue
+        for rel in list(m.files) + list(m.key_files):
+            dirs.add(os.path.join(root, os.path.dirname(rel).split("/_p_")[0]))
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+class _SnapshotBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("snapshot")``: executor tasks stage parquet
+    (`_write_task`), the driver links them with
+    `snapshots.commit_append_files` (mode=append) or
+    `commit_overwrite_files` (mode=overwrite) — one atomic manifest
+    commit, add-only schema contract, stats/bloom/partition specs
+    inherited from the head. First write on a NEW table may seed the
+    specs via writer options ``partition_by`` / ``stats_cols`` /
+    ``bloom_cols`` (comma-separated column lists)."""
+
+    def __init__(self, root, schema, overwrite, options):
+        self.root = root
+        self.schema_dict = json.loads(schema.json())
+        self.overwrite = overwrite
+
+        def _cols(key):
+            raw = options.get(key, "")
+            return [c.strip() for c in raw.split(",") if c.strip()]
+
+        hm = {}
+        head = snap.current_version(root)
+        if head:
+            hm = snap.read_manifest(root, head)
+        # fail FAST at plan time, before any task stages data (the
+        # commit re-checks against the then-current head)
+        snap._check_add_only_fields(hm, self.schema_dict["fields"])
+        self.partition_by = _cols("partition_by") or list(
+            hm.get("partition_spec") or []
+        )
+        self.stats_cols = _cols("stats_cols")
+        self.bloom_cols = _cols("bloom_cols")
+        names = {f["name"] for f in self.schema_dict["fields"]}
+        alien = [c for c in self.partition_by if c not in names]
+        if alien:
+            raise ValueError(
+                f"partition column(s) {alien} not in the frame"
+            )
+
+    def write(self, iterator):
+        files, _ = _write_task(iterator, self.root, self.partition_by)
+        return _WriteResult(files)
+
+    def commit(self, messages):
+        files = sorted(f for m in messages if m for f in m.files)
+        commit = (
+            snap.commit_overwrite_files
+            if self.overwrite
+            else snap.commit_append_files
+        )
+        commit(
+            self.root,
+            files,
+            self.schema_dict,
+            stats_cols=self.stats_cols or None,
+            bloom_cols=self.bloom_cols or None,
+            partition_by=self.partition_by or None,
+        )
+
+    def abort(self, messages):
+        _abort_cleanup(self.root, messages)
+
+
+class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("snapshot")``: every micro-batch is one
+    committed snapshot version with EXACTLY-ONCE semantics — the
+    manifest records ``(stream_id, batch_id)`` (the same ledger as
+    `snapshots.snapshot_sink`), so a batch re-delivered after a crash
+    between the manifest commit and Spark's checkpoint commit is
+    recognized in `commit` and skipped; its re-staged files are
+    vacuum-able orphans, never double-counted rows.
+
+    ``option("stream_id", <id>)`` is REQUIRED (it is the ledger key —
+    two different streams into one table must not share it).
+    ``option("mode", "upsert")`` + ``option("keys", "k1,k2")`` turns
+    each batch into a merge-on-read UPSERT (`commit_mor_upsert_files`:
+    O(batch) data + O(keys) delete rows, never a table scan — the CDC
+    apply); the first batch into an EMPTY table bootstraps as a plain
+    append (there is nothing to delete from)."""
+
+    def __init__(self, root, schema, options):
+        self.root = root
+        self.schema_dict = json.loads(schema.json())
+        self.stream_id = options.get("stream_id")
+        if not self.stream_id:
+            raise ValueError(
+                'snapshot stream sink needs .option("stream_id", <id>)'
+                " — it keys the exactly-once commit ledger"
+            )
+        self.mode = options.get("mode", "append")
+        if self.mode not in ("append", "upsert"):
+            raise ValueError(
+                f"unknown snapshot sink mode {self.mode!r}; "
+                "use 'append' or 'upsert'"
+            )
+        self.key_cols = [
+            c.strip()
+            for c in options.get("keys", "").split(",")
+            if c.strip()
+        ]
+        if self.mode == "upsert" and not self.key_cols:
+            raise ValueError(
+                'upsert mode needs .option("keys", "k1,k2")'
+            )
+        names = {f["name"] for f in self.schema_dict["fields"]}
+        alien = [c for c in self.key_cols if c not in names]
+        if alien:
+            raise ValueError(f"key column(s) {alien} not in the frame")
+        head = snap.current_version(root)
+        hm = snap.read_manifest(root, head) if head else {}
+        snap._check_add_only_fields(hm, self.schema_dict["fields"])
+        self.partition_by = list(hm.get("partition_spec") or [])
+
+    def write(self, iterator):
+        files, key_files = _write_task(
+            iterator,
+            self.root,
+            self.partition_by,
+            self.key_cols if self.mode == "upsert" else None,
+        )
+        return _WriteResult(files, key_files)
+
+    def commit(self, messages, batchId):
+        if (
+            snap._find_stream_commit(self.root, self.stream_id, batchId)
+            is not None
+        ):
+            return  # re-delivered after a post-commit crash
+        files = sorted(f for m in messages if m for f in m.files)
+        meta = {"stream_id": self.stream_id, "batch_id": batchId}
+        if self.mode == "upsert" and snap.current_version(self.root):
+            key_files = sorted(
+                f for m in messages if m for f in m.key_files
+            )
+            snap.commit_mor_upsert_files(
+                self.root,
+                files,
+                key_files,
+                self.key_cols,
+                self.schema_dict,
+                extra_meta=meta,
+            )
+        else:
+            snap.commit_append_files(
+                self.root, files, self.schema_dict, extra_meta=meta
+            )
+
+    def abort(self, messages, batchId):
+        _abort_cleanup(self.root, messages)
+
+
 class SnapshotDataSource(DataSource):
-    """``format("snapshot")``: batch + streaming reads of the snapshot
-    table format through Spark's public Python DataSource API."""
+    """``format("snapshot")``: batch + streaming reads AND writes of
+    the snapshot table format through Spark's public Python DataSource
+    API."""
 
     @classmethod
     def name(cls):
@@ -443,11 +757,29 @@ class SnapshotDataSource(DataSource):
         calls schema() then reader() on the same instance, and a
         commit landing between two independent head resolutions would
         plan a newer manifest than the advertised schema (an arrow /
-        schema mismatch at read time)."""
+        schema mismatch at read time).
+
+        ``option("timestamp", ...)`` is ``TIMESTAMP AS OF`` — epoch
+        seconds or an ISO-8601 string, resolved through
+        `snapshots.timestamp_version` (same typed ValueError /
+        RetentionExpired contract as `read_snapshot`); mutually
+        exclusive with ``version``."""
         if not hasattr(self, "_pinned_version"):
             root = self._root()
             ref = self.options.get("ref", "main")
             v = self.options.get("version")
+            ts = self.options.get("timestamp")
+            if v is not None and ts is not None:
+                raise ValueError(
+                    "options 'version' and 'timestamp' are mutually "
+                    "exclusive"
+                )
+            if ts is not None:
+                try:
+                    ts = float(ts)  # epoch seconds as an option string
+                except ValueError:
+                    pass  # ISO-8601 string
+                v = snap.timestamp_version(root, ts, ref)
             if isinstance(v, str) and not v.isdigit():
                 v = snap.tag_version(root, v)
             self._pinned_version = (
@@ -462,7 +794,7 @@ class SnapshotDataSource(DataSource):
         version, ref = self._pinned()
         return _schema_of(self._root(), version, ref)
 
-    def _prune_opts(self) -> dict | None:
+    def _prune_opts(self, schema_fields: list[dict]) -> dict | None:
         """File-skipping bounds from reader options (option keys are
         lowercased by Spark — name engine columns accordingly):
 
@@ -473,18 +805,31 @@ class SnapshotDataSource(DataSource):
         tuples, and bloom filters BEFORE partition planning, so the
         source plans strictly fewer input partitions. Same contract
         as read_snapshot's ``prune``: an optimization only valid
-        UNDER the caller's equivalent row filter."""
+        UNDER the caller's equivalent row filter.
 
-        def coerce(s: str):
+        Literals are typed by the COMMITTED SCHEMA's column type (a
+        string column whose values look numeric — '0123' ids — stays
+        a string; an int column's '5' becomes 5), never guessed from
+        the option text. LIMITATION: values are comma-split, so a
+        prune_in value containing a comma cannot be expressed through
+        options — use the library path (`read_snapshot(prune=...)`),
+        which takes python values directly."""
+        types = {
+            f["name"]: f["type"]
+            for f in schema_fields
+            if isinstance(f.get("type"), str)
+        }
+
+        def coerce(col: str, s: str):
             s = s.strip()
             if not s:
                 return None
-            for cast in (int, float):
-                try:
-                    return cast(s)
-                except ValueError:
-                    continue
-            return s
+            if col not in types:
+                raise ValueError(
+                    f"prune column {col!r} is not a primitive column "
+                    "of the committed schema"
+                )
+            return _typed_literal(s, types[col])
 
         prune: dict = {}
         for k, v in self.options.items():
@@ -495,21 +840,34 @@ class SnapshotDataSource(DataSource):
                         f"option {k!r} wants 'lo,hi' (empty side = "
                         f"open), got {v!r}"
                     )
-                prune[k[len("prune."):]] = (
-                    coerce(parts[0]),
-                    coerce(parts[1]),
+                col = k[len("prune."):]
+                prune[col] = (
+                    coerce(col, parts[0]),
+                    coerce(col, parts[1]),
                 )
             elif k.startswith("prune_in."):
-                prune[k[len("prune_in."):]] = [
-                    coerce(x) for x in v.split(",")
-                ]
+                col = k[len("prune_in."):]
+                prune[col] = [coerce(col, x) for x in v.split(",")]
         return prune or None
 
     def reader(self, schema):
         version, ref = self._pinned()
+        root = self._root()
+        m = snap.read_manifest(root, version, ref)
         return _BatchReader(
-            self._root(), version, ref, self._prune_opts()
+            root,
+            version,
+            ref,
+            self._prune_opts(m.get("schema", {}).get("fields", [])),
         )
+
+    def writer(self, schema, overwrite):
+        return _SnapshotBatchWriter(
+            self._root(), schema, overwrite, self.options
+        )
+
+    def streamWriter(self, schema, overwrite):
+        return _SnapshotStreamWriter(self._root(), schema, self.options)
 
     def streamReader(self, schema):
         root = self._root()

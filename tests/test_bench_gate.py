@@ -107,6 +107,78 @@ def test_evidence_commit_does_not_strip_peers(tmp_path):
     assert "ESCALATE" not in out
 
 
+def _calib(start, end, reps=None):
+    cal = {
+        "calib_ref_jobs_sec": 1.0,
+        "spark_jobs10_sec": start,
+        "spark_jobs10_end_sec": end,
+    }
+    if reps is not None:
+        cal["spark_jobs10_reps"] = reps
+        cal["probe_spread"] = round(max(reps) / min(reps), 2)
+    return cal
+
+
+def test_normalizer_uses_min_probe_not_mean(tmp_path):
+    """The r10 same-code flip (probe 1.43 s vs 4.64 s seventeen
+    minutes apart turned 105 s vs 52 s normalized out of raw totals
+    8% apart): min-of-probes normalization + the spread guard must
+    keep identical code from tripping the gate."""
+    lines = [
+        dict(_line(1000, "aaa", 1.0), calib=_calib(1.0, 1.1)),
+        dict(_line(2000, "aaa", 1.0), calib=_calib(1.0, 0.9)),
+        dict(_line(3000, "aaa", 1.0), calib=_calib(1.1, 1.0)),
+        # gated run: raw 8% slower, but one probe rep burst 3x — the
+        # old mean normalizer would have ABSOLVED it to 0.54x; min
+        # keeps it honest at ~1.08x (no WARN either way)
+        dict(_line(9100, "aaa", 1.08), calib=_calib(3.0, 1.0)),
+    ]
+    proc = _run_gate(tmp_path, lines)
+    verdict = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert 0.9 < verdict["total_ratio"] < 1.2
+    assert proc.returncode == 0
+
+
+def test_unstable_probe_demotes_regressions_and_never_fails(tmp_path):
+    lines = [
+        dict(_line(1000, "aaa", 1.0), calib=_calib(1.0, 1.0)),
+        dict(_line(2000, "aaa", 1.0), calib=_calib(1.0, 1.0)),
+        dict(_line(3000, "aaa", 1.0), calib=_calib(1.0, 1.0)),
+        # gated run 3x slower BUT its own probe spread is 5x: the
+        # normalization is untrusted — demote, demand a rerun, exit 0
+        dict(
+            _line(9100, "bbb", 3.0),
+            calib=_calib(1.0, 5.0, reps=[1.0, 1.1, 1.0, 5.0, 4.8, 5.0]),
+        ),
+    ]
+    proc = _run_gate(tmp_path, lines)
+    out = proc.stdout
+    assert "UNSTABLE" in out
+    assert "WARN(unstable_probe) qx" in out
+    assert "WARN(regression)" not in out
+    assert "ESCALATE" not in out
+    assert proc.returncode == 0
+
+
+def test_unstable_probe_history_line_excluded_from_medians(tmp_path):
+    lines = [
+        dict(_line(1000, "aaa", 1.0), calib=_calib(1.0, 1.0)),
+        dict(_line(2000, "aaa", 1.0), calib=_calib(1.0, 1.0)),
+        # an unstable-probe line whose min-normalization would halve
+        # the median must not contaminate the pool
+        dict(_line(3000, "aaa", 1.0), calib=_calib(0.2, 5.0)),
+        dict(_line(9100, "aaa", 1.0), calib=_calib(1.0, 1.0)),
+    ]
+    proc = _run_gate(tmp_path, lines)
+    verdict = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert 0.9 < verdict["total_ratio"] < 1.1
+    assert proc.returncode == 0
+
+
 def test_ab_leg_refuses_wrong_code_root(tmp_path):
     """ADVICE r7 (high): the A/B baseline leg must PROVE it imports
     metastore_spark from the leg's code_root — sys.path[0] (the

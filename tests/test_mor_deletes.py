@@ -728,6 +728,14 @@ def test_eq_delete_widened_key_column_still_matches(spark, tmp_path):
     assert out.filter("g = 7").count() == 0
     assert out.count() == 36
     assert dict(out.dtypes)["g"] == "bigint"
+    # the pyarrow DataSource path coerces the narrow key type too
+    # (ADVICE r10: it used to error on the mismatched-type anti-join)
+    from metastore_spark.sources.spark_source import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    via_source = spark.read.format("snapshot").load(root)
+    assert via_source.filter("g = 7").count() == 0
+    assert via_source.count() == 36
 
 
 def test_timestamp_version_unreachable_tag_island(spark, tmp_path):

@@ -1,0 +1,402 @@
+"""The snapshot format's DataSource WRITE path (VERDICT r10 task 4)
+and the ``timestamp`` reader option (task 5): batch append/overwrite
+through ``df.write.format("snapshot")``, the streaming sink's
+(stream_id, batch_id) exactly-once ledger, upsert mode as the CDC
+apply, and TIMESTAMP AS OF boundary cases through the reader."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metastore_spark.sources import snapshots as snap
+from metastore_spark.sources.spark_source import SnapshotDataSource
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(SnapshotDataSource)
+    return spark
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("g")
+    )
+
+
+def _sorted(df):
+    return [tuple(r) for r in df.orderBy("k").collect()]
+
+
+# ---- batch writes ---------------------------------------------------
+
+
+def test_write_append_creates_and_accumulates(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    _df(spark, 0, 100).write.format("snapshot").mode("append").save(root)
+    assert snap.current_version(root) == 1
+    _df(spark, 100, 250).write.format("snapshot").mode("append").save(
+        root
+    )
+    assert snap.current_version(root) == 2
+    via_lib = snap.read_snapshot(spark, root)
+    assert via_lib.count() == 250
+    assert _sorted(via_lib) == _sorted(_df(spark, 0, 250))
+    # and the source reads its own writes
+    assert _sorted(spark.read.format("snapshot").load(root)) == _sorted(
+        _df(spark, 0, 250)
+    )
+
+
+def test_write_interops_with_library_commits(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    _df(spark, 100, 200).write.format("snapshot").mode("append").save(
+        root
+    )
+    snap.commit_mor_delete(spark, root, F.col("g") == 3)
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 200 - 20
+    assert out.filter("g = 3").count() == 0
+
+
+def test_write_overwrite_replaces_but_history_survives(
+    registered, tmp_path
+):
+    spark = registered
+    root = str(tmp_path / "t")
+    _df(spark, 0, 100).write.format("snapshot").mode("append").save(root)
+    _df(spark, 500, 530).write.format("snapshot").mode(
+        "overwrite"
+    ).save(root)
+    head = snap.read_snapshot(spark, root)
+    assert head.count() == 30
+    assert head.agg(F.min("k")).first()[0] == 500
+    # the pre-overwrite snapshot is still a readable version
+    assert snap.read_snapshot(spark, root, version=1).count() == 100
+    # carried deletes were dropped with the rows they applied to
+    assert not snap.read_manifest(
+        root, snap.current_version(root)
+    ).get("eq_delete_files")
+
+
+def test_write_add_only_schema_enforced(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    _df(spark, 0, 10).write.format("snapshot").mode("append").save(root)
+    bad = spark.range(5).select(F.col("id").alias("k"))  # drops g
+    with pytest.raises(Exception, match="drops column"):
+        bad.write.format("snapshot").mode("append").save(root)
+    with pytest.raises(Exception, match="drops column"):
+        bad.write.format("snapshot").mode("overwrite").save(root)
+    # widening appends evolve the committed schema, like commit_append
+    wide = spark.range(10, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("g"),
+        F.lit("x").alias("note"),
+    )
+    wide.write.format("snapshot").mode("append").save(root)
+    out = snap.read_snapshot(spark, root)
+    assert out.columns == ["k", "g", "note"]
+    assert out.filter("k < 10").filter("note is null").count() == 10
+
+
+def test_write_inherits_partition_spec_and_stats(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark,
+        root,
+        _df(spark, 0, 100),
+        stats_cols=["k"],
+        partition_by=["g"],
+    )
+    _df(spark, 100, 200).write.format("snapshot").mode("append").save(
+        root
+    )
+    m = snap.read_manifest(root, snap.current_version(root))
+    assert m["partition_spec"] == ["g"]
+    assert m["stats_cols"] == ["k"]
+    # the staged files landed hive-laid-out and partition-prunable:
+    # g=7 holds 10+10 rows per cohort, one file set per tuple
+    files_all = snap.manifest_files(root, m)
+    files_g7 = snap.pruned_manifest_files(root, m, {"g": (7, 7)})
+    assert 0 < len(files_g7) < len(files_all)
+    got = snap.read_snapshot(spark, root, prune={"g": (7, 7)})
+    assert got.filter("g = 7").count() == 20
+    # min/max stats prune the new cohort's files too
+    files_hi = snap.pruned_manifest_files(root, m, {"k": (150, 160)})
+    assert len(files_hi) < len(files_all)
+
+
+def test_write_first_commit_partition_by_option(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    (
+        _df(spark, 0, 100)
+        .write.format("snapshot")
+        .option("partition_by", "g")
+        .option("stats_cols", "k")
+        .mode("append")
+        .save(root)
+    )
+    m = snap.read_manifest(root, 1)
+    assert m["partition_spec"] == ["g"]
+    assert m["stats_cols"] == ["k"]
+    assert (
+        snap.read_snapshot(spark, root, prune={"g": (3, 3)})
+        .filter("g = 3")
+        .count()
+        == 10
+    )
+
+
+def test_write_null_partition_value_never_pruned(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 5, F.lit(None)).otherwise(
+            F.col("id") % 3
+        ).alias("g"),
+    )
+    df.write.format("snapshot").option("partition_by", "g").mode(
+        "append"
+    ).save(root)
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 20
+    assert out.filter("g is null").count() == 5
+    # null-tuple files are conservatively kept by any partition prune
+    m = snap.read_manifest(root, 1)
+    kept = snap.pruned_manifest_files(root, m, {"g": (2, 2)})
+    got = {
+        r.k
+        for r in snap.read_snapshot(spark, root, prune={"g": (2, 2)})
+        .filter("g = 2 or g is null")
+        .collect()
+    }
+    assert kept and {r.k for r in df.filter("g = 2").collect()} <= got
+
+
+# ---- streaming sink -------------------------------------------------
+
+
+def _feed(spark, tmp_path, n_files=3):
+    src = str(tmp_path / "feed")
+    _df(spark, 0, 300).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(src)
+    return src
+
+
+def _run_sink(spark, src, root, ckpt, stream_id, **opts):
+    q = (
+        spark.readStream.schema("k bigint, g bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("snapshot")
+        .option("stream_id", stream_id)
+        .option("checkpointLocation", ckpt)
+    )
+    for k, v in opts.items():
+        q = q.option(k, v)
+    q = q.trigger(availableNow=True).start(root)
+    q.awaitTermination(180)
+
+
+def test_stream_sink_append_one_version_per_batch(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    src = _feed(spark, tmp_path, n_files=3)
+    _run_sink(spark, src, root, str(tmp_path / "ckpt"), "s1")
+    assert snap.current_version(root) == 3  # one commit per micro-batch
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 300
+    assert out.agg(F.sum("k")).first()[0] == sum(range(300))
+    # ledger rows recorded on every commit
+    for v in (1, 2, 3):
+        m = snap.read_manifest(root, v)
+        assert m["stream_id"] == "s1" and m["batch_id"] in (0, 1, 2)
+    # idle re-run adds nothing
+    _run_sink(spark, src, root, str(tmp_path / "ckpt"), "s1")
+    assert snap.current_version(root) == 3
+
+
+def test_stream_sink_replayed_batch_skipped_by_ledger(
+    registered, tmp_path
+):
+    """A batch re-delivered after a crash between the manifest commit
+    and Spark's checkpoint commit must be recognized and skipped —
+    drive the writer's commit() directly with an already-committed
+    batchId."""
+    from metastore_spark.sources.spark_source import (
+        _SnapshotStreamWriter,
+        _WriteResult,
+    )
+
+    spark = registered
+    root = str(tmp_path / "t")
+    src = _feed(spark, tmp_path)
+    _run_sink(spark, src, root, str(tmp_path / "ckpt"), "s1")
+    head = snap.current_version(root)
+    w = _SnapshotStreamWriter(
+        root,
+        spark.createDataFrame([], "k bigint, g bigint").schema,
+        {"stream_id": "s1"},
+    )
+    w.commit([_WriteResult(["data/zz/never-written.parquet"])], 0)
+    assert snap.current_version(root) == head  # skipped, not re-applied
+    assert snap.read_snapshot(spark, root).count() == 300
+
+
+def test_stream_sink_upsert_latest_wins(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 200))
+    # CDC feed: restate g for even keys (x100), insert 200..250
+    feed = (
+        _df(spark, 0, 200)
+        .filter(F.col("k") % 2 == 0)
+        .withColumn("g", F.col("g") * 100)
+        .unionByName(_df(spark, 200, 250))
+    )
+    src = str(tmp_path / "cdc")
+    feed.repartition(4).write.mode("overwrite").parquet(src)
+    _run_sink(
+        spark,
+        src,
+        root,
+        str(tmp_path / "ckpt"),
+        "cdc1",
+        mode="upsert",
+        keys="k",
+    )
+    assert snap.current_version(root) == 5  # base + 4 upsert commits
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 250  # one row per key
+    assert out.filter("k = 4").first().g == 400  # restated served
+    assert out.filter("k = 3").first().g == 3  # untouched odd key
+    assert out.filter("k = 210").first().g == 0  # insert present
+    # compact folds the accumulated eq-deletes; same rows
+    snap.commit_with_retry(
+        root, lambda: snap.compact(spark, root, target_files=2)
+    )
+    folded = snap.read_snapshot(spark, root)
+    assert folded.count() == 250
+    assert folded.filter("k = 4").first().g == 400
+
+
+def test_stream_sink_upsert_bootstraps_empty_table(
+    registered, tmp_path
+):
+    spark = registered
+    root = str(tmp_path / "t")
+    src = str(tmp_path / "cdc")
+    _df(spark, 0, 50).coalesce(1).write.mode("overwrite").parquet(src)
+    _run_sink(
+        spark,
+        src,
+        root,
+        str(tmp_path / "ckpt"),
+        "cdc1",
+        mode="upsert",
+        keys="k",
+    )
+    assert snap.current_version(root) == 1
+    assert snap.read_snapshot(spark, root).count() == 50
+
+
+def test_stream_sink_requires_stream_id_and_valid_mode(
+    registered, tmp_path
+):
+    spark = registered
+    src = _feed(spark, tmp_path)
+    with pytest.raises(Exception, match="stream_id"):
+        _run_sink(
+            spark,
+            src,
+            str(tmp_path / "t1"),
+            str(tmp_path / "c1"),
+            "",
+        )
+    with pytest.raises(Exception, match="keys"):
+        _run_sink(
+            spark,
+            src,
+            str(tmp_path / "t2"),
+            str(tmp_path / "c2"),
+            "s",
+            mode="upsert",
+        )
+
+
+# ---- TIMESTAMP AS OF through the reader -----------------------------
+
+
+def test_reader_timestamp_as_of_boundaries(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    t1 = snap._manifest_ts_us(snap.read_manifest(root, 1)) / 1e6
+    snap.commit_append(spark, root, _df(spark, 100, 150))
+
+    def rd():
+        return spark.read.format("snapshot")
+
+    # exact commit instant -> that version; between commits -> older
+    assert rd().option("timestamp", str(t1)).load(root).count() == 100
+    assert (
+        rd().option("timestamp", str(t1 + 1e-6)).load(root).count()
+        == 100
+    )
+    # far future -> head; equals the library resolution
+    now = rd().option("timestamp", str(t1 + 1e6)).load(root)
+    assert _sorted(now) == _sorted(
+        snap.read_snapshot(spark, root, timestamp=t1 + 1e6)
+    )
+    # ISO-8601 strings resolve too
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(t1).isoformat()
+    assert rd().option("timestamp", iso).load(root).count() == 100
+    # pre-creation -> typed ValueError
+    with pytest.raises(Exception, match="predates"):
+        rd().option("timestamp", str(t1 - 10)).load(root).schema
+    # version and timestamp are mutually exclusive
+    with pytest.raises(Exception, match="mutually exclusive"):
+        rd().option("timestamp", str(t1)).option("version", 1).load(
+            root
+        ).schema
+
+
+def test_reader_timestamp_behind_retention_fails_typed(
+    registered, tmp_path
+):
+    spark = registered
+    root = str(tmp_path / "t")
+    ts = []
+    for lo in (0, 100, 200, 300):
+        snap.commit_append(spark, root, _df(spark, lo, lo + 100))
+        ts.append(
+            snap._manifest_ts_us(
+                snap.read_manifest(root, snap.current_version(root))
+            )
+            / 1e6
+        )
+    snap.expire_snapshots(root, keep_last=2)
+    # Spark wraps the typed RetentionExpired in AnalysisException at
+    # the DataSource boundary; the typed message survives
+    with pytest.raises(Exception, match="RetentionExpired|expired"):
+        spark.read.format("snapshot").option(
+            "timestamp", str(ts[0])
+        ).load(root).schema
+    assert (
+        spark.read.format("snapshot")
+        .option("timestamp", str(ts[3]))
+        .load(root)
+        .count()
+        == 400
+    )

@@ -10,7 +10,7 @@ JSON) against the calibration-normalized per-query history medians:
   shared with history regresses > 1.3x the sum of history medians.
 
 Per-query normalization uses each run's own jobs-probe calibration
-(t_norm = t * calib_ref_jobs / run's mean jobs probe), the same
+(t_norm = t * calib_ref_jobs / min(start, end) jobs probe), the same
 corrector bench.py applies to the headline total — so medians are
 comparable across hosts of different scheduler speed. Pre-probe
 history lines (rounds 1-3) carry no jobs probe and are used raw;
@@ -34,6 +34,9 @@ NOISE_FLOOR_SEC = 0.25  # normalized; below this, scheduler jitter dominates
 SESSION_WINDOW_SEC = 4 * 3600  # runs this close together share the host state
 
 
+PROBE_SPREAD_MAX = 2.0  # beyond this the run's own probe is untrusted
+
+
 def _norm_factor(entry: dict) -> float:
     cal = entry.get("calib", {})
     ref = cal.get("calib_ref_jobs_sec")
@@ -41,7 +44,25 @@ def _norm_factor(entry: dict) -> float:
     end = cal.get("spark_jobs10_end_sec", start)
     if not ref or not start:
         return 1.0  # pre-probe history line: raw seconds
-    return ref / ((start + end) / 2)
+    # MIN of the start/end probes (VERDICT r10 task 2): external load
+    # only ever ADDS time, so the smaller probe is the least-
+    # contaminated estimate — the old mean let one bursty probe flip
+    # a same-code normalized total 2x.
+    return ref / min(start, end)
+
+
+def _probe_spread(entry: dict) -> float:
+    """max/min over the run's recorded probe reps (median-of-3 runs
+    record all six; older lines fall back to the start/end pair). 1.0
+    when the line predates probes."""
+    cal = entry.get("calib", {})
+    if cal.get("probe_spread"):
+        return float(cal["probe_spread"])
+    start = cal.get("spark_jobs10_sec")
+    end = cal.get("spark_jobs10_end_sec")
+    if not start or not end:
+        return 1.0
+    return max(start, end) / min(start, end)
 
 
 def _normed_queries(entry: dict) -> dict[str, float]:
@@ -86,6 +107,9 @@ def main() -> int:
     # must not be judged against (or later contaminate) sf0.1 medians
     sf = latest.get("sf")
     history = [h for h in history if h.get("sf") == sf]
+    # a history line whose own probe was unstable carries an
+    # untrustworthy normalization — keep it out of the median pool
+    history = [h for h in history if _probe_spread(h) <= PROBE_SPREAD_MAX]
     if not history:
         print("bench_gate: no same-sf history to gate against — pass (vacuous)")
         return 0
@@ -120,6 +144,20 @@ def main() -> int:
         and _code_id(h) == latest_head
     ]
 
+    # a gated run whose OWN probe was unstable cannot distinguish
+    # "code got slower" from "the normalizer divided by a bad probe":
+    # demote its would-be regressions and ask for a rerun instead of
+    # escalating to an A/B (VERDICT r10 task 2)
+    latest_spread = _probe_spread(latest)
+    unstable = latest_spread > PROBE_SPREAD_MAX
+    if unstable:
+        print(
+            f"bench_gate: this run's jobs probe is UNSTABLE "
+            f"(spread {latest_spread:.1f}x > {PROBE_SPREAD_MAX}x) — "
+            "normalization untrusted; regressions demoted to "
+            "WARN(unstable_probe), rerun bench.py to adjudicate"
+        )
+
     warns = []
     gated_total = 0.0
     median_total = 0.0
@@ -135,7 +173,7 @@ def main() -> int:
             kind = (
                 "noise"
                 if peers and min(peers) <= WARN_RATIO * med
-                else "regression"
+                else ("unstable_probe" if unstable else "regression")
             )
             warns.append((q, med, t, kind, min(peers) if peers else None))
 
@@ -194,13 +232,21 @@ def main() -> int:
         "per_query_warnings": len(warns),
         "warns_noise": sum(1 for w in warns if w[3] == "noise"),
         "warns_regression": sum(1 for w in warns if w[3] == "regression"),
+        "warns_unstable_probe": sum(
+            1 for w in warns if w[3] == "unstable_probe"
+        ),
         "normalized_total_common": round(gated_total, 3),
         "history_median_total_common": round(median_total, 3),
         "total_ratio": round(gated_total / median_total, 3)
         if median_total
         else None,
     }
+    verdict["probe_spread"] = round(latest_spread, 2)
     print(json.dumps(verdict))
+    if unstable:
+        # an untrusted normalization must not hard-fail the round;
+        # the demoted warns above already demand a rerun
+        return 0
     if median_total and gated_total > FAIL_RATIO * median_total:
         print(
             f"FAIL: normalized total {gated_total:.1f}s regressed "
