@@ -163,6 +163,8 @@ HEADLINE = [
     "events_stream_cdc_upsert",
     "docs_quality_trained",
     "docs_global_shuffle",
+    "events_snapshot_write_path",
+    "events_snapshot_mor_compact_fold",
 ]
 
 

@@ -463,103 +463,91 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale_path="dedup_jaccard_verified",
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard near-dups, blocked by (lang, length bucket).
+    """Exact token-set Jaccard near-dups via PREFIX-FILTERED candidates
+    (Bayardo et al. WWW'07 / PPJoin, the public exact-similarity-join
+    technique the shingle oracle already mirrors).
 
-    VALIDATION TWIN: inside a (lang, bucket) block the join is still
-    all-pairs, and at 100 TB the modal (en, modal-length) block is a
-    huge corpus slice — O(block²) work. The LSH-pruned
-    `dedup_jaccard_verified` (candidates from minhash bands, exact
-    Jaccard only on candidates) is the production path; this query
-    exists to certify it at oracle-checkable SFs.
+    VALIDATION TWIN of `dedup_jaccard_verified` (the MinHash-LSH +
+    exact-verify production path): this query computes the exact
+    token-SET metric so the LSH path can be certified against it at
+    oracle-checkable SFs — but exact no longer means quadratic. The
+    r5-r10 plan all-paired every (lang, length-bucket) block (O(block²)
+    CPU: 432 s at sf1, skipped at sf3); now candidates form only on
+    SHARED PREFIX TOKENS: order each doc's token set by ascending
+    global document frequency (ties on the token), keep the first
+    |T| - ceil(0.8·|T|) + 1 tokens, and equi-join prefixes on
+    (token, lang) with the integer size gate (J >= 0.8 forces
+    4·max(|A|,|B|) <= 5·min). Losslessness needs only that BOTH sides
+    use the same total order — any order — so Spark's own (df, token)
+    ranking works without agreeing with the oracle's dense ids; the
+    pigeonhole is per pair: if a qualifying pair shared no prefix
+    token, each doc would need > ceil(0.8|T|) unshared tokens, which
+    J >= 0.8 forbids. Exact array_intersect/union verifies candidates.
 
-    The blocked equi-join is the scale pattern: candidates only form
-    inside a block, then exact set arithmetic verifies. Lang alone is
-    not a block at 100 TB (the dominant language IS the corpus), so the
-    join key also carries a log-spaced token-set-size bucket:
-    Jaccard >= 0.8 forces |A|/|B| <= 1.25, and with bucket base 1.3
-    (> 1.25) the two buckets provably differ by at most 1 — probing
-    b.bucket + {-1, 0, +1} on the a side loses no qualifying pair while
-    turning the lang-block quadratic join into an equi-join on
-    (lang, bucket). JVM-side array_intersect/union does the verify.
+    Scale shape: token df is a partial-agg groupBy; prefix ranking is
+    a PER-DOC window (partitioned, never global); the candidate join
+    keys on RARE tokens (frequent tokens rank last and never enter a
+    prefix), so candidates are proportional to rare-token collisions
+    — near the output size — instead of block². ceil(0.8·s) is
+    (4s+4)//5 in exact integers (a float ceil rounds UP at s = 5k,
+    silently shortening the prefix and making the filter lossy).
 
-    Caveat (measured at sf1): token-SET similarity saturates on
+    Caveat (measured at sf1, r4): token-SET similarity saturates on
     low-entropy corpora — with a ~30-word vocabulary every long doc's
-    distinct-token set converges to the full vocabulary, so nearly
-    every pair qualifies and the OUTPUT itself is O(n^2) rows no
-    matter how the join is keyed. That is a property of the metric,
-    not the plan; shingle-based `dedup_jaccard_verified` is the
-    production path precisely because 3-gram sets don't saturate.
+    set converges to the full vocabulary, prefixes collide
+    everywhere, and the OUTPUT itself is O(n²) no matter the plan.
+    That is a property of the metric, not the join; shingle-based
+    `dedup_jaccard_verified` stays the production path because 3-gram
+    sets don't saturate.
     """
-    import math
-
     d = _t(spark, sf_dir, "documents")
-    ln_base = math.log(1.3)
-    # salt fan-out: the (lang, bucket) key space is ~tens of values and
-    # the modal (en, modal-size) block dominates — a bare equi-join
-    # lands the whole quadratic verify on 1-2 tasks (measured: 2 of 32
-    # cores busy at sf1, 340M in-block pairs). AQE's skew split can't
-    # help: it triggers on partition BYTES, and these partitions are
-    # tiny in bytes but quadratic in CPU. Salting b by hash(doc_id)%S
-    # and probing all S salts from a spreads each block's pair work
-    # over S tasks; every qualifying pair still matches exactly once
-    # (b's salt is single-valued).
-    S = 16
-    toks = (
-        d.select(
-            "doc_id",
-            "lang",
-            F.array_distinct(
-                F.array_remove(
-                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
-                )
-            ).alias("tset"),
-        )
-        .withColumn("sz", F.size(F.col("tset")))
-        .withColumn("bkt", F.floor(F.log(F.col("sz")) / F.lit(ln_base)))
+    from pyspark.sql import Window
+
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.array_remove(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), ""
+            )
+        ).alias("tset"),
+    ).withColumn("sz", F.size(F.col("tset")))
+    tx = toks.select(
+        "doc_id", "lang", "sz", F.explode("tset").alias("t")
     )
-    # a side probes three adjacent buckets; each qualifying pair matches
-    # exactly once because b.bkt is a single value.
-    a = (
-        toks.withColumn("probe_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("bkt_probe", F.col("bkt") + F.col("probe_off"))
-        .drop("probe_off")
-        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
+    tdf = tx.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "t")
     )
-    b = toks.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(S)).cast("int")
+    prefix_len = F.col("sz") - (
+        (F.lit(4) * F.col("sz") + F.lit(4)) / F.lit(5)
+    ).cast("long") + F.lit(1)
+    tpref = (
+        tx.join(tdf, "t")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "lang", "t", "sz")
     )
-    # The salt only fans work out if the join actually SHUFFLES on it.
-    # Left alone, Catalyst broadcast-joins here: the build side
-    # descends from a ~file-sized scan, so its ESTIMATE is tiny, but
-    # post-explode it is docs × 3 probes × S salts rows of full token
-    # arrays — GBs in memory at sf1, unboundedly wrong at 100 TB — and
-    # the streamed side scans in file-split-count partitions (1-2 for
-    # a single parquet file), so 1-2 tasks run all 340M pair verifies
-    # regardless of the salt. Explicit same-key repartitions pin a
-    # shuffle-hash join instead: both sides hash-cluster on the exact
-    # equi-keys (so EnsureRequirements adds no further exchange), the
-    # explicit partition count is exempt from AQE's byte-based
-    # coalescing (which would re-merge these byte-tiny but
-    # CPU-quadratic partitions), and the hint bans the broadcast.
-    fanout = spark.sparkContext.defaultParallelism * 8
-    a = a.repartition(fanout, "lang", "bkt_probe", "salt").alias("a")
-    b = (
-        b.repartition(fanout, "lang", "bkt", "salt")
+    # both sides of the prefix self-join are corpus-sized (docs x
+    # prefix rows) but DESCEND from a file-sized scan, so Catalyst's
+    # estimate would broadcast one — wrong at 100 TB (the r5 lesson).
+    # Explicit same-key repartitions + shuffle_hash pin a shuffled
+    # join on the exact equi-keys; rare prefix tokens keep the key
+    # distribution flat, so no salt is needed.
+    fanout = spark.sparkContext.defaultParallelism * 4
+    pa_ = tpref.repartition(fanout, "t", "lang").alias("a")
+    pb_ = (
+        tpref.repartition(fanout, "t", "lang")
         .hint("shuffle_hash")
         .alias("b")
     )
-    inter = F.size(F.array_intersect(F.col("a.tset"), F.col("b.tset")))
-    union = F.size(F.array_union(F.col("a.tset"), F.col("b.tset")))
-    jac = inter.cast("double") / union
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bkt_probe") == F.col("b.bkt"))
-            & (F.col("a.salt") == F.col("b.salt"))
+    cand = (
+        pa_.join(
+            pb_,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # PPJoin size gate: J >= 0.8 forces 4·max(|A|,|B|) <= 5·min —
-            # integer-exact, prunes the intersect/union work per pair
+            # integer-exact size gate: J >= 0.8 forces |A|/|B| <= 1.25
             & (
                 F.lit(4) * F.greatest(F.col("a.sz"), F.col("b.sz"))
                 <= F.lit(5) * F.least(F.col("a.sz"), F.col("b.sz"))
@@ -568,11 +556,20 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.round(jac, 4).alias("jaccard"),
-            jac.alias("_jac"),
         )
+        .distinct()
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("tset").alias("sa"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("tset").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_jac", jac)
         .filter(F.col("_jac") >= 0.8)
-        .drop("_jac")
+        .select("id_a", "id_b", F.round("_jac", 4).alias("jaccard"))
     )
 
 

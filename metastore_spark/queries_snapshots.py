@@ -494,6 +494,201 @@ def events_stream_snapshot_ingest(
 
 
 @query(
+    "events_snapshot_mor_compact_fold",
+    oracle="""
+    WITH evens AS (
+      SELECT event_id, user_id, value * 2 AS value FROM events
+      WHERE event_id % 2 = 0
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents_sum
+      FROM evens
+    )
+    SELECT 1 AS leg, n_rows, n_keys, value_cents_sum FROM agg
+    UNION ALL
+    SELECT 2, n_rows, n_keys, value_cents_sum FROM agg
+    ORDER BY leg
+    """,
+)
+def events_snapshot_mor_compact_fold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """READ AMPLIFICATION before/after compact (VERDICT r10 task 6):
+    four CDC upserts restate every even event (value x2), leaving the
+    head with 4 accumulated equality-delete entries — leg 1 reads
+    THROUGH that debt (4 scoped anti-joins), then the `maybe_compact`
+    policy hook trips its threshold and folds, and leg 2 reads the
+    folded head. Both legs must serve identical values; the bench
+    time pins what the amplified read costs relative to the folded
+    one, and `read_amplification` is asserted 4 -> 0 around the fold.
+
+    Scale shape: the guard this query pins is what keeps a month-long
+    100 TB CDC ingest readable — entry counts are surfaced
+    (table_history, read_amplification), the MOR commit paths WARN
+    past `EQ_DELETE_ENTRIES_WARN`, and `maybe_compact` bounds the
+    debt at an amortized O(1) manifest read per batch. Parity anchor:
+    Iceberg's delete-file metrics / Delta auto-compaction."""
+    import tempfile
+
+    from metastore_spark.catalog import load_table
+
+    root = os.path.join(tempfile.mkdtemp(prefix="morfold_tbl_"), "t")
+    try:
+        base = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        ).filter(F.col("event_id") % 2 == 0)
+        snap.commit_append(spark, root, base)
+        for i in range(4):  # CDC: restate each mod-8 class, value x2
+            snap.commit_mor_upsert(
+                spark,
+                root,
+                base.filter(F.col("event_id") % 8 == 2 * i).withColumn(
+                    "value", F.col("value") * 2
+                ),
+                ["event_id"],
+            )
+        assert snap.read_amplification(root)["n_eq_delete_entries"] == 4
+
+        def leg(n: int) -> DataFrame:
+            return snap.read_snapshot(spark, root).agg(
+                F.lit(n).cast("int").alias("leg"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("event_id").cast("bigint").alias("n_keys"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("value_cents_sum"),
+            )
+
+        pre = leg(1).collect()
+        assert snap.maybe_compact(spark, root, max_eq_entries=3) is not None
+        assert snap.read_amplification(root)["n_eq_delete_entries"] == 0
+        post = leg(2).collect()
+        out = leg(1)  # schema carrier
+        return spark.createDataFrame(pre + post, out.schema).orderBy("leg")
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@query(
+    "events_snapshot_write_path",
+    oracle="""
+    WITH evens AS (
+      SELECT event_id, user_id, event_type, value FROM events
+      WHERE event_id % 2 = 0
+    ),
+    allrows AS (
+      SELECT event_id, user_id, event_type, value FROM events
+    )
+    SELECT CAST((SELECT COUNT(*) FROM allrows) AS BIGINT) AS n_rows_head,
+           CAST((SELECT COUNT(*) FROM evens) AS BIGINT) AS n_rows_v1,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM allrows) AS BIGINT)
+             AS n_users,
+           CAST((SELECT COUNT(*) FROM allrows WHERE event_type = 'click')
+             AS BIGINT) AS n_clicks_pruned,
+           CAST((SELECT SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                 FROM allrows) AS BIGINT) AS value_cents_sum
+    """,
+)
+def events_snapshot_write_path(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE DATASOURCE WRITE PATH end-to-end (VERDICT r10 task 4): a
+    table whose every byte arrives through ``df.write.format(
+    "snapshot")`` — v1 appends the even events hive-partitioned by
+    event_type with min/max stats (first-write options), v2 appends
+    the odd events inheriting the spec — then reads back through the
+    same registered source: the head, ``option("version", 1)`` time
+    travel, and an ``option("prune_in.event_type", "click")`` pruned
+    scan that plans only the click partition's files (asserted
+    strictly fewer slices). No library commit call touches the table;
+    the executor-staged parquet + driver manifest link IS the write.
+
+    Scale shape: the write is `spark_source._write_task` — each
+    executor task streams its arrow batches straight into staged
+    parquet (one open writer per partition tuple) and the driver
+    links O(files) metadata; data never passes through the driver,
+    so the commit cost at 100 TB is the parquet write itself plus an
+    O(#segments) manifest. Parity anchor: the reference's events kind
+    is append-only ingest (/root/reference/metastore/models.py:27-34);
+    this is its `df.write` spelling."""
+    import tempfile
+
+    from metastore_spark.catalog import load_table
+    from metastore_spark.sources.spark_source import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+    root = os.path.join(tempfile.mkdtemp(prefix="dsw_tbl_"), "t")
+    try:
+        base = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        (
+            base.filter(F.col("event_id") % 2 == 0)
+            .write.format("snapshot")
+            .option("partition_by", "event_type")
+            .option("stats_cols", "event_id")
+            .mode("append")
+            .save(root)
+        )
+        base.filter(F.col("event_id") % 2 == 1).write.format(
+            "snapshot"
+        ).mode("append").save(root)
+        assert snap.current_version(root) == 2
+        # the pruned plan must touch strictly fewer files than the head
+        m = snap.read_manifest(root, 2)
+        n_all = len(snap.manifest_files(root, m))
+        n_click = len(
+            snap.pruned_manifest_files(
+                root, m, {"event_type": ["click"]}
+            )
+        )
+        assert 0 < n_click < n_all, (n_click, n_all)
+        head = spark.read.format("snapshot").load(root)
+        v1 = spark.read.format("snapshot").option("version", 1).load(root)
+        clicks = (
+            spark.read.format("snapshot")
+            .option("prune_in.event_type", "click")
+            .load(root)
+            .filter(F.col("event_type") == "click")
+        )
+        out = (
+            head.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows_head"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("value_cents_sum"),
+            )
+            .crossJoin(
+                v1.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows_v1")
+                )
+            )
+            .crossJoin(
+                clicks.agg(
+                    F.count(F.lit(1))
+                    .cast("bigint")
+                    .alias("n_clicks_pruned")
+                )
+            )
+            .select(
+                "n_rows_head",
+                "n_rows_v1",
+                "n_users",
+                "n_clicks_pruned",
+                "value_cents_sum",
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+@query(
     "events_stream_cdc_upsert",
     oracle="""
     WITH v2 AS (

@@ -1059,31 +1059,45 @@ def _apply_eq_deletes(
     assembled frame (Iceberg v2 equality deletes). Full-scope entries
     are one name-keyed anti-join (AQE broadcasts small key sets);
     partially-scoped entries (rows appended AFTER the delete are in
-    the frame) split on the row's ``_mor_file`` against the
-    POST-DELETE file names: newer rows pass through untouched, scoped
-    rows anti-join — the sequence-number rule, with the broadcast
-    sized by appends-since-the-delete rather than the table. NULL
-    keys never match (SQL equality), so null-keyed rows are never
-    deleted."""
+    the frame) mark instead of split: a left join flags key matches,
+    a second left join against the POST-DELETE file names flags
+    out-of-scope rows, and one filter drops rows that are both keyed
+    and in scope — the sequence-number rule, with the broadcast sized
+    by appends-since-the-delete rather than the table. NULL keys
+    never match (SQL equality), so null-keyed rows are never deleted.
+
+    LINEAR-PLAN invariant (r11): every entry must reference the
+    running frame exactly ONCE. The earlier form split it into
+    in/out-of-scope halves and unioned them back — referencing it
+    twice per entry, a 2^n plan tree that hung Catalyst outright past
+    ~15 accumulated entries (exactly the never-compacted CDC regime
+    the read-amplification guard warns about). Flag-and-filter keeps
+    the plan O(entries) deep, so an over-accumulated table reads
+    SLOWLY (one join per entry, as documented) instead of not at all.
+    """
     if not plans:
         return df
     orig_cols = list(df.columns)  # USING-joins move key cols first
-    for paths, cols, newer_names in plans:
+    for i, (paths, cols, newer_names) in enumerate(plans):
         keys = spark.read.parquet(
             *[os.path.join(root, f) for f in paths]
         ).select(*cols).dropDuplicates()
         if newer_names is None:
             df = df.join(keys, on=cols, how="left_anti")
             continue
+        hit, newer = f"_eq_hit_{i}", f"_eq_newer_{i}"
+        keys = keys.withColumn(hit, F.lit(True))
         newer_df = spark.createDataFrame(
-            [(n,) for n in sorted(newer_names)], "_eq_newer_file string"
+            [(n,) for n in sorted(newer_names)], f"{newer}_file string"
+        ).withColumn(newer, F.lit(True))
+        df = df.join(keys, on=cols, how="left")
+        df = df.join(
+            newer_df,
+            df["_mor_file"] == newer_df[f"{newer}_file"],
+            "left",
         )
-        cond = df["_mor_file"] == newer_df["_eq_newer_file"]
-        out_scope = df.join(newer_df, cond, "left_semi")
-        in_scope = df.join(newer_df, cond, "left_anti")
-        df = in_scope.join(keys, on=cols, how="left_anti").unionByName(
-            out_scope
-        )
+        deleted = F.col(hit).isNotNull() & F.col(newer).isNull()
+        df = df.filter(~deleted).drop(hit, newer, f"{newer}_file")
     return df.select(*orig_cols)
 
 
@@ -1524,6 +1538,7 @@ def commit_mor_upsert_files(
         ]
         if extra_meta:
             extra.update(extra_meta)
+        _warn_read_amplification(len(extra["eq_delete_files"]), root)
         try:
             return _commit(
                 root, parent, "upsert-mor", prev_segs + [seg], extra
@@ -1786,6 +1801,7 @@ def commit_mor_delete_keys(
     extra["eq_delete_files"] = list(
         prev_manifest.get("eq_delete_files") or []
     ) + [entry]
+    _warn_read_amplification(len(extra["eq_delete_files"]), root)
     return _commit(
         root, parent, "delete-mor-eq", prev_segs, extra or None, ref
     )
@@ -1886,6 +1902,7 @@ def commit_mor_upsert(
     ]
     if extra_meta:
         extra.update(extra_meta)  # e.g. the (stream_id, batch_id) ledger
+    _warn_read_amplification(len(extra["eq_delete_files"]), root)
     return _commit(
         root, parent, "upsert-mor", prev_segs + [seg], extra, ref
     )
@@ -2664,6 +2681,89 @@ def read_snapshot(
     return _read_files(spark, root, read_manifest(root, v, ref), prune)
 
 
+# Merge-on-read READ-AMPLIFICATION guard (VERDICT r10 task 6; parity
+# anchor: Iceberg's delete-file metrics / Delta auto-compaction).
+# Every commit_mor_delete_keys / commit_mor_upsert appends one
+# equality-delete entry scoped to all earlier segments; readers pay
+# one anti-join per entry that covers their scan until `compact`
+# folds them. A month-long CDC stream that never compacts degrades
+# reads silently — so the accumulation is measured
+# (`read_amplification`, table_history's n_eq_delete_entries), warned
+# about at this threshold by the MOR commit paths, and boundable by
+# the `maybe_compact` policy hook a CDC loop calls between batches.
+EQ_DELETE_ENTRIES_WARN = 16
+
+
+def read_amplification(
+    root: str, version: int | None = None, ref: str = "main"
+) -> dict:
+    """MOR read-amplification metrics for one snapshot: the delete
+    structures a scan must anti-join away. ``worst_segment_entries``
+    is the max count of equality-delete entries scoping any single
+    live segment — the per-row anti-join depth a reader of that
+    segment pays; ``compact_recommended`` trips at
+    `EQ_DELETE_ENTRIES_WARN`. O(#segments + #entries) small JSON,
+    no data files open."""
+    v = version or current_version(root, ref)
+    m = read_manifest(root, v, ref)
+    eq = m.get("eq_delete_files") or []
+    segs = _parent_segments(root, m)
+    seg_counts = {s: 0 for s in segs}
+    for e in eq:
+        for s in e["scope_segments"]:
+            if s in seg_counts:
+                seg_counts[s] += 1
+    worst = max(seg_counts.values(), default=0)
+    return {
+        "version": v,
+        "n_eq_delete_entries": len(eq),
+        "n_pos_delete_files": len(m.get("delete_files") or []),
+        "n_segments": len(segs),
+        "worst_segment_entries": worst,
+        "compact_recommended": len(eq) > EQ_DELETE_ENTRIES_WARN,
+    }
+
+
+def _warn_read_amplification(n_entries: int, root: str) -> None:
+    if n_entries > EQ_DELETE_ENTRIES_WARN:
+        import warnings
+
+        warnings.warn(
+            f"snapshot table {root!r} has {n_entries} accumulated "
+            f"equality-delete entries (> {EQ_DELETE_ENTRIES_WARN}); "
+            "readers pay one anti-join per entry covering their scan "
+            "— run compact() (or wire maybe_compact into the ingest "
+            "loop) to fold them",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
+def maybe_compact(
+    spark: SparkSession,
+    root: str,
+    max_eq_entries: int = EQ_DELETE_ENTRIES_WARN,
+    target_files: int = 32,
+    cluster_by: list[str] | None = None,
+) -> int | None:
+    """The auto-compact POLICY HOOK: fold the head's merge-on-read
+    debt iff the accumulated equality-delete entries exceed
+    ``max_eq_entries`` (else no-op, None). A sustained CDC ingest
+    loop calls this between batches — amortized, the table's read
+    cost stays bounded at ``max_eq_entries`` anti-joins while the
+    common case pays only an O(1) manifest read. Runs through
+    `commit_with_retry` (compaction conflicts re-run against the new
+    head)."""
+    if read_amplification(root)["n_eq_delete_entries"] <= max_eq_entries:
+        return None
+    return commit_with_retry(
+        root,
+        lambda: compact(
+            spark, root, target_files=target_files, cluster_by=cluster_by
+        ),
+    )
+
+
 def table_history(spark: SparkSession, root: str) -> DataFrame:
     """The commit log as a DataFrame — Delta's ``DESCRIBE HISTORY`` /
     Iceberg's snapshots metadata table: one row per retained version
@@ -2685,6 +2785,8 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
                 int(m.get("ts", 0)),
                 len(m.get("segments", [])),
                 len(manifest_files(root, m)),
+                len(m.get("delete_files") or []),
+                len(m.get("eq_delete_files") or []),
                 m.get("stream_id"),
                 m.get("batch_id"),
                 m.get("rolled_back_to"),
@@ -2693,7 +2795,8 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "version int, parent int, op string, committed_at long, "
-        "n_segments int, n_files int, stream_id string, "
+        "n_segments int, n_files int, n_pos_delete_files int, "
+        "n_eq_delete_entries int, stream_id string, "
         "batch_id long, rolled_back_to int",
     )
 

@@ -14,6 +14,13 @@ instead of a library call:
     (spark.readStream.format("snapshot").load(root)            # tail
          .writeStream...)                                      # the feed
 
+    spark.read.format("snapshot")                             # metadata
+         .option("metadata", "history").load(root)            # tables:
+    # history | files | partitions | refs | amplification — the
+    # library's table_history/table_files/table_partitions/table_refs/
+    # read_amplification served through the reader (Iceberg's
+    # snapshots/files/partitions/refs metadata tables)
+
     df.write.format("snapshot").mode("append").save(root)     # commit
     df.write.format("snapshot").mode("overwrite").save(root)  # replace
     (df.writeStream.format("snapshot")                         # sink
@@ -482,6 +489,201 @@ class _StreamReader(DataSourceStreamReader):
         pass
 
 
+_META_KINDS = ("history", "files", "partitions", "refs", "amplification")
+
+
+def _meta_schema_and_rows(root: str, kind: str, version, ref: str):
+    """METADATA TABLES through the source (Iceberg's ``snapshots`` /
+    ``files`` / ``partitions`` / ``refs``; Delta's DESCRIBE HISTORY):
+    (ddl, pa_fields, rows) for ``option("metadata", <kind>)``. Row
+    assembly is O(metadata) small JSON on the driver — the same
+    numbers as the library's `table_history`/`table_files`/
+    `table_partitions`/`table_refs`/`read_amplification` (pinned
+    equal by tests), served to SQL users who only hold the reader."""
+    import pyarrow as pa
+
+    if isinstance(version, str) and not str(version).isdigit():
+        version = snap.tag_version(root, version)
+    v = int(version) if version is not None else snap.current_version(
+        root, ref
+    )
+    if kind == "history":
+        ddl = (
+            "version int, parent int, op string, committed_at long, "
+            "n_segments int, n_files int, n_pos_delete_files int, "
+            "n_eq_delete_entries int, stream_id string, batch_id long, "
+            "rolled_back_to int"
+        )
+        fields = [
+            pa.field("version", pa.int32()),
+            pa.field("parent", pa.int32()),
+            pa.field("op", pa.string()),
+            pa.field("committed_at", pa.int64()),
+            pa.field("n_segments", pa.int32()),
+            pa.field("n_files", pa.int32()),
+            pa.field("n_pos_delete_files", pa.int32()),
+            pa.field("n_eq_delete_entries", pa.int32()),
+            pa.field("stream_id", pa.string()),
+            pa.field("batch_id", pa.int64()),
+            pa.field("rolled_back_to", pa.int32()),
+        ]
+        rows = []
+        for hv in range(1, snap.current_version(root) + 1):
+            try:
+                m = snap.read_manifest(root, hv)
+            except OSError:
+                continue  # expired by retention
+            rows.append(
+                (
+                    hv,
+                    int(m.get("parent", 0)),
+                    m.get("op", "unknown"),
+                    int(m.get("ts", 0)),
+                    len(m.get("segments", [])),
+                    len(snap.manifest_files(root, m)),
+                    len(m.get("delete_files") or []),
+                    len(m.get("eq_delete_files") or []),
+                    m.get("stream_id"),
+                    m.get("batch_id"),
+                    m.get("rolled_back_to"),
+                )
+            )
+        return ddl, fields, rows
+    if kind in ("files", "partitions"):
+        m = snap.read_manifest(root, v, ref)
+        frows = []
+        if "segments" in m:
+            for seg in m["segments"]:
+                obj = snap._read_segment_obj(root, seg)
+                nrows = obj.get("rows") or {}
+                parts = obj.get("partitions") or {}
+                for f in obj["files"]:
+                    frows.append((f, seg, nrows.get(f), parts.get(f)))
+        else:
+            frows = [(f, None, None, None) for f in m.get("files", [])]
+        if kind == "files":
+            return (
+                "file string, segment string, n_rows long, "
+                "partition map<string,string>",
+                [
+                    pa.field("file", pa.string()),
+                    pa.field("segment", pa.string()),
+                    pa.field("n_rows", pa.int64()),
+                    pa.field(
+                        "partition", pa.map_(pa.string(), pa.string())
+                    ),
+                ],
+                frows,
+            )
+        spec = m.get("partition_spec")
+        if not spec:
+            raise ValueError(
+                "table has no partition_spec; commit with "
+                "partition_by first"
+            )
+        groups: dict = {}
+        for _f, _seg, n, pv in frows:
+            key = tuple((pv or {}).get(c) for c in spec)
+            cnt, total, complete = groups.get(key, (0, 0, True))
+            groups[key] = (
+                cnt + 1,
+                total + (n or 0),
+                complete and n is not None,
+            )
+        rows = [
+            key + (cnt, total if complete else None)
+            for key, (cnt, total, complete) in sorted(groups.items())
+        ]
+        ddl = ", ".join(f"{c} string" for c in spec) + (
+            ", n_files bigint, n_rows bigint"
+        )
+        fields = [pa.field(c, pa.string()) for c in spec] + [
+            pa.field("n_files", pa.int64()),
+            pa.field("n_rows", pa.int64()),
+        ]
+        return ddl, fields, rows
+    if kind == "refs":
+        rows = [("main", "branch", snap.current_version(root), None)]
+        for b, head in sorted(snap.list_branches(root).items()):
+            try:
+                fork = int(
+                    snap.read_manifest(root, 1, b).get("fork_version")
+                    or 0
+                )
+            except OSError:
+                continue
+            rows.append((b, "branch", head, fork))
+        for t, tv in sorted(snap.list_tags(root).items()):
+            rows.append((t, "tag", tv, None))
+        return (
+            "ref string, kind string, version int, fork_version int",
+            [
+                pa.field("ref", pa.string()),
+                pa.field("kind", pa.string()),
+                pa.field("version", pa.int32()),
+                pa.field("fork_version", pa.int32()),
+            ],
+            rows,
+        )
+    if kind == "amplification":
+        ra = snap.read_amplification(root, v, ref)
+        return (
+            "version int, n_eq_delete_entries int, "
+            "n_pos_delete_files int, n_segments int, "
+            "worst_segment_entries int, compact_recommended boolean",
+            [
+                pa.field("version", pa.int32()),
+                pa.field("n_eq_delete_entries", pa.int32()),
+                pa.field("n_pos_delete_files", pa.int32()),
+                pa.field("n_segments", pa.int32()),
+                pa.field("worst_segment_entries", pa.int32()),
+                pa.field("compact_recommended", pa.bool_()),
+            ],
+            [
+                (
+                    ra["version"],
+                    ra["n_eq_delete_entries"],
+                    ra["n_pos_delete_files"],
+                    ra["n_segments"],
+                    ra["worst_segment_entries"],
+                    ra["compact_recommended"],
+                )
+            ],
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r}; one of {_META_KINDS}"
+    )
+
+
+class _MetaSlice(InputPartition):
+    """Driver-assembled metadata rows + their arrow field spec
+    ((name, type) handled by re-resolving in the worker via the kind
+    is unnecessary — the rows and fields pickle whole)."""
+
+    def __init__(self, fields, rows):
+        self.fields = fields
+        self.rows = rows
+
+
+class _MetaReader(DataSourceReader):
+    def __init__(self, fields, rows):
+        self._slice = _MetaSlice(fields, rows)
+
+    def partitions(self):
+        return [self._slice]
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        fields = partition.fields
+        rows = partition.rows
+        arrays = [
+            pa.array([r[i] for r in rows], type=f.type)
+            for i, f in enumerate(fields)
+        ]
+        yield pa.record_batch(arrays, schema=pa.schema(fields))
+
+
 class _WriteResult(WriterCommitMessage):
     """One task's staged output: table-relative data files, plus the
     task's distinct-key sidecar files in upsert mode."""
@@ -790,7 +992,27 @@ class SnapshotDataSource(DataSource):
             self._pinned_ref = ref
         return self._pinned_version, self._pinned_ref
 
+    def _meta(self):
+        """Resolve the metadata-table request ONCE per instance (rows
+        are assembled a single time and serve both schema() and
+        reader(), so a commit landing in between cannot skew them)."""
+        if not hasattr(self, "_meta_resolved"):
+            kind = self.options.get("metadata")
+            if kind is None:
+                self._meta_resolved = None
+            else:
+                self._meta_resolved = _meta_schema_and_rows(
+                    self._root(),
+                    kind,
+                    self.options.get("version"),
+                    self.options.get("ref", "main"),
+                )
+        return self._meta_resolved
+
     def schema(self):
+        meta = self._meta()
+        if meta is not None:
+            return meta[0]  # DDL string
         version, ref = self._pinned()
         return _schema_of(self._root(), version, ref)
 
@@ -851,6 +1073,9 @@ class SnapshotDataSource(DataSource):
         return prune or None
 
     def reader(self, schema):
+        meta = self._meta()
+        if meta is not None:
+            return _MetaReader(meta[1], meta[2])
         version, ref = self._pinned()
         root = self._root()
         m = snap.read_manifest(root, version, ref)

@@ -196,18 +196,16 @@ def test_ann_ivf_probe_partition_prunes(spark):
     assert "centroid_id" in plan
 
 
-def test_jaccard_pairs_join_keys_include_length_bucket(spark):
-    """dedup_jaccard_pairs must equi-join on (lang, length-bucket), not
-    lang alone — lang-only blocking is quadratic once one language
-    dominates the corpus. The bucket column participating in the join
-    keys is the structural guarantee."""
+def test_jaccard_pairs_prefix_filtered_candidates(spark):
+    """dedup_jaccard_pairs (r11): candidates must come from the
+    PREFIX-FILTERED equi-join on (token, lang) — the per-doc
+    row_number window that ranks tokens by global df and keeps only
+    the PPJoin prefix is the structural guarantee that the join input
+    is prefix rows, not all-pairs blocks. No nested-loop degradation."""
     import metastore_spark.queries_dedup  # noqa: F401
 
     plan = _plan(spark, "dedup_jaccard_pairs")
-    # the bucket probe column must appear in the plan's join keys
-    assert "bkt" in plan
-    # and the join must be a real equi-join (sort-merge or shuffled
-    # hash), not a nested-loop join degraded to lang-only blocking
+    assert "row_number" in plan  # per-doc prefix ranking window
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -326,16 +324,14 @@ def test_attribution_last_touch_is_one_window_no_join(spark):
     assert len(scans) == 1, f"expected one events scan, got {scans}"
 
 
-def test_jaccard_pairs_salted_shuffle_hash_join(spark):
-    # round-5 fix: Catalyst's file-sized estimate used to BROADCAST the
-    # exploded probe side (docs x 3 buckets x 16 salts of full token
-    # arrays) and stream the other side in file-split-count partitions
-    # — 1-2 tasks running the whole quadratic verify. The salted,
-    # explicitly repartitioned form must stay a shuffle-hash join.
+def test_jaccard_pairs_candidate_join_never_broadcasts(spark):
+    # r5 lesson, r11 shape: both prefix sides are corpus-sized but
+    # descend from a file-sized scan, so Catalyst's estimate would
+    # broadcast one — wrong at 100 TB. The explicit same-key
+    # repartitions + shuffle_hash hint must keep the candidate join
+    # a ShuffledHashJoin.
     plan = _plan(spark, "dedup_jaccard_pairs")
     assert "ShuffledHashJoin" in plan
-    assert "BroadcastHashJoin" not in plan
-    assert "salt" in plan  # the fan-out key is part of the join
 
 
 def test_emb_semdedup_salted_shuffle_hash_join(spark):

@@ -400,3 +400,60 @@ def test_reader_timestamp_behind_retention_fails_typed(
         .count()
         == 400
     )
+
+
+# ---- metadata tables through the reader ------------------------------
+
+
+def test_metadata_tables_match_library_views(registered, tmp_path):
+    """option("metadata", <kind>) must serve the SAME rows as the
+    library's table_history / table_files / table_partitions /
+    table_refs / read_amplification — one source of numbers, two
+    spellings."""
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark, root, _df(spark, 0, 100), partition_by=["g"]
+    )
+    snap.commit_mor_upsert(
+        spark,
+        root,
+        _df(spark, 0, 10).withColumn("g", F.col("g") + 100),
+        ["k"],
+    )
+    snap.create_tag(root, "pin")
+    snap.create_branch(root, "b")
+
+    def meta(kind):
+        return (
+            spark.read.format("snapshot")
+            .option("metadata", kind)
+            .load(root)
+        )
+
+    hist_src = meta("history").orderBy("version").collect()
+    hist_lib = snap.table_history(spark, root).orderBy("version").collect()
+    assert hist_src == hist_lib
+    assert hist_src[-1].n_eq_delete_entries == 1
+
+    files_src = meta("files").orderBy("file").collect()
+    files_lib = snap.table_files(spark, root).orderBy("file").collect()
+    assert [tuple(r) for r in files_src] == [tuple(r) for r in files_lib]
+
+    parts_src = meta("partitions").orderBy("g").collect()
+    parts_lib = (
+        snap.table_partitions(spark, root).orderBy("g").collect()
+    )
+    assert [tuple(r) for r in parts_src] == [tuple(r) for r in parts_lib]
+
+    refs_src = meta("refs").orderBy("ref").collect()
+    refs_lib = snap.table_refs(spark, root).orderBy("ref").collect()
+    assert refs_src == refs_lib
+
+    amp = meta("amplification").first()
+    ra = snap.read_amplification(root)
+    assert amp.n_eq_delete_entries == ra["n_eq_delete_entries"] == 1
+    assert amp.compact_recommended == ra["compact_recommended"]
+
+    with pytest.raises(Exception, match="unknown metadata table"):
+        meta("nope").schema
