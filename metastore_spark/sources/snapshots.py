@@ -1378,6 +1378,7 @@ def commit_append_files(
     bloom_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
     extra_meta: dict | None = None,
+    ref: str = "main",
 ) -> int:
     """Commit ALREADY-WRITTEN table-relative parquet files as an
     append. ``schema`` is the frame's schema JSON (StructType.json());
@@ -1385,9 +1386,11 @@ def commit_append_files(
     `commit_append`, and stats/bloom/partition specs inherit from the
     head (caller values only seed a new table). Retries on concurrent
     commits re-link the staged segment (write-once data)."""
+    if ref != "main" and not current_version(root, ref):
+        raise ValueError(f"no branch {ref!r}; create_branch first")
     create_table(root)
-    head = current_version(root)
-    hm = read_manifest(root, head) if head else {}
+    head = current_version(root, ref)
+    hm = read_manifest(root, head, ref) if head else {}
     _check_add_only_fields(hm, schema["fields"])
     scols = stats_cols or hm.get("stats_cols") or []
     bcols = bloom_cols or hm.get("bloom_cols") or []
@@ -1411,7 +1414,7 @@ def commit_append_files(
         extra["partition_spec"] = list(spec)
     if extra_meta:
         extra.update(extra_meta)
-    return _commit_segments_with_retry(root, "append", [seg], extra)
+    return _commit_segments_with_retry(root, "append", [seg], extra, ref)
 
 
 def commit_overwrite_files(
@@ -3022,7 +3025,11 @@ def commit_with_retry(
 
 
 def _commit_segments_with_retry(
-    root: str, op: str, new_segments: list[str], extra: dict | None = None
+    root: str,
+    op: str,
+    new_segments: list[str],
+    extra: dict | None = None,
+    ref: str = "main",
 ) -> int:
     """Append-shaped commit loop: on ConcurrentCommit, re-read the new
     head and retry — new_segments are immutable, so only the carried
@@ -3037,8 +3044,8 @@ def _commit_segments_with_retry(
     already-staged segments may lack stats for the newly-inherited
     columns — safe: stats-less files are conservatively never skipped."""
     while True:
-        parent = current_version(root)
-        pm = read_manifest(root, parent) if parent else {}
+        parent = current_version(root, ref)
+        pm = read_manifest(root, parent, ref) if parent else {}
         prev = _parent_segments(root, pm) if parent else []
         attempt_extra = dict(extra or {})
         own = list(attempt_extra.get("stats_cols") or [])
@@ -3062,7 +3069,7 @@ def _commit_segments_with_retry(
             attempt_extra.update(_ids_for_commit(pm, fields))
         try:
             return _commit(
-                root, parent, op, prev + new_segments, attempt_extra
+                root, parent, op, prev + new_segments, attempt_extra, ref
             )
         except ConcurrentCommit:
             continue

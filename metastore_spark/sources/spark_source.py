@@ -795,21 +795,31 @@ class _SnapshotBatchWriter(DataSourceArrowWriter):
     commit, add-only schema contract, stats/bloom/partition specs
     inherited from the head. First write on a NEW table may seed the
     specs via writer options ``partition_by`` / ``stats_cols`` /
-    ``bloom_cols`` (comma-separated column lists)."""
+    ``bloom_cols`` (comma-separated column lists).
+    ``option("ref", <branch>)`` appends to a branch created by
+    `create_branch` — write-audit-publish through ``df.write``
+    (Iceberg's WAP); overwrite stays trunk-only (publishing a branch
+    IS the audited replace)."""
 
     def __init__(self, root, schema, overwrite, options):
         self.root = root
         self.schema_dict = json.loads(schema.json())
         self.overwrite = overwrite
+        self.ref = options.get("ref", "main")
+        if overwrite and self.ref != "main":
+            raise ValueError(
+                "overwrite targets the trunk; append to the branch "
+                "and publish_branch for an audited replace"
+            )
 
         def _cols(key):
             raw = options.get(key, "")
             return [c.strip() for c in raw.split(",") if c.strip()]
 
         hm = {}
-        head = snap.current_version(root)
+        head = snap.current_version(root, self.ref)
         if head:
-            hm = snap.read_manifest(root, head)
+            hm = snap.read_manifest(root, head, self.ref)
         # fail FAST at plan time, before any task stages data (the
         # commit re-checks against the then-current head)
         snap._check_add_only_fields(hm, self.schema_dict["fields"])
@@ -831,19 +841,19 @@ class _SnapshotBatchWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         files = sorted(f for m in messages if m for f in m.files)
-        commit = (
-            snap.commit_overwrite_files
-            if self.overwrite
-            else snap.commit_append_files
-        )
-        commit(
-            self.root,
-            files,
-            self.schema_dict,
+        kwargs = dict(
             stats_cols=self.stats_cols or None,
             bloom_cols=self.bloom_cols or None,
             partition_by=self.partition_by or None,
         )
+        if self.overwrite:
+            snap.commit_overwrite_files(
+                self.root, files, self.schema_dict, **kwargs
+            )
+        else:
+            snap.commit_append_files(
+                self.root, files, self.schema_dict, ref=self.ref, **kwargs
+            )
 
     def abort(self, messages):
         _abort_cleanup(self.root, messages)

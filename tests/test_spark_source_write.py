@@ -457,3 +457,34 @@ def test_metadata_tables_match_library_views(registered, tmp_path):
 
     with pytest.raises(Exception, match="unknown metadata table"):
         meta("nope").schema
+
+
+def test_write_append_to_branch_wap(registered, tmp_path):
+    """Write-audit-publish through df.write: option("ref") appends to
+    a branch, the trunk stays untouched until publish_branch, and
+    overwrite-to-branch is rejected (publish IS the audited replace)."""
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    snap.create_branch(root, "audit")
+    (
+        _df(spark, 100, 150)
+        .write.format("snapshot")
+        .option("ref", "audit")
+        .mode("append")
+        .save(root)
+    )
+    assert snap.read_snapshot(spark, root).count() == 100  # trunk intact
+    assert (
+        snap.read_snapshot(spark, root, ref="audit").count() == 150
+    )
+    snap.publish_branch(root, "audit")
+    assert snap.read_snapshot(spark, root).count() == 150
+    with pytest.raises(Exception, match="no branch"):
+        _df(spark, 0, 5).write.format("snapshot").option(
+            "ref", "ghost"
+        ).mode("append").save(root)
+    with pytest.raises(Exception, match="trunk"):
+        _df(spark, 0, 5).write.format("snapshot").option(
+            "ref", "audit"
+        ).mode("overwrite").save(root)
