@@ -3121,7 +3121,12 @@ def snapshot_sink(root: str, stream_id: str):
     return write_batch
 
 
-def upsert_sink(root: str, stream_id: str, key_cols: list[str]):
+def upsert_sink(
+    root: str,
+    stream_id: str,
+    key_cols: list[str],
+    max_eq_entries: int | None = None,
+):
     """foreachBatch writer applying each micro-batch as a MERGE-ON-READ
     UPSERT (`commit_mor_upsert`) with the same EXACTLY-ONCE ledger as
     `snapshot_sink`: the manifest records (stream_id, batch_id), so a
@@ -3134,25 +3139,36 @@ def upsert_sink(root: str, stream_id: str, key_cols: list[str]):
 
     Retries on ConcurrentCommit re-run the full upsert against the
     new head (the delete SCOPE must be recomputed, so the cheap
-    segment-only retry of the append sink does not apply)."""
+    segment-only retry of the append sink does not apply).
+
+    ``max_eq_entries`` wires the READ-AMPLIFICATION policy into the
+    loop itself: after each batch commit, `maybe_compact` folds the
+    accumulated equality-delete entries whenever they exceed the
+    bound — so a month-long CDC stream's read cost stays bounded at
+    ``max_eq_entries`` anti-joins without an external maintenance
+    job. The common under-threshold case pays one O(1) manifest
+    read; the fold is idempotent against replays (a re-delivered
+    batch skips its commit, and compacting an already-folded head is
+    a no-op below threshold)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if _find_stream_commit(root, stream_id, batch_id) is not None:
-            return  # re-delivered after a post-commit crash
         spark = batch_df.sparkSession
-        commit_with_retry(
-            root,
-            lambda: commit_mor_upsert(
-                spark,
+        if _find_stream_commit(root, stream_id, batch_id) is None:
+            commit_with_retry(
                 root,
-                batch_df,
-                key_cols,
-                extra_meta={
-                    "stream_id": stream_id,
-                    "batch_id": batch_id,
-                },
+                lambda: commit_mor_upsert(
+                    spark,
+                    root,
+                    batch_df,
+                    key_cols,
+                    extra_meta={
+                        "stream_id": stream_id,
+                        "batch_id": batch_id,
+                    },
+                )
             )
-        )
+        if max_eq_entries is not None:
+            maybe_compact(spark, root, max_eq_entries=max_eq_entries)
 
     return write_batch
 

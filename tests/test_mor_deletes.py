@@ -878,3 +878,27 @@ def test_read_amplification_guard_and_maybe_compact(spark, tmp_path):
         == before
     )
     assert snap.maybe_compact(spark, root) is None  # debt folded: no-op
+
+
+def test_upsert_sink_auto_compact_bounds_entries(spark, tmp_path):
+    """upsert_sink(max_eq_entries=N) keeps a sustained CDC stream's
+    read amplification bounded: entries fold whenever they exceed N,
+    values stay correct, and history shows the interleaved compacts."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100))
+    sink = snap.upsert_sink(root, "cdc", ["k"], max_eq_entries=2)
+    for i in range(7):
+        sink(_df(spark, i * 3, i * 3 + 3).withColumn("g", F.lit(777).cast("long")), i)
+        assert (
+            snap.read_amplification(root)["n_eq_delete_entries"] <= 2
+        )
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 100
+    assert out.filter("g = 777").count() == 21  # keys 0..20 restated
+    ops = [r.op for r in snap.table_history(spark, root).collect()]
+    assert "compact" in ops and "upsert-mor" in ops
+    # replayed batch: no new version, no double-apply
+    head = snap.current_version(root)
+    sink(_df(spark, 0, 3).withColumn("g", F.lit(1).cast("long")), 0)
+    assert snap.read_snapshot(spark, root).filter("g = 777").count() == 21
+    assert snap.current_version(root) == head
