@@ -488,3 +488,83 @@ def test_write_append_to_branch_wap(registered, tmp_path):
         _df(spark, 0, 5).write.format("snapshot").option(
             "ref", "audit"
         ).mode("overwrite").save(root)
+
+
+def test_write_partition_values_hive_escaped(registered, tmp_path):
+    """Partition values containing '/', '=', '%', and spaces must
+    survive the hive path round-trip: the writer percent-quotes path
+    components and `_partition_values` unquotes them, so pruning and
+    reads resolve the exact tuples."""
+    spark = registered
+    root = str(tmp_path / "t")
+    vals = ["a/b", "a=b", "10% off", "plain", "sp ace"]
+    df = spark.createDataFrame(
+        [(i, vals[i % 5]) for i in range(50)], "k long, g string"
+    )
+    df.write.format("snapshot").option("partition_by", "g").mode(
+        "append"
+    ).save(root)
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 50
+    got = {r.g for r in out.select("g").distinct().collect()}
+    assert got == set(vals)
+    # partition tuples resolved exactly -> value-set prune hits one
+    m = snap.read_manifest(root, 1)
+    only = snap.pruned_manifest_files(root, m, {"g": ["a=b"]})
+    assert 0 < len(only) < len(snap.manifest_files(root, m))
+    assert (
+        snap.read_snapshot(spark, root, prune={"g": ["a=b"]})
+        .filter(F.col("g") == "a=b")
+        .count()
+        == 10
+    )
+
+
+def test_write_abort_cleans_staged_task_dirs(registered, tmp_path):
+    """A failed write job must leave no manifest commit; abort()'s
+    best-effort cleanup removes the dirs of tasks that DID return a
+    commit message."""
+    spark = registered
+    root = str(tmp_path / "t")
+    _df(spark, 0, 10).write.format("snapshot").mode("append").save(root)
+    bad = _df(spark, 0, 100).withColumn(
+        "g",
+        F.when(F.col("k") < 99, F.col("g")).otherwise(
+            F.expr("raise_error('task boom')").cast("long")
+        ),
+    )
+    with pytest.raises(Exception, match="task boom"):
+        bad.write.format("snapshot").mode("append").save(root)
+    assert snap.current_version(root) == 1  # no commit from the failure
+    assert snap.read_snapshot(spark, root).count() == 10
+
+
+def test_reader_prune_typed_by_committed_schema(registered, tmp_path):
+    """ADVICE r10: prune literals must be typed by the COMMITTED
+    schema — a numeric-looking bound on a STRING column stays a
+    string (zero-padded ids), an int column's bound becomes an int."""
+    spark = registered
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(f"{i:04d}", i) for i in range(100)], "sid string, v long"
+    )
+    snap.commit_append(spark, root, df.repartition(4), stats_cols=["sid", "v"])
+
+    rd = (
+        spark.read.format("snapshot")
+        .option("prune.sid", "0010,0019")
+        .load(root)
+        .filter((F.col("sid") >= "0010") & (F.col("sid") <= "0019"))
+    )
+    assert rd.count() == 10  # string bounds compare lexically, no crash
+    rd2 = (
+        spark.read.format("snapshot")
+        .option("prune.v", "10,19")
+        .load(root)
+        .filter((F.col("v") >= 10) & (F.col("v") <= 19))
+    )
+    assert rd2.count() == 10
+    with pytest.raises(Exception, match="not a primitive column"):
+        spark.read.format("snapshot").option(
+            "prune.ghost", "1,2"
+        ).load(root).count()
