@@ -568,3 +568,50 @@ def test_reader_prune_typed_by_committed_schema(registered, tmp_path):
         spark.read.format("snapshot").option(
             "prune.ghost", "1,2"
         ).load(root).count()
+
+
+def test_stream_sink_preserves_partition_layout(registered, tmp_path):
+    """Micro-batches through the stream sink land hive-laid-out under
+    the table's inherited partition spec, so partition pruning works
+    on stream-written cohorts exactly as on batch ones."""
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(
+        spark, root, _df(spark, 0, 50), partition_by=["g"]
+    )
+    src = str(tmp_path / "feed")
+    _df(spark, 50, 200).repartition(3).write.mode("overwrite").parquet(src)
+    _run_sink(spark, src, root, str(tmp_path / "ckpt"), "s1")
+    m = snap.read_manifest(root, snap.current_version(root))
+    assert m["partition_spec"] == ["g"]
+    only = snap.pruned_manifest_files(root, m, {"g": (4, 4)})
+    assert 0 < len(only) < len(snap.manifest_files(root, m))
+    assert (
+        snap.read_snapshot(spark, root, prune={"g": (4, 4)})
+        .filter("g = 4")
+        .count()
+        == 20
+    )
+
+
+def test_metadata_partitions_two_column_spec(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("a"),
+        (F.col("id") % 2).cast("string").alias("b"),
+    )
+    snap.commit_append(spark, root, df, partition_by=["a", "b"])
+    src = (
+        spark.read.format("snapshot")
+        .option("metadata", "partitions")
+        .load(root)
+        .orderBy("a", "b")
+        .collect()
+    )
+    lib = (
+        snap.table_partitions(spark, root).orderBy("a", "b").collect()
+    )
+    assert [tuple(r) for r in src] == [tuple(r) for r in lib]
+    assert len(src) == 6 and all(r.n_rows == 10 for r in src)
