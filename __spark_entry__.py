@@ -45,32 +45,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _rotated_names() -> list[str]:
-    """Registry names, least-recently-driver-verified first.
+    """Registry names, most-in-need-of-driver-verification first.
 
     The driver samples a prefix of ``queries()`` each round, so a
-    fixed registry order leaves the tail families (api_*/search_*/
-    snapshot/streaming/temporal/TPC-H) without any driver-run oracle
-    row (VERDICT r9 task 1). Order by "never drawn by a past
-    CORRECTNESS_r*.json" first — the order self-rotates every round
-    as new correctness reports land, and stays deterministic within
-    a round (ties keep registration order)."""
+    fixed registry order leaves tail families without any driver-run
+    oracle row (VERDICT r9 task 1). Priority (VERDICT r11 task 2):
+
+    1. ever-FAILED and not green in any same-or-later round — a
+       failed draw is exactly the one that most needs re-verification
+       (the old "never seen" rule treated a failure as seen and never
+       re-drew it);
+    2. never drawn by any past CORRECTNESS_r*.json, interleaved
+       round-robin by registering module so a prefix sample spans
+       every family;
+    3. the rest, least-recently-drawn first.
+
+    Deterministic within a round; self-rotates as new reports land."""
     import glob
     import json
     import os
+    import re
 
-    seen: set[str] = set()
+    # last_round_seen / last_round_green per query name
+    last_seen: dict[str, int] = {}
+    last_green: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                report = json.load(fh)
         except (OSError, ValueError):
             continue
+        for name, row in report.items():
+            last_seen[name] = max(last_seen.get(name, 0), rnd)
+            if not isinstance(row, dict):
+                continue
+            checks = [
+                row.get(k)
+                for k in ("rows_match", "schema_match", "hash_match")
+                if row.get(k) is not None
+            ]
+            ok = bool(checks) and all(checks) and row.get("err") is None
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
     names = list(REGISTRY)
-    fresh = [n for n in names if n not in seen]
-    # interleave fresh names round-robin by registering module so a
-    # prefix sample spans EVERY family (api, search, snapshots,
-    # streaming, temporal, TPC-H, ...) instead of exhausting one
+    failed_stale = [
+        n
+        for n in names
+        if n in last_seen and last_green.get(n, -1) < last_seen[n]
+    ]
+    fresh = [n for n in names if n not in last_seen]
     groups: dict[str, list[str]] = {}
     for n in fresh:
         groups.setdefault(REGISTRY[n].fn.__module__, []).append(n)
@@ -84,7 +111,11 @@ def _rotated_names() -> list[str]:
             buckets.remove(bucket)
         else:
             i += 1
-    return interleaved + [n for n in names if n in seen]
+    rest = sorted(
+        (n for n in names if n in last_seen and n not in failed_stale),
+        key=lambda n: (last_seen[n], names.index(n)),
+    )
+    return failed_stale + interleaved + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -597,20 +597,34 @@ def events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unrolled 15-term nibble fold for the integrity-checksum oracle.
+# The generic `_ph60`-style fold elsewhere uses
+# list_sum(list_transform(range(...), lambda)) — list-aggregate typing
+# is the most version-sensitive DuckDB surface (the one driver
+# hash-mismatch in 11 rounds landed on this query while the same SQL
+# passed duckdb 1.0.0 locally), so this oracle spells the fold as 15
+# scalar terms: plain strpos/substr arithmetic with integer literals,
+# which every DuckDB release pins bit-exactly.
+_CHECKSUM_FOLD = " + ".join(
+    f"CAST(strpos('0123456789abcdef', substr(md5(canon), {i}, 1)) - 1"
+    f" AS BIGINT) * {1 << (4 * (15 - i))}"
+    for i in range(1, 16)
+)
+
+
 @query(
     "events_integrity_checksum",
-    oracle="""
+    oracle=f"""
     WITH rows_c AS (
       SELECT event_type,
              event_id || '|' || EPOCH_US(ts) || '|' || user_id || '|'
-               || CAST(ROUND(value * 100) AS BIGINT) || '|' || props AS canon
+               || CAST(floor(value * 100 + 0.5) AS BIGINT) || '|' || props
+               AS canon
       FROM events
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           bit_xor(list_sum(list_transform(range(1,16), i ->
-             (strpos('0123456789abcdef', substr(md5(canon), i, 1)) - 1)::BIGINT
-             * (1::BIGINT << (4*(15-i)))))) AS checksum
+           bit_xor({_CHECKSUM_FOLD}) AS checksum
     FROM rows_c
     GROUP BY event_type
     """,
@@ -625,6 +639,14 @@ def events_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     holding the same logical table agree bit-for-bit, which is how a
     migration (or a replica) is audited without moving data. One
     map-side hash + one tiny shuffle of (key, xor) partials.
+
+    Portability hardening (round 12): the cents canon is
+    ``floor(value*100 + 0.5)`` — pure double arithmetic both engines
+    evaluate identically — instead of ``ROUND(double)``, whose
+    half-case tie-breaking (Spark BigDecimal HALF_UP on the shortest
+    decimal rendering vs DuckDB's C-library round) is the other
+    engine-drift suspect; and the oracle's hex fold is unrolled to
+    scalar SQL (see _CHECKSUM_FOLD above).
     """
     from metastore_spark.dedup.ops import portable_hash60
 
@@ -634,7 +656,7 @@ def events_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id"),
         ts_us("ts"),
         F.col("user_id"),
-        F.round(F.col("value") * 100).cast("long"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
         F.col("props"),
     )
     return (
