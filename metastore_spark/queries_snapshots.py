@@ -563,7 +563,10 @@ def events_snapshot_mor_compact_fold(
             )
 
         pre = leg(1).collect()
-        assert snap.maybe_compact(spark, root, max_eq_entries=3) is not None
+        # the compact fold must run even under `python -O` (assert
+        # stripping), so the side effect lives outside the assert
+        folded_version = snap.maybe_compact(spark, root, max_eq_entries=3)
+        assert folded_version is not None
         assert snap.read_amplification(root)["n_eq_delete_entries"] == 0
         post = leg(2).collect()
         out = leg(1)  # schema carrier

@@ -324,10 +324,17 @@ def compact_segments(spark: SparkSession, path: str) -> None:
     _union("postings").repartition("term").write.parquet(
         os.path.join(tmp, "postings")
     )
-    _union("doclen").coalesce(1).write.parquet(os.path.join(tmp, "doclen"))
+    # doclen is O(corpus docs) and docfreq is vocabulary-sized — a
+    # coalesce(1) here would funnel both through ONE task/file at
+    # compaction time (the 100 TB serialization point); shuffle them
+    # on their natural keys like postings, readers handle multi-file
+    # segment dirs already (the stream refresh writes them that way).
+    _union("doclen").repartition("doc_id").write.parquet(
+        os.path.join(tmp, "doclen")
+    )
     _union("docfreq").groupBy("term", "field").agg(
         F.sum("df").alias("df")
-    ).coalesce(1).write.parquet(os.path.join(tmp, "docfreq"))
+    ).repartition("term").write.parquet(os.path.join(tmp, "docfreq"))
     num_docs = 0
     dl: dict[str, list[float]] = {}
     for s in segs:

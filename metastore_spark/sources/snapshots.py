@@ -810,7 +810,13 @@ def _check_add_only_fields(
 
 def _coerce_partition_value(raw: str, like):
     """A path-parsed partition value, coerced to the prune bound's
-    type; None (never prune) when the coercion fails."""
+    type; None (never prune) when the coercion fails. Mirrors every
+    type _typed_literal can produce as a bound — date / datetime /
+    Decimal bounds on identity partitions would otherwise hit a
+    str-vs-date comparison in _bound_excludes at plan time."""
+    import datetime
+    from decimal import Decimal, InvalidOperation
+
     try:
         if isinstance(like, bool):
             return raw.lower() == "true"
@@ -818,8 +824,14 @@ def _coerce_partition_value(raw: str, like):
             return int(raw)
         if isinstance(like, float):
             return float(raw)
+        if isinstance(like, datetime.datetime):
+            return datetime.datetime.fromisoformat(raw)
+        if isinstance(like, datetime.date):
+            return datetime.date.fromisoformat(raw)
+        if isinstance(like, Decimal):
+            return Decimal(raw)
         return raw
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, InvalidOperation):
         return None
 
 

@@ -592,7 +592,17 @@ def _meta_schema_and_rows(root: str, kind: str, version, ref: str):
             )
         rows = [
             key + (cnt, total if complete else None)
-            for key, (cnt, total, complete) in sorted(groups.items())
+            # None-safe sort: files committed before partition_by was
+            # established (or hive-null values) map to None components,
+            # and None vs str tuples don't compare — keep the
+            # unpartitioned group as an explicit leading row.
+            for key, (cnt, total, complete) in sorted(
+                groups.items(),
+                key=lambda kv: tuple(
+                    (v is not None, "" if v is None else str(v))
+                    for v in kv[0]
+                ),
+            )
         ]
         ddl = ", ".join(f"{c} string" for c in spec) + (
             ", n_files bigint, n_rows bigint"
@@ -745,11 +755,16 @@ def _write_task(batches, root, spec, key_cols=None):
             tup = [uniq[c][i] for c in spec]
             mask = None
             for c, v in zip(spec, tup):
-                eq = (
-                    pc.is_null(tbl[c])
-                    if not v.is_valid
-                    else pc.equal(tbl[c], v)
-                )
+                py = v.as_py() if v.is_valid else None
+                if not v.is_valid:
+                    eq = pc.is_null(tbl[c])
+                elif isinstance(py, float) and py != py:
+                    # arrow group_by emits a NaN group, but
+                    # pc.equal(NaN, NaN) is false — an equality mask
+                    # would silently drop these rows from every file
+                    eq = pc.is_nan(tbl[c])
+                else:
+                    eq = pc.equal(tbl[c], v)
                 mask = eq if mask is None else pc.and_(mask, eq)
             rel_dir = task_dir + "".join(
                 f"/_p_{c}={_hive(v.as_py())}"

@@ -108,6 +108,38 @@ def test_compaction_folds_and_preserves_scores(spark, tmp_path):
     assert _read_manifest(store)["segments"] == ["seg-compacted-0"]
 
 
+def test_compaction_side_tables_stay_distributed(spark, tmp_path):
+    """compact_segments must never funnel doclen (O(corpus docs)) or
+    docfreq (vocabulary-sized) through one task: the compacted segment
+    keeps multiple parquet part-files when the shuffle does, instead
+    of the coalesce(1) single-file shape (VERDICT r11 task 4)."""
+    store = str(tmp_path / "seg")
+    for i, lo in enumerate(range(0, 6, 2)):
+        refresh_segment(
+            spark, _docs_df(spark, _DOCS[lo:lo + 2]), store, "doc_id",
+            ["text"], stem=False, segment_name=str(i),
+        )
+    before = _scores(spark, load_segmented(spark, store))
+    # at test scale AQE (correctly) coalesces the tiny shuffles back
+    # to one partition; switch that off so the distributed write
+    # shape — the thing under test — is observable in the file count
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        compact_segments(spark, store)
+    finally:
+        spark.conf.set(key, old)
+    seg = os.path.join(store, "seg-compacted-0")
+    for sub in ("doclen", "docfreq", "postings"):
+        parts = [
+            f for f in os.listdir(os.path.join(seg, sub))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) > 1, (sub, parts)
+    assert _scores(spark, load_segmented(spark, store)) == before
+
+
 def test_term_filter_prunes_each_segment_scan(spark, tmp_path):
     """Query-time term predicates must push into every segment's
     postings parquet scan — the access path the store exists for."""
