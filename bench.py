@@ -165,6 +165,8 @@ HEADLINE = [
     "docs_global_shuffle",
     "events_snapshot_write_path",
     "events_snapshot_mor_compact_fold",
+    # round 12: the user-facing writeStream upsert spelling
+    "events_stream_upsert_sink",
 ]
 
 

@@ -796,6 +796,107 @@ def events_stream_cdc_upsert(
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
 
+@query(
+    "events_stream_upsert_sink",
+    oracle="""
+    WITH v2 AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 4 = 0 THEN value * 2 ELSE value END
+               AS value
+      FROM events
+    )
+    SELECT 5 AS head_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM v2
+    """,
+)
+def events_stream_upsert_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The USER-FACING spelling of streaming CDC apply (VERDICT r11
+    task 7): the same lifecycle as `events_stream_cdc_upsert` — even
+    events land as the base table (v1), then a 4-micro-batch CDC feed
+    (restated x2 values for event_id % 4 == 0 plus the odd-event
+    inserts) — but drained through ``writeStream.format("snapshot")
+    .option("mode", "upsert").option("keys", "event_id")`` instead of
+    a foreachBatch library sink. Each micro-batch is one
+    `_SnapshotStreamWriter` commit: executor tasks stage the batch's
+    parquet plus distinct-key sidecars, the driver links a
+    merge-on-read upsert (equality-delete on the batch's keys + the
+    batch as new data), and the (stream_id, batch_id) manifest ledger
+    makes crash-replays no-ops. head_version=5 pins 1 base append + 4
+    upsert commits; the served head must equal the batch-computed CDC
+    result exactly.
+
+    Scale shape: identical to the foreachBatch path — per batch
+    O(batch) data + O(batch keys) delete rows + O(#segments)
+    metadata, data never passing through the driver — but reachable
+    with zero library imports, which is how a 100 TB CDC consumer
+    would actually wire it. Parity anchor: Iceberg v2 streaming
+    upsert / Delta streaming MERGE."""
+    import tempfile
+
+    from metastore_spark.catalog import load_table
+    from metastore_spark.sources.spark_source import SnapshotDataSource
+    from metastore_spark.streaming.events import read_event_stream
+
+    spark.dataSource.register(SnapshotDataSource)
+    src = tempfile.mkdtemp(prefix="sus_src_")
+    ckpt = tempfile.mkdtemp(prefix="sus_ckpt_")
+    root = os.path.join(tempfile.mkdtemp(prefix="sus_tbl_"), "t")
+    try:
+        base = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        snap.commit_append(
+            spark, root, base.filter(F.col("event_id") % 2 == 0)
+        )
+        feed = (
+            base.filter(F.col("event_id") % 4 == 0)
+            .withColumn("value", F.col("value") * 2)
+            .unionByName(base.filter(F.col("event_id") % 2 == 1))
+        )
+        feed.repartition(4).write.mode("overwrite").parquet(src)
+        n_parts = len(
+            [f for f in os.listdir(src) if f.endswith(".parquet")]
+        )
+        assert n_parts == 4, (
+            f"CDC feed wrote {n_parts} part files, expected 4 — the "
+            "pinned head_version=5 oracle no longer matches Spark's "
+            "writer batching"
+        )
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        (
+            stream.writeStream.format("snapshot")
+            .option("stream_id", "cdc-upsert-demo")
+            .option("mode", "upsert")
+            .option("keys", "event_id")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(root)
+            .awaitTermination()
+        )
+        out = snap.read_snapshot(spark, root).agg(
+            F.lit(snap.current_version(root)).cast("int").alias(
+                "head_version"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("event_id").cast("bigint").alias("n_keys"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+            ).cast("bigint").alias("value_cents_sum"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
 def _serving_store(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     """The events corpus SERVED through the snapshot table format
     end-to-end (VERDICT r6 task 1) — the lifecycle a 100 TB metastore
