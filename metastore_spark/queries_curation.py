@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from metastore_spark.dedup.ops import shingle_stream
 from metastore_spark.queries import query, _t, _t_compute
+from metastore_spark.queries_dedup import _ph60 as _dedup_ph60
 from metastore_spark.text import ops
 
 _EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
@@ -360,11 +361,9 @@ def docs_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GS_PH60 = (
-    "list_sum(list_transform(range(1,16), i -> "
-    "(strpos('0123456789abcdef', substr(md5("
+# Shared unrolled scalar fold — see queries_dedup._ph60's rationale.
+_GS_PH60 = _dedup_ph60(
     "CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)"
-    "), i, 1)) - 1)::BIGINT * (1::BIGINT << (4*(15-i)))))"
 )
 
 

@@ -107,12 +107,19 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # match value-for-value, recall misses and all.
 
 # DuckDB mirror of dedup.ops.portable_hash60 (fold 15 hex digits).
+# Unrolled to 15 scalar terms instead of
+# list_sum(list_transform(range(...), lambda)): list-aggregate typing
+# is the most version-churned DuckDB surface and the one construct
+# that ever produced a driver-host value drift (r11); plain
+# strpos/substr arithmetic with integer literals is pinned bit-exactly
+# by every release, and DuckDB's projection CSE evaluates md5(col)
+# once. Guarded by tests/test_oracle_portability.py.
 def _ph60(col: str) -> str:
-    return (
-        "list_sum(list_transform(range(1,16), i -> "
-        f"(strpos('0123456789abcdef', substr(md5({col}), i, 1)) - 1)::BIGINT"
-        " * (1::BIGINT << (4*(15-i)))))"
-    )
+    return "(" + " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(md5({col}), {i}, 1))"
+        f" - 1 AS BIGINT) * {1 << (4 * (15 - i))}"
+        for i in range(1, 16)
+    ) + ")"
 
 
 # DuckDB mirror of the word k=3 shingle stream (duplicates kept — they

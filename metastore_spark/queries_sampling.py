@@ -113,15 +113,13 @@ def docs_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(keep).select("doc_id", "source")
 
 
-@query(
-    "docs_train_val_split",
-    oracle=f"""
+def _split_oracle() -> str:
+    from metastore_spark.queries_dedup import _ph60
+
+    return f"""
     WITH h AS (
       SELECT doc_id, lang,
-             list_sum(list_transform(range(1,16), i ->
-               (strpos('0123456789abcdef',
-                       substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
-               * (1::BIGINT << (4*(15-i))))) % 100 AS bucket
+             {_ph60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
       FROM documents
     )
     SELECT lang,
@@ -130,7 +128,12 @@ def docs_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(doc_id) AS BIGINT) AS min_id
     FROM h
     GROUP BY 1, 2
-    """,
+    """
+
+
+@query(
+    "docs_train_val_split",
+    oracle=_split_oracle(),
 )
 def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/10 train/val split by CONTENT-INDEPENDENT id
@@ -159,13 +162,9 @@ def docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _leak_safe_oracle() -> str:
-    from metastore_spark.queries_dedup import _SHINGLE_PAIR_CTES
+    from metastore_spark.queries_dedup import _SHINGLE_PAIR_CTES, _ph60
 
-    ph = (
-        "list_sum(list_transform(range(1,16), i -> "
-        "(strpos('0123456789abcdef', substr(md5(CAST(gkey AS VARCHAR)), i, 1))"
-        " - 1)::BIGINT * (1::BIGINT << (4*(15-i)))))"
-    )
+    ph = _ph60("CAST(gkey AS VARCHAR)")
     return f"""
     WITH RECURSIVE {_SHINGLE_PAIR_CTES},
     edges AS (

@@ -51,6 +51,13 @@ TABLES = (
 # Oracles allowed to keep list_sum(list_transform(...)) — all carried
 # green driver rows / three-tier sweep value matches before the lint
 # landed (r11). Do NOT add names here; unroll the fold instead.
+# After the r12 unroll of every fixed-width HASH fold (queries_dedup
+# _ph60 and its curation/sampling copies now emit scalar SQL), what
+# remains is arithmetic over genuine LIST VALUES — PQ subspace
+# distances, per-char entropy, audio sample windows — where the fold
+# sums DOUBLE list elements (stable typing, unlike the BIGINT
+# bit-fold that drifted) or the list is variable-length and cannot be
+# unrolled.
 LIST_FOLD_FREEZE = {
     "ann_ivf_pq_topk",
     "ann_ivf_pq_topk_trained",
@@ -58,22 +65,9 @@ LIST_FOLD_FREEZE = {
     "ann_pq_recall",
     "ann_pq_recall_trained",
     "ann_pq_topk",
-    "dedup_minhash_clusters",
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "dedup_substring_applied",
     "docs_char_entropy",
-    "docs_global_shuffle",
-    "docs_split_leakage_safe",
     "docs_token_stats",
-    "docs_train_val_split",
-    "docs_training_shards",
-    "docs_winnowing_fingerprints",
     "emb_kmeans_quantized",
-    "events_ab_test_zscore",
-    "events_sampled_value_estimate",
-    "events_stream_hll_ingest",
-    "events_user_hll_registers",
     "multimodal_audio_codec_windows",
     "multimodal_audio_windows",
     "multimodal_video_codec_frames",

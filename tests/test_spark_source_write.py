@@ -615,3 +615,87 @@ def test_metadata_partitions_two_column_spec(registered, tmp_path):
     )
     assert [tuple(r) for r in src] == [tuple(r) for r in lib]
     assert len(src) == 6 and all(r.n_rows == 10 for r in src)
+
+
+def test_metadata_partitions_with_null_partition_files(
+    registered, tmp_path
+):
+    """Files whose partition value is hive-null parse to a None
+    partition tuple; the partitions metadata sort must not compare
+    None against strings (ADVICE r11) — the null group surfaces as an
+    explicit leading row instead of a TypeError."""
+    spark = registered
+    root = str(tmp_path / "t")
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 5, F.lit(None))
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("g"),
+    )
+    df.write.format("snapshot").option("partition_by", "g").mode(
+        "append"
+    ).save(root)
+    rows = (
+        spark.read.format("snapshot")
+        .option("metadata", "partitions")
+        .load(root)
+        .collect()
+    )
+    by_g = {r.g: r.n_rows for r in rows}
+    assert None in by_g and by_g[None] == 5
+    assert sum(r.n_rows for r in rows) == 20
+    # null group sorts first (None-safe key orders it before strings)
+    assert rows[0].g is None
+
+
+def test_write_nan_partition_rows_not_lost(registered, tmp_path):
+    """A NaN in a float partition column forms its own arrow group,
+    but pc.equal(NaN, NaN) is false — without the is_nan branch those
+    rows silently vanish from every staged file (ADVICE r11)."""
+    spark = registered
+    root = str(tmp_path / "t")
+    df = spark.range(12).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 3, F.lit(float("nan")))
+        .when(F.col("id") < 6, F.lit(None).cast("double"))
+        .otherwise((F.col("id") % 2).cast("double"))
+        .alias("g"),
+    )
+    df.write.format("snapshot").option("partition_by", "g").mode(
+        "append"
+    ).save(root)
+    out = snap.read_snapshot(spark, root)
+    assert out.count() == 12
+    assert out.filter(F.isnan("g")).count() == 3
+    assert out.filter(F.col("g").isNull()).count() == 3
+
+
+def test_prune_option_on_date_partition_column(registered, tmp_path):
+    """prune./prune_in. on a date-typed identity partition: the typed
+    bound (datetime.date) must meet a date-coerced path value in
+    _bound_excludes instead of raising str-vs-date (ADVICE r11)."""
+    spark = registered
+    root = str(tmp_path / "t")
+    df = spark.range(30).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 3).cast("int")).alias("d"),
+    )
+    df.write.format("snapshot").option("partition_by", "d").mode(
+        "append"
+    ).save(root)
+    picked = (
+        spark.read.format("snapshot")
+        .option("prune.d", "2024-01-02,2024-01-02")
+        .load(root)
+    )
+    assert picked.filter("d = DATE'2024-01-02'").count() == 10
+    # the prune really cut the file list, not just the rows
+    m = snap.read_manifest(root, 1)
+    import datetime
+
+    kept = snap.pruned_manifest_files(
+        root,
+        m,
+        {"d": (datetime.date(2024, 1, 2), datetime.date(2024, 1, 2))},
+    )
+    assert 0 < len(kept) < len(snap.manifest_files(root, m))
