@@ -165,8 +165,10 @@ HEADLINE = [
     "docs_global_shuffle",
     "events_snapshot_write_path",
     "events_snapshot_mor_compact_fold",
-    # round 12: the user-facing writeStream upsert spelling
+    # round 12: the user-facing writeStream upsert spelling + the
+    # stream source's backlog admission control
     "events_stream_upsert_sink",
+    "events_stream_backlog_drain",
 ]
 
 

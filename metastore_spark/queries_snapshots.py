@@ -2178,6 +2178,102 @@ def events_snapshot_stream_source(
 
 
 @query(
+    "events_stream_backlog_drain",
+    oracle="""
+    SELECT 1 AS drain,
+           CAST(COUNT(*) FILTER (WHERE event_id % 4 IN (0, 1))
+             AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+             FILTER (WHERE event_id % 4 IN (0, 1)) AS BIGINT)
+             AS value_cents_sum
+    FROM events
+    UNION ALL
+    SELECT 2 AS drain,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents_sum
+    FROM events
+    ORDER BY drain
+    """,
+)
+def events_stream_backlog_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BACKLOG ADMISSION CONTROL on the snapshot stream source
+    (``option("max_versions_per_batch", 2)``): the events corpus
+    lands as a 4-version append backlog, and a capped consumer
+    drains it in two bounded passes — versions (0,2] then (2,4] —
+    instead of one unbounded micro-batch planning every historical
+    segment. The query pins the cumulative row/cents totals after
+    each pass: pass 1 must serve EXACTLY the first two versions'
+    rows (event_id % 4 in (0,1)), pass 2 the full corpus, nothing
+    re-served (the checkpoint carries the version offset across
+    starts).
+
+    Scale shape: THE guard that makes a 100 TB backlog consumable —
+    per micro-batch planning cost is O(N capped versions' manifests)
+    and read cost O(their segments), bounded regardless of how far
+    behind the consumer is; Delta's maxFilesPerTrigger / Iceberg's
+    streaming-max-files-per-micro-batch at this format's version
+    granularity (see _StreamReader's mode caveat: availableNow
+    captures one capped target per start, which is exactly what the
+    two-pass drain exercises)."""
+    import tempfile
+
+    from metastore_spark.catalog import load_table
+    from metastore_spark.sources.spark_source import SnapshotDataSource
+
+    try:
+        spark.dataSource.register(SnapshotDataSource)
+    except Exception:
+        pass  # already registered in this session
+    base_dir = tempfile.mkdtemp(prefix="backlog_")
+    root = os.path.join(base_dir, "t")
+    ckpt = os.path.join(base_dir, "ckpt")
+    sink = os.path.join(base_dir, "sink")
+    try:
+        base = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        for i in range(4):
+            snap.commit_append(
+                spark, root, base.filter(F.col("event_id") % 4 == i)
+            )
+
+        def drain() -> None:
+            q = (
+                spark.readStream.format("snapshot")
+                .option("max_versions_per_batch", "2")
+                .load(root)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        rows = []
+        schema = None
+        for pass_no in (1, 2):
+            drain()
+            out = spark.read.parquet(sink).agg(
+                F.lit(pass_no).cast("int").alias("drain"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).cast("bigint").alias("value_cents_sum"),
+            )
+            schema = out.schema
+            rows.extend(out.collect())
+        return spark.createDataFrame(rows, schema).orderBy("drain")
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@query(
     "events_snapshot_source_batch",
     oracle="""
     SELECT event_type,

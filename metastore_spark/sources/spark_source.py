@@ -376,14 +376,38 @@ class _StreamReader(DataSourceStreamReader):
     """Snapshot versions ARE the offsets: {"version": N}. Each batch
     serves the new segments of append commits in (start, end] under
     the schema pinned at stream start (later-added columns surface
-    when the stream restarts on the wider schema)."""
+    when the stream restarts on the wider schema).
+
+    ``option("max_versions_per_batch", N)`` is backlog admission
+    control (Delta's maxFilesPerTrigger / Iceberg's
+    streaming-max-files-per-micro-batch, at this format's natural
+    version granularity): without it, a stream started against a
+    long-lived table drains the ENTIRE backlog in one unbounded
+    micro-batch — one trigger planning every historical segment.
+    With it, latestOffset advances at most N versions past the
+    previously admitted offset per call, so NO MICRO-BATCH EVER
+    SPANS MORE THAN N VERSIONS — the scale invariant, held in every
+    trigger mode. Mode caveat (the Python DataSource API exposes no
+    SupportsAdmissionControl/prepareForTriggerAvailableNow hooks, so
+    the JVM availableNow wrapper captures ONE latestOffset() as its
+    target): under ``trigger(availableNow=True)`` a capped stream
+    drains at most N versions PER START rather than looping to the
+    head — use a processingTime trigger (the continuous-ingest
+    deployment this cap exists for) to catch up fully in bounded
+    batches, or leave the cap unset for full-drain availableNow
+    semantics. After a checkpoint restart the admitted offset may
+    briefly trail the committed one — the (start, end] batch is then
+    empty and the cap re-advances from the committed offset (commit()
+    keeps them in sync); nothing is re-served."""
 
     def __init__(self, root: str, since: int, schema_json: str,
-                 ids_json, legacy_json=None):
+                 ids_json, legacy_json=None, max_versions=None):
         self.root = root
         self.since = since
         self.schema_json = schema_json
         self.ids_json = ids_json
+        self.max_versions = max_versions
+        self._admitted = since
         self._pinned_fields = [
             f["name"] for f in json.loads(schema_json)["fields"]
         ]
@@ -396,10 +420,23 @@ class _StreamReader(DataSourceStreamReader):
         return {"version": self.since}
 
     def latestOffset(self):
-        return {"version": snap.current_version(self.root)}
+        head = snap.current_version(self.root)
+        if not self.max_versions:
+            return {"version": head}
+        self._admitted = min(head, self._admitted + self.max_versions)
+        return {"version": self._admitted}
+
+    def commit(self, end):
+        # keep the admission cursor in sync with the checkpointed
+        # offset so a post-restart reader (fresh _admitted=since)
+        # jumps straight to the committed position instead of
+        # re-walking the cap N-at-a-time through already-served space
+        self._admitted = max(self._admitted, int(end["version"]))
 
     def partitions(self, start, end):
         lo, hi = int(start["version"]), int(end["version"])
+        # same restart sync: `start` IS the checkpointed offset
+        self._admitted = max(self._admitted, lo)
         self._check_retention(lo)
         out = []
         for v in range(lo + 1, hi + 1):
@@ -1132,10 +1169,18 @@ class SnapshotDataSource(DataSource):
             if m.get("legacy_columns")
             else None
         )
+        mv = self.options.get("max_versions_per_batch")
+        max_versions = int(mv) if mv is not None else None
+        if max_versions is not None and max_versions < 1:
+            raise ValueError(
+                "max_versions_per_batch must be >= 1, got "
+                f"{max_versions}"
+            )
         return _StreamReader(
             root,
             since,
             json.dumps(_nullable_schema_json(m["schema"])),
             ids_json,
             legacy_json,
+            max_versions,
         )

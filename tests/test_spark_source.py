@@ -386,3 +386,95 @@ def test_batch_source_prune_option_rejects_bad_shape(registered, tmp_path):
         SnapshotDataSource(
             {"path": root, "prune.k": "1,2,3"}
         ).reader(None)
+
+
+def test_stream_backlog_admission_cap(registered, tmp_path):
+    """option("max_versions_per_batch", N): no micro-batch ever spans
+    more than N versions. A processingTime stream catches up to the
+    head in bounded batches; under availableNow (single captured
+    target — Python DataSource API limitation, see _StreamReader) a
+    capped stream drains at most N versions per start, monotonically,
+    with no loss or duplication across starts."""
+    import glob
+    import json as _json
+    import time
+
+    spark = registered
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300, 400):
+        snap.commit_append(spark, root, _df(spark, lo, lo + 100))
+
+    # -- processingTime: full catch-up, every offset step <= 2 versions
+    ckpt = str(tmp_path / "ckpt_pt")
+    sink = str(tmp_path / "sink_pt")
+    q = (
+        spark.readStream.format("snapshot")
+        .option("max_versions_per_batch", "2")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(sink).count() == 500:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert spark.read.parquet(sink).count() == 500
+    finally:
+        q.stop()
+    offsets = []
+    for f in sorted(
+        glob.glob(ckpt + "/offsets/*"), key=lambda p: int(p.rsplit("/")[-1])
+    ):
+        with open(f) as fh:
+            offsets.append(_json.loads(fh.read().strip().splitlines()[-1])["version"])
+    assert offsets[-1] == 5
+    steps = [b - a for a, b in zip([0] + offsets, offsets)]
+    assert all(s <= 2 for s in steps), (offsets, steps)
+    assert len(offsets) >= 3  # 5 versions / cap 2 -> at least 3 batches
+
+    # -- availableNow: bounded per-start drain, monotone convergence
+    ckpt2 = str(tmp_path / "ckpt_an")
+    sink2 = str(tmp_path / "sink_an")
+
+    def _drain_capped():
+        q = (
+            spark.readStream.format("snapshot")
+            .option("max_versions_per_batch", "2")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", sink2)
+            .option("checkpointLocation", ckpt2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink2)
+
+    counts = [_drain_capped().count() for _ in range(3)]
+    assert counts == [200, 400, 500], counts
+    out = spark.read.parquet(sink2)
+    assert out.count() == 500
+    assert out.select("k").distinct().count() == 500  # no dup, no loss
+
+    # cap validation is typed
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_versions_per_batch"):
+        (
+            spark.readStream.format("snapshot")
+            .option("max_versions_per_batch", "0")
+            .load(root)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt_bad"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
