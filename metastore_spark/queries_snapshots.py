@@ -562,15 +562,19 @@ def events_snapshot_mor_compact_fold(
                 ).cast("bigint").alias("value_cents_sum"),
             )
 
-        pre = leg(1).collect()
+        leg1 = leg(1)
+        pre = leg1.collect()
         # the compact fold must run even under `python -O` (assert
         # stripping), so the side effect lives outside the assert
         folded_version = snap.maybe_compact(spark, root, max_eq_entries=3)
         assert folded_version is not None
         assert snap.read_amplification(root)["n_eq_delete_entries"] == 0
         post = leg(2).collect()
-        out = leg(1)  # schema carrier
-        return spark.createDataFrame(pre + post, out.schema).orderBy("leg")
+        # schema from the ALREADY-ANALYZED leg-1 frame — building a
+        # third leg frame just to carry the schema re-ran Catalyst
+        # analysis over the amplified-read join tree (~1-2 s of pure
+        # driver time at sf0.1; r12 optimization round)
+        return spark.createDataFrame(pre + post, leg1.schema).orderBy("leg")
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 

@@ -1086,10 +1086,65 @@ def _apply_eq_deletes(
     the read-amplification guard warns about). Flag-and-filter keeps
     the plan O(entries) deep, so an over-accumulated table reads
     SLOWLY (one join per entry, as documented) instead of not at all.
-    """
+
+    MERGED SEQUENCE-RANK PLAN (r12 optimization round — guide §2.4
+    "remove shuffles/joins outright", §3): the common CDC shape is a
+    chain of upserts whose scopes are NESTED (each entry scopes every
+    segment committed before it), which admits Iceberg's sequence-
+    number formulation: rank the nested entries by scope ascending
+    (rank 1 = earliest/smallest scope), give every scanned file the
+    threshold t(f) = the smallest rank whose entry scopes it (files
+    appended after ALL entries get the sentinel n+1; files scoped by
+    every entry take the default 1 and never appear in the table),
+    and delete a row iff max(rank of entries containing its key) >=
+    t(its file). That is TWO joins total — one against the per-key
+    max-rank table (all entries' key files unioned in one columnar
+    read + one tiny aggregate), one file→threshold broadcast —
+    instead of 1-2 joins PER accumulated entry, so a 4-entry
+    amplified read keeps the plan depth of a 1-entry one; when every
+    entry is full-scope it collapses further to a single anti-join.
+    Entries whose key columns differ merge per column-signature
+    group; a group whose scopes are NOT nested (possible via scoped
+    delete-keys commits) falls back to the per-entry flag-and-filter
+    path below, preserving the r11 linear-plan invariant."""
     if not plans:
         return df
     orig_cols = list(df.columns)  # USING-joins move key cols first
+    merged, plans = _merge_eq_plans(plans)
+    for gi, (cols, ranked_paths, file_t) in enumerate(merged):
+        if file_t is None:
+            # every entry full-scope: one union read, one anti-join
+            keys = spark.read.parquet(
+                *[
+                    os.path.join(root, f)
+                    for _rank, paths in ranked_paths
+                    for f in paths
+                ]
+            ).select(*cols).dropDuplicates()
+            df = df.join(keys, on=cols, how="left_anti")
+            continue
+        rank_col, t_col = f"_eq_rank_{gi}", f"_eq_t_{gi}"
+        parts = [
+            spark.read.parquet(
+                *[os.path.join(root, f) for f in paths]
+            ).select(*cols).withColumn(rank_col, F.lit(rank))
+            for rank, paths in ranked_paths
+        ]
+        keys = parts[0]
+        for p in parts[1:]:
+            keys = keys.unionByName(p)
+        keys = keys.groupBy(*cols).agg(F.max(rank_col).alias(rank_col))
+        t_df = spark.createDataFrame(
+            sorted(file_t.items()), f"{t_col}_file string, {t_col} int"
+        )
+        df = df.join(keys, on=cols, how="left")
+        df = df.join(
+            t_df, df["_mor_file"] == t_df[f"{t_col}_file"], "left"
+        )
+        deleted = F.col(rank_col).isNotNull() & (
+            F.col(rank_col) >= F.coalesce(F.col(t_col), F.lit(1))
+        )
+        df = df.filter(~deleted).drop(rank_col, t_col, f"{t_col}_file")
     for i, (paths, cols, newer_names) in enumerate(plans):
         keys = spark.read.parquet(
             *[os.path.join(root, f) for f in paths]
@@ -1111,6 +1166,72 @@ def _apply_eq_deletes(
         deleted = F.col(hit).isNotNull() & F.col(newer).isNull()
         df = df.filter(~deleted).drop(hit, newer, f"{newer}_file")
     return df.select(*orig_cols)
+
+
+def _merge_eq_plans(plans):
+    """Split eq-delete plans into rank-merged groups and leftovers.
+
+    Groups entries by key-column signature. Within a group, orders by
+    ``newer`` set size DESCENDING (= scope size ascending; None =
+    full scope = empty newer) and checks the nesting invariant
+    newer_1 ⊇ newer_2 ⊇ … — the shape every chain of whole-table
+    upserts/delete-keys commits produces. A nested group becomes
+    ``(cols, [(rank, paths), …], file_t)`` where ``file_t`` maps a
+    scanned-file basename to its deletion threshold t(f) (see
+    `_apply_eq_deletes`): files inside newer_1 but scoped by some
+    later entry get that entry's rank, files inside EVERY newer set
+    get the sentinel n+1 (undeletable — no rank reaches it), and
+    files outside newer_1 (scoped by all entries) take the join-time
+    default 1 by absence. ``file_t`` is None when every entry is
+    full-scope (no file test needed at all). A non-nested group is
+    returned untouched for the per-entry fallback path."""
+    groups: dict[tuple, list] = {}
+    order: list[tuple] = []
+    for plan in plans:
+        sig = tuple(plan[1])
+        if sig not in groups:
+            groups[sig] = []
+            order.append(sig)
+        groups[sig].append(plan)
+    merged, leftover = [], []
+    for sig in order:
+        entries = groups[sig]
+        if len(entries) == 1 and entries[0][2] is not None:
+            # single partially-scoped entry: fallback path is the
+            # same two joins — nothing to merge
+            leftover.extend(entries)
+            continue
+        entries = sorted(
+            entries, key=lambda e: -(len(e[2]) if e[2] else 0)
+        )
+        nested = all(
+            (entries[i + 1][2] or set()) <= (entries[i][2] or set())
+            for i in range(len(entries) - 1)
+        )
+        if not nested:
+            leftover.extend(groups[sig])
+            continue
+        ranked = [
+            (rank, list(paths))
+            for rank, (paths, _c, _n) in enumerate(entries, start=1)
+        ]
+        newer_sets = [e[2] or set() for e in entries]
+        if not newer_sets[0]:  # largest newer empty → all full-scope
+            merged.append((list(sig), ranked, None))
+            continue
+        n = len(entries)
+        file_t: dict[str, int] = {}
+        for name in newer_sets[0]:
+            file_t[name] = next(
+                (
+                    r
+                    for r in range(2, n + 1)
+                    if name not in newer_sets[r - 1]
+                ),
+                n + 1,
+            )
+        merged.append((list(sig), ranked, file_t))
+    return merged, leftover
 
 
 def _read_files(
@@ -1881,8 +2002,21 @@ def commit_mor_upsert(
     bcols = prev_manifest.get("bloom_cols") or []
     spec = prev_manifest.get("partition_spec") or []
     files = _write_data_files(df, root, spec or None)
+    # Derive the key sidecar from the JUST-STAGED files, not from
+    # ``df`` again: evaluating ``df`` twice re-executes its whole
+    # upstream plan (for a CDC micro-batch, a second pass over the
+    # stream source) where the staged parquet is a column-pruned
+    # local read of exactly the batch (r12 optimization round, guide
+    # §1.2/§4.1 — don't compute things twice).
+    if files:
+        staged = df.sparkSession.read.parquet(
+            *[os.path.join(root, f) for f in files]
+        )
+        key_src = staged.select(*key_cols)
+    else:  # empty batch: nothing staged to re-read
+        key_src = df.select(*key_cols)
     key_files = _write_data_files(
-        df.select(*key_cols).dropDuplicates().coalesce(4), root
+        key_src.dropDuplicates().coalesce(4), root
     )
     stats = _collect_file_stats(root, files, scols) if scols else None
     extra = _schema_extra(df)
