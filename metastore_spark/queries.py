@@ -18,6 +18,8 @@ Conventions that keep the oracle hash-stable across engines:
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from typing import Callable
 
@@ -104,6 +106,66 @@ def _t_compute(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name).repartition(
         spark.sparkContext.defaultParallelism
     )
+
+
+def _scaled_width(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    column: str | None = None,
+    bytes_per_part: int = 8 << 20,
+    cap: int = 131072,
+) -> int:
+    """INPUT-SIZE-DERIVED shuffle width for explicit repartitions
+    (r12 optimization round, guide §2.2/§2.5): a fixed
+    ``defaultParallelism * k`` width is tuned for exactly one scale —
+    too many tiny tasks on a small corpus (pure scheduler overhead
+    at ~6 ms/task locally), too few fat ones at 100 TB (per-task agg
+    hash maps exceed the heap — the exact OOM the explicit widths
+    were added to prevent). Derive it instead from the parquet
+    FOOTERS' uncompressed byte count of the driving column (a
+    driver-side metadata read, no scan): one partition per
+    ``bytes_per_part``, floored at the session parallelism so small
+    corpora still use every core, capped at ``cap`` to bound plan
+    size. Explicit widths stay exempt from AQE coalescing — that is
+    their job (pinning join strategy / per-task memory) — but the
+    value now tracks the data. Falls back to
+    ``defaultParallelism * 8`` (the old constant) when the raw
+    fixture file is absent (e.g. snapshot-served tables)."""
+    import pyarrow.parquet as pq
+
+    floor = spark.sparkContext.defaultParallelism
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else [
+                os.path.join(dp, f)
+                for dp, _dirs, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+        )
+        if not files:
+            raise FileNotFoundError(path)
+        total = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i
+                for i in range(md.num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                if column is not None and column in idx:
+                    total += md.row_group(rg).column(
+                        idx[column]
+                    ).total_uncompressed_size
+                else:
+                    total += md.row_group(rg).total_byte_size
+        return max(floor, min(cap, -(-total // bytes_per_part)))
+    except Exception:
+        return floor * 8
 
 
 def _ts_us() -> F.Column:

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metastore_spark.dedup import ops as dd
-from metastore_spark.queries import query, _t, _t_compute
+from metastore_spark.queries import query, _t, _t_compute, _scaled_width
 from metastore_spark.sources import snapshots as snap
 
 
@@ -540,8 +540,11 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # estimate would broadcast one — wrong at 100 TB (the r5 lesson).
     # Explicit same-key repartitions + shuffle_hash pin a shuffled
     # join on the exact equi-keys; rare prefix tokens keep the key
-    # distribution flat, so no salt is needed.
-    fanout = spark.sparkContext.defaultParallelism * 4
+    # distribution flat, so no salt is needed. Width is SIZE-DERIVED
+    # (r12, guide §2.2/§2.5): the old defaultParallelism*4 constant
+    # spent 128 near-empty tasks per exchange on small corpora and
+    # would under-partition a 100 TB one.
+    fanout = _scaled_width(spark, sf_dir, "documents", "text")
     pa_ = tpref.repartition(fanout, "t", "lang").alias("a")
     pb_ = (
         tpref.repartition(fanout, "t", "lang")
@@ -1232,8 +1235,13 @@ def dedup_substring_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pk"),
     )
     # one declared width for every gram-keyed exchange: the agg and
-    # the flag join must never land on different shuffle layouts
-    gram_width = grams.sparkSession.sparkContext.defaultParallelism * 8
+    # the flag join must never land on different shuffle layouts.
+    # SIZE-DERIVED (r12): ~8 MB of uncompressed text per partition
+    # (~1.4M gram keys, ~55 MB agg hash map per task) — the fixed
+    # defaultParallelism*8 width paid 256 near-empty tasks per
+    # exchange on the 1.5 MB sf0.1 corpus while still being a
+    # CONSTANT at 100 TB; this tracks the data both ways.
+    gram_width = _scaled_width(spark, sf_dir, "documents", "text")
     shared = (
         # "appears in >=2 DISTINCT docs" as min<max: the map-side
         # partial is two longs per passage key; a count_distinct

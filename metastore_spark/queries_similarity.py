@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metastore_spark import similarity as sim
-from metastore_spark.queries import query, _t
+from metastore_spark.queries import query, _t, _scaled_width
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
@@ -380,7 +380,12 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ways; each pair still matches exactly once (b's salt is
     # single-valued).
     S = 16
-    fanout = spark.sparkContext.defaultParallelism * 8
+    # SIZE-DERIVED width (r12, guide §2.2/§2.5): one partition per
+    # ~8 MB of raw embedding payload instead of the fixed
+    # defaultParallelism*8 — 256 near-empty tasks per exchange on the
+    # small fixtures, a constant at 100 TB. The salt split and the
+    # pinned ShuffledHashJoin are unchanged.
+    fanout = _scaled_width(spark, sf_dir, "embeddings", "embedding")
     a = (
         asg.select(
             F.col("vec_id").alias("id_a"),

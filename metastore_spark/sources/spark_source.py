@@ -519,8 +519,8 @@ class _StreamReader(DataSourceStreamReader):
     def read(self, partition):
         yield from _arrow_read(partition)
 
-    def commit(self, end):
-        pass  # offsets live in Spark's checkpoint; nothing to ack
+    # NOTE: commit(end) is defined above (admission-cursor sync); a
+    # second no-op definition here used to shadow it into dead code.
 
     def stop(self):
         pass
