@@ -1180,6 +1180,12 @@ def _ivf_recall_eval(
         [(qid,) for qid, _ in qvecs], "qid bigint"
     )
     h = F.coalesce(F.col("hits"), F.lit(0)).cast("bigint")
+    # deliberately NOT broadcast-hinted: the tiny-panel SMJ looks
+    # wasteful in the static plan, but hinting F.broadcast(hits)
+    # forces the ENTIRE scoring pipeline (hits' subtree) into a
+    # blocking broadcast build — measured 2x SLOWER for ivf recall
+    # (in-session interleaved A/B, best 3.98 s vs 1.97 s at sf0.1).
+    # AQE already localizes the final join at runtime.
     return (
         panel.join(hits, "qid", "left")
         .select(
@@ -1344,6 +1350,9 @@ def ann_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.coalesce(F.col("hits"), F.lit(0)).cast("bigint")
     return (
+        # NOT broadcast-hinted (see ann_ivf_recall's note): hinting
+        # hits forces its whole scoring subtree into a blocking
+        # broadcast build — measured slower (6.4 s vs 4.4 s best).
         panel.join(hits, ["qid", "trunc_dim"], "left")
         .select(
             "qid",
@@ -1569,6 +1578,7 @@ def _panel_recall_from_scored(
     panel = spark.createDataFrame([(qid,) for qid, _ in qvecs], "qid bigint")
     h = F.coalesce(F.col("hits"), F.lit(0)).cast("bigint")
     return (
+        # not broadcast-hinted — see ann_ivf_recall's note
         panel.join(hits, "qid", "left")
         .select(
             "qid",

@@ -538,9 +538,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     s = _t(spark, sf_dir, "supplier")
+    # one semi-join suffices: multi_supp is derived FROM solo_late
+    # (semi-joined above), so multi_supp ⊆ solo_late and the extra
+    # solo_late semi-join was a redundant broadcast+join (r12,
+    # guide §2.4 — remove joins outright).
     return (
-        late.join(F.broadcast(solo_late), "l_orderkey", "left_semi")
-        .join(F.broadcast(multi_supp), "l_orderkey", "left_semi")
+        late.join(F.broadcast(multi_supp), "l_orderkey", "left_semi")
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -1138,8 +1138,16 @@ def _apply_eq_deletes(
             sorted(file_t.items()), f"{t_col}_file string, {t_col} int"
         )
         df = df.join(keys, on=cols, how="left")
+        # the threshold table is O(#files in scope) — manifest-sized,
+        # never data-sized. Unhinted it plans as a SortMergeJoin (a
+        # createDataFrame has no stats => no auto-broadcast): two
+        # Exchange+Sort pairs over the whole scanned table just to
+        # attach one small int per file. Broadcast is the Iceberg
+        # shape for delete-manifest attachment (r12, guide §3.1).
         df = df.join(
-            t_df, df["_mor_file"] == t_df[f"{t_col}_file"], "left"
+            F.broadcast(t_df),
+            df["_mor_file"] == t_df[f"{t_col}_file"],
+            "left",
         )
         deleted = F.col(rank_col).isNotNull() & (
             F.col(rank_col) >= F.coalesce(F.col(t_col), F.lit(1))
@@ -1158,8 +1166,9 @@ def _apply_eq_deletes(
             [(n,) for n in sorted(newer_names)], f"{newer}_file string"
         ).withColumn(newer, F.lit(True))
         df = df.join(keys, on=cols, how="left")
+        # same manifest-sized broadcast as the merged path above
         df = df.join(
-            newer_df,
+            F.broadcast(newer_df),
             df["_mor_file"] == newer_df[f"{newer}_file"],
             "left",
         )
