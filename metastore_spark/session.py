@@ -114,6 +114,11 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
         # Externally-created sessions default to 200 shuffle partitions;
         # size to local cores (AQE coalesces further at runtime).
         ("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)),
+        # Parity with get_spark() (r12): a host-owned session otherwise
+        # runs with the 10 MB auto-broadcast default (dimension tables
+        # needlessly shuffle) and row-pickled pandas exchange.
+        ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)
