@@ -1124,16 +1124,43 @@ def _apply_eq_deletes(
             df = df.join(keys, on=cols, how="left_anti")
             continue
         rank_col, t_col = f"_eq_rank_{gi}", f"_eq_t_{gi}"
-        parts = [
-            spark.read.parquet(
-                *[os.path.join(root, f) for f in paths]
-            ).select(*cols).withColumn(rank_col, F.lit(rank))
+        # ONE columnar read over every entry's key files, rank attached
+        # from the file name: a spark.read.parquet per entry costs an
+        # O(entries) chain of driver round-trips (~0.1 s each) on EVERY
+        # head read of an upsert-accumulated table (r12 optimization
+        # round, guide §1.2/§5.4 — keep the driver out of the loop).
+        # Part-file basenames carry a per-write UUID (the same
+        # uniqueness _mor_file matching already relies on), so
+        # basename → rank is a function.
+        rank_of = {
+            os.path.basename(f): rank
             for rank, paths in ranked_paths
-        ]
-        keys = parts[0]
-        for p in parts[1:]:
-            keys = keys.unionByName(p)
-        keys = keys.groupBy(*cols).agg(F.max(rank_col).alias(rank_col))
+            for f in paths
+        }
+        rank_map = F.create_map(
+            *[
+                lit
+                for bn, rank in sorted(rank_of.items())
+                for lit in (F.lit(bn), F.lit(rank))
+            ]
+        )
+        keys = (
+            spark.read.parquet(
+                *[
+                    os.path.join(root, f)
+                    for _rank, paths in ranked_paths
+                    for f in paths
+                ]
+            )
+            .select(
+                *cols,
+                rank_map[
+                    F.element_at(F.split(F.input_file_name(), "/"), -1)
+                ].alias(rank_col),
+            )
+            .groupBy(*cols)
+            .agg(F.max(rank_col).alias(rank_col))
+        )
         t_df = spark.createDataFrame(
             sorted(file_t.items()), f"{t_col}_file string, {t_col} int"
         )

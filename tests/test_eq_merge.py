@@ -157,6 +157,34 @@ def test_merged_head_read_plans_constant_join_count(spark, tmp_path):
     assert n_joins <= 2, f"expected <=2 joins, saw {n_joins}:\n{text}"
 
 
+def test_merged_head_read_plans_single_key_scan(spark, tmp_path):
+    """The merged path reads ALL entries' key sidecars in ONE columnar
+    scan (rank attached from input_file_name), not one scan per entry
+    — 4 accumulated upserts must plan exactly 2 parquet scans total:
+    the data files and the unioned key files."""
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 100).repartition(2))
+    for i in range(4):
+        snap.commit_mor_upsert(
+            spark,
+            root,
+            _df(spark, 10 * i, 10 * i + 10).withColumn(
+                "g", F.lit(50 + i).cast("long")
+            ),
+            ["k"],
+        )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        snap.read_snapshot(spark, root).explain("formatted")
+    text = buf.getvalue()
+    # count detail entries ("(N) Scan parquet") — the tree section
+    # prints each scan node a second time
+    import re
+
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", text, re.M))
+    assert n_scans <= 2, f"expected <=2 parquet scans, saw {n_scans}"
+
+
 def test_time_travel_mid_chain_still_correct(spark, tmp_path):
     root = _chain_table(spark, tmp_path)
     # v3: base + both upserts, no trailing append
