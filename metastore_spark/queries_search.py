@@ -392,14 +392,29 @@ def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query — O(docs) rows); the stopword filter the oracle's tok
     CTE applies is skipped because occurrence counts of non-stopword
     eval terms are unaffected by it. The panel unions fixed-size
-    rows."""
+    rows.
+
+    The whole panel is SCORED IN ONE PASS: postings are scanned once
+    with every panel term pushed down, docfreq/doclen attach once, a
+    broadcast (term, qid, mult) panel map fans each matched posting
+    to its queries, and per-(query, doc) scores come from one
+    aggregation; the DCG probe likewise joins the labels frame once
+    against the unioned 30-row ranked prefix. The per-query
+    bm25_scores form this replaces scanned postings and attached the
+    O(docs) doclen table once PER PANEL QUERY — three corpus-sized
+    passes fused to one (the panel only grows the fused pass by the
+    extra terms' postings). Score arithmetic is expression-for-
+    expression the bm25_scores formula (boost 1.0 multiplies exactly,
+    per-term query multiplicity via the panel map)."""
     import math
 
     from pyspark.sql import Window
 
+    from metastore_spark.search.scoring import B, K1
+
     idx = _index_for(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
-    from metastore_spark.search.analysis import _TOKEN_SPLIT
+    from metastore_spark.search.analysis import _TOKEN_SPLIT, analyze
 
     toks_col = F.split(F.lower(F.col("text")), _TOKEN_SPLIT)
     rel_cols = []
@@ -413,25 +428,83 @@ def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel_cols.append(F.least(F.lit(7), rel_col).alias(f"rel_{qid}"))
     relall = d.select("doc_id", *rel_cols)
     relall.persist()
-    out = None
-    ln2 = math.log(2.0)
+
+    # one fused scoring pass over the union of every panel query's
+    # analyzed terms (bm25_scores semantics: per-query repeated terms
+    # multiply their contribution via mult)
+    panel_rows = []
     for qid, q in _EVAL_QS:
-        rel = relall.select("doc_id", F.col(f"rel_{qid}").alias("rel"))
-        scores = bm25_scores(idx, q, {"text": 1.0}, stem=False)
+        terms = analyze(q, stem=False)
+        for t in sorted(set(terms)):
+            panel_rows.append((t, qid, float(terms.count(t))))
+    panel = spark.createDataFrame(
+        panel_rows, "term string, qid int, mult double"
+    )
+    all_terms = sorted({t for t, _, _ in panel_rows})
+    n = float(idx.num_docs)
+    avgdl = float(idx.avgdl["text"])
+    matched = (
+        idx.postings.filter(
+            F.col("term").isin(all_terms) & (F.col("field") == "text")
+        )
+        .join(F.broadcast(idx.docfreq), ["term", "field"])
+        .join(idx.doclen, ["doc_id", "field"])
+        .join(F.broadcast(panel), "term")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl)
+    )
+    tf_part = (F.col("tf") * F.lit(K1 + 1.0)) / (F.col("tf") + norm)
+    scored = (
+        matched.select(
+            "qid", "doc_id", (idf * tf_part * F.col("mult")).alias("contrib")
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    scored.persist()
+
+    ln2 = math.log(2.0)
+    ranked_all = None
+    for qid, _q in _EVAL_QS:
         top = (
-            scores.select("doc_id", F.round("score", 4).alias("s"))
+            scored.filter(F.col("qid") == qid)
+            .select("doc_id", F.round("score", 4).alias("s"))
             .orderBy(F.desc("s"), F.asc("doc_id"))
             .limit(10)
         )
         w = Window.orderBy(F.desc("s"), F.asc("doc_id"))
-        ranked = top.withColumn("rnk", F.row_number().over(w))
-        gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / (
-            F.log(F.col("rnk") + 1.0) / F.lit(ln2)
+        ranked = top.withColumn("rnk", F.row_number().over(w)).select(
+            F.lit(qid).alias("qid"), "doc_id", "rnk"
         )
-        dcg = (
-            rel.join(F.broadcast(ranked), "doc_id")
-            .agg(F.sum(gain).alias("dcg"))
+        ranked_all = (
+            ranked if ranked_all is None else ranked_all.unionAll(ranked)
         )
+
+    # ONE O(docs) probe of the labels frame for all three DCGs; the
+    # conditional sums keep the old per-leg agg's exactly-one-row
+    # (null when nothing matched) semantics
+    joined = relall.join(F.broadcast(ranked_all), "doc_id")
+    log_rnk = F.log(F.col("rnk") + 1.0) / F.lit(ln2)
+    dcg_row = joined.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("qid") == qid,
+                    (F.pow(F.lit(2.0), F.col(f"rel_{qid}")) - 1) / log_rnk,
+                )
+            ).alias(f"dcg_{qid}")
+            for qid, _q in _EVAL_QS
+        ]
+    )
+
+    base = dcg_row
+    for qid, _q in _EVAL_QS:
+        rel = relall.select("doc_id", F.col(f"rel_{qid}").alias("rel"))
         wi = Window.orderBy(F.desc("rel"), F.asc("doc_id"))
         ideal = (
             rel.filter(F.col("rel") > 0)
@@ -442,17 +515,23 @@ def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         igain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / (
             F.log(F.col("rn") + 1.0) / F.lit(ln2)
         )
-        idcg = ideal.agg(F.sum(igain).alias("idcg"))
-        per = (
-            dcg.crossJoin(F.broadcast(idcg))
-            .select(
-                F.lit(qid).alias("query_id"),
-                F.lit(q).alias("query"),
-                F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg10"),
-            )
+        idcg = ideal.agg(F.sum(igain).alias(f"idcg_{qid}"))
+        base = base.crossJoin(F.broadcast(idcg))
+    out_structs = [
+        F.struct(
+            F.lit(qid).alias("query_id"),
+            F.lit(q).alias("query"),
+            F.round(F.col(f"dcg_{qid}") / F.col(f"idcg_{qid}"), 4).alias(
+                "ndcg10"
+            ),
         )
-        out = per if out is None else out.unionAll(per)
-    return out.orderBy("query_id")
+        for qid, q in _EVAL_QS
+    ]
+    return (
+        base.select(F.explode(F.array(*out_structs)).alias("r"))
+        .select("r.*")
+        .orderBy("query_id")
+    )
 
 
 # --- hybrid retrieval --------------------------------------------------------

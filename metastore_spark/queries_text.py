@@ -245,9 +245,15 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity (token, bigram) — the exchange carries (doc, gram,
     count) rows, and grams never leave the JVM. No O(doc²) anywhere;
     this is a map-side-heavy pipeline identical in shape to the
-    postings build (SCALE.md 'Full-text search')."""
+    postings build (SCALE.md 'Full-text search'). The token frame is
+    CACHED so both granularity legs read one tokenization pass (the
+    regex split is the scan-side CPU cost; uncached, each leg re-ran
+    it over the whole corpus — the docs_contamination/_curation
+    shared-token-frame pattern)."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", ops.word_tokens(F.col("text")).alias("toks"))
+    toks = d.select(
+        "doc_id", ops.word_tokens(F.col("text")).alias("toks")
+    ).cache()
     uni_counts = (
         toks.select("doc_id", F.explode("toks").alias("t"))
         .groupBy("doc_id", "t")

@@ -272,6 +272,20 @@ def test_ndcg_topk_is_sort_limit(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ndcg_panel_scored_in_one_pass(spark):
+    """The whole eval panel shares ONE fused scoring pass: postings,
+    docfreq and doclen are each scanned exactly once (the per-query
+    bm25_scores form scanned each one per panel query — 3 corpus-sized
+    passes), and the DCG probe joins the labels frame once against the
+    unioned ranked prefix."""
+    import metastore_spark.queries_search  # noqa: F401
+
+    plan = _plan(spark, "search_eval_ndcg")
+    for side in ("postings", "docfreq", "doclen"):
+        n = sum(1 for l in plan.splitlines() if "Location" in l and side in l)
+        assert n == 1, f"{side} scanned {n}x, want 1 fused scan"
+
+
 def test_rfm_segments_no_single_partition_window(spark):
     """RFM quartiles are three distributed exact-NTILE passes (range
     repartition + per-partition row_number + offsets) — never the
