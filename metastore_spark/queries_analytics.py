@@ -555,7 +555,7 @@ def events_daily_user_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(CAST(SUM(value::DECIMAL(18,6)) AS DOUBLE), 2) AS total_value
+           CAST(ROUND(SUM(value::DECIMAL(18,6)), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -593,7 +593,8 @@ def events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
-        F.round(F.col("total_value").cast("double"), 2).alias("total_value"),
+        # Round on the exact DECIMAL, then cast (oracle-portability).
+        F.round(F.col("total_value"), 2).cast("double").alias("total_value"),
     )
 
 

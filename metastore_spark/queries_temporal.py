@@ -583,9 +583,9 @@ def events_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     )
     SELECT COALESCE(od.day, ed.day) AS day,
-           ROUND(CAST(COALESCE(od.order_rev, 0) AS DOUBLE), 2) AS order_rev,
+           CAST(ROUND(COALESCE(od.order_rev, 0), 2) AS DOUBLE) AS order_rev,
            COALESCE(od.n_orders, 0) AS n_orders,
-           ROUND(CAST(COALESCE(ed.purchase_val, 0) AS DOUBLE), 2) AS purchase_val,
+           CAST(ROUND(COALESCE(ed.purchase_val, 0), 2) AS DOUBLE) AS purchase_val,
            COALESCE(ed.n_purchases, 0) AS n_purchases,
            od.day IS NULL AS events_only,
            ed.day IS NULL AS orders_only
@@ -627,13 +627,15 @@ def orders_events_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = od.join(ed, od.od_day == ed.ed_day, "full_outer")
     zero = F.lit(0).cast("decimal(18,6)")
+    # Round in the exact DECIMAL domain, then cast (oracle-portability:
+    # double-then-round drifts across engines at ties).
     return j.select(
         F.coalesce("od_day", "ed_day").alias("day"),
-        F.round(F.coalesce("order_rev", zero).cast("double"), 2).alias(
+        F.round(F.coalesce("order_rev", zero), 2).cast("double").alias(
             "order_rev"
         ),
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-        F.round(F.coalesce("purchase_val", zero).cast("double"), 2).alias(
+        F.round(F.coalesce("purchase_val", zero), 2).cast("double").alias(
             "purchase_val"
         ),
         F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
@@ -652,15 +654,15 @@ def orders_events_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1
     )
     SELECT 'hour' AS level, EPOCH_US(bucket) AS bucket_start_us,
-           n_events, ROUND(CAST(total_value AS DOUBLE), 2) AS total_value
+           n_events, CAST(ROUND(total_value, 2) AS DOUBLE) AS total_value
     FROM hourly
     UNION ALL
     SELECT 'day', EPOCH_US(date_trunc('day', bucket)),
-           SUM(n_events), ROUND(CAST(SUM(total_value) AS DOUBLE), 2)
+           SUM(n_events), CAST(ROUND(SUM(total_value), 2) AS DOUBLE)
     FROM hourly GROUP BY 2
     UNION ALL
     SELECT 'month', EPOCH_US(date_trunc('month', bucket)),
-           SUM(n_events), ROUND(CAST(SUM(total_value) AS DOUBLE), 2)
+           SUM(n_events), CAST(ROUND(SUM(total_value), 2) AS DOUBLE)
     FROM hourly GROUP BY 2
     """,
 )
@@ -708,7 +710,12 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(level).alias("level"),
             F.unix_micros("bucket").alias("bucket_start_us"),
             F.col("n_events").cast("long").alias("n_events"),
-            F.round(F.col("total_value").cast("double"), 2).alias(
+            # Round in the exact DECIMAL domain, THEN cast: rounding
+            # after the double cast left the result at the mercy of
+            # engine-specific double tie-breaking (Spark HALF_UP on
+            # the shortest rendering vs DuckDB's C round) — the same
+            # drift class events_integrity_checksum hit in r11.
+            F.round(F.col("total_value"), 2).cast("double").alias(
                 "total_value"
             ),
         )

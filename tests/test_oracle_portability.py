@@ -79,6 +79,25 @@ LIST_FOLD_FREEZE = {
 # in sweeps. Same rule: don't add names, use floor(x + 0.5).
 SINGLE_ROUND_FREEZE = {"docs_quality_trained"}
 
+# ROUND(CAST(x AS DOUBLE), n) freeze (r13): when x is an exact
+# DECIMAL, casting FIRST throws away exactness and leaves the round
+# at the mercy of engine-specific double tie-breaking — this is what
+# made events_multires_rollup the one never-green query (fixed r13 by
+# rounding in the decimal domain: CAST(ROUND(x, n) AS DOUBLE), with
+# the same swap on the Spark side). The names below are the verified
+# remainder where x is ALREADY a double (or an integer ratio), so the
+# CAST is a no-op and the construct is just ROUND(double, n) — green
+# in driver rows/sweeps. Don't add names: either drop the pointless
+# cast or round in the value's own exact domain.
+ROUND_CAST_DOUBLE_FREEZE = {
+    "docs_token_stats",
+    "docs_repetition_signals",
+    "docs_contamination",
+    "events_journey_transitions",
+    "q1_pricing_summary",
+    "q9_product_profit",
+}
+
 
 def _oracles() -> dict[str, str]:
     return entrymod.oracle_sql()
@@ -139,6 +158,39 @@ def test_no_new_single_arg_round():
     )
 
 
+def _round_cast_double_names() -> set[str]:
+    """Oracles containing ROUND(CAST(<expr> AS DOUBLE)[, n])."""
+    hits = set()
+    for name, sql in _oracles().items():
+        for m in re.finditer(r"\bround\s*\(\s*cast\s*\(", sql, re.I):
+            # Walk the CAST's parens to their close; the depth-1 tail
+            # must end with "AS DOUBLE".
+            depth, i, start = 1, m.end(), m.end()
+            while depth and i < len(sql):
+                c = sql[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                i += 1
+            inner = sql[start : i - 1]
+            if re.search(r"\bAS\s+DOUBLE\s*$", inner, re.I):
+                hits.add(name)
+                break
+    return hits
+
+
+def test_no_new_round_cast_double():
+    extra = _round_cast_double_names() - ROUND_CAST_DOUBLE_FREEZE
+    assert not extra, (
+        f"ROUND(CAST(x AS DOUBLE), n) in new oracle(s) {sorted(extra)}: "
+        "if x is an exact DECIMAL this drifts across engines at double "
+        "ties (the events_multires_rollup bug) — round in the decimal "
+        "domain first: CAST(ROUND(x, n) AS DOUBLE); if x is already a "
+        "double, drop the pointless cast"
+    )
+
+
 def test_no_new_list_fold_aggregates():
     hits = {
         name
@@ -167,6 +219,8 @@ def test_freeze_lists_stay_minimal():
         )
     }
     gone_round = SINGLE_ROUND_FREEZE - _single_arg_round_names()
-    assert not gone_fold and not gone_round, (
-        f"freeze entries no longer needed: {sorted(gone_fold | gone_round)}"
+    gone_rcd = ROUND_CAST_DOUBLE_FREEZE - _round_cast_double_names()
+    assert not gone_fold and not gone_round and not gone_rcd, (
+        "freeze entries no longer needed: "
+        f"{sorted(gone_fold | gone_round | gone_rcd)}"
     )
