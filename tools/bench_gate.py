@@ -148,6 +148,21 @@ def main() -> int:
     # "code got slower" from "the normalizer divided by a bad probe":
     # demote its would-be regressions and ask for a rerun instead of
     # escalating to an A/B (VERDICT r10 task 2)
+    # timing-basis note (r13): reps are now cache-cold (clearCache
+    # before every rep), so cache-using queries legitimately read
+    # slower than medians built from warm-rep-era lines.
+    if latest.get("timing_basis") == "cold_reps" and any(
+        h.get("timing_basis") != "cold_reps" for h in history
+    ):
+        n_warm = sum(
+            1 for h in history if h.get("timing_basis") != "cold_reps"
+        )
+        print(
+            f"bench_gate: NOTE timing basis changed to cold reps this "
+            f"run; {n_warm} history line(s) in the median pool timed "
+            "warm reps — expect cache-using queries to read slower"
+        )
+
     latest_spread = _probe_spread(latest)
     unstable = latest_spread > PROBE_SPREAD_MAX
     if unstable:
