@@ -26,6 +26,55 @@ _SNAP_ROOT = os.path.join(
 )
 
 
+def _append_width(
+    sf_dir: str, table: str = "events", bytes_per_file: int = 64 << 20
+) -> int:
+    """Input-size-derived partition count for a commit's input frame
+    (r13, guide §6): a commit input that inherits the scan's
+    granularity writes one file PER SCAN PARTITION — dozens of KB-sized
+    files per micro-commit on the local fixtures (each then costing a
+    write task, a driver footer/manifest entry, and a read slice),
+    while at 100 TB the same ceil(bytes / 64 MiB) keeps files in the
+    target range and the write parallel. Derived from the parquet
+    FOOTERS' uncompressed bytes of the source fixture (driver-side
+    metadata read, no scan) — an upper bound for filtered inputs,
+    which only errs toward more/smaller files, never toward losing
+    write parallelism. Returns 0 (caller skips the coalesce) when the
+    raw fixture is absent."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else [
+                os.path.join(dp, f)
+                for dp, _dirs, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+        )
+        if not files:
+            return 0
+        total = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                total += md.row_group(rg).total_byte_size
+        return max(1, -(-total // bytes_per_file))
+    except Exception:
+        return 0
+
+
+def _sized(df: DataFrame, sf_dir: str, table: str = "events") -> DataFrame:
+    """Coalesce a commit input to `_append_width` partitions — a
+    narrow, shuffle-free merge (no-op whenever the input already has
+    fewer partitions, so explicitly-shaped inputs keep their layout)."""
+    w = _append_width(sf_dir, table)
+    return df.coalesce(w) if w else df
+
+
 def _events_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-once snapshot table over the events corpus: three
     committed versions (append, append, COW delete), keyed by corpus
@@ -540,13 +589,20 @@ def events_snapshot_mor_compact_fold(
         base = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "value"
         ).filter(F.col("event_id") % 2 == 0)
-        snap.commit_append(spark, root, base)
+        # commit inputs right-sized (r13, guide §6): unshaped they
+        # inherit the scan's granularity — one KB-sized file per scan
+        # partition per commit, each costing a write task, a manifest
+        # entry, and a read slice on every MOR head read
+        snap.commit_append(spark, root, _sized(base, sf_dir))
         for i in range(4):  # CDC: restate each mod-8 class, value x2
             snap.commit_mor_upsert(
                 spark,
                 root,
-                base.filter(F.col("event_id") % 8 == 2 * i).withColumn(
-                    "value", F.col("value") * 2
+                _sized(
+                    base.filter(F.col("event_id") % 8 == 2 * i).withColumn(
+                        "value", F.col("value") * 2
+                    ),
+                    sf_dir,
                 ),
                 ["event_id"],
             )
@@ -632,17 +688,22 @@ def events_snapshot_write_path(
         base = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
         )
+        # right-sized write inputs (r13, guide §6): each write task
+        # opens one staged file PER partition tuple, so an unshaped
+        # input wrote (scan partitions x event types) KB-sized files
+        # per version — every one a write task, a driver footer read
+        # for stats, and a read slice in the three reads below
         (
-            base.filter(F.col("event_id") % 2 == 0)
+            _sized(base.filter(F.col("event_id") % 2 == 0), sf_dir)
             .write.format("snapshot")
             .option("partition_by", "event_type")
             .option("stats_cols", "event_id")
             .mode("append")
             .save(root)
         )
-        base.filter(F.col("event_id") % 2 == 1).write.format(
-            "snapshot"
-        ).mode("append").save(root)
+        _sized(
+            base.filter(F.col("event_id") % 2 == 1), sf_dir
+        ).write.format("snapshot").mode("append").save(root)
         assert snap.current_version(root) == 2
         # the pruned plan must touch strictly fewer files than the head
         m = snap.read_manifest(root, 2)
@@ -746,8 +807,11 @@ def events_stream_cdc_upsert(
         base = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
         )
+        # right-sized commit input (r13, guide §6 — see
+        # events_snapshot_mor_compact_fold)
         snap.commit_append(
-            spark, root, base.filter(F.col("event_id") % 2 == 0)
+            spark, root,
+            _sized(base.filter(F.col("event_id") % 2 == 0), sf_dir),
         )
         feed = (
             base.filter(F.col("event_id") % 4 == 0)
@@ -855,8 +919,11 @@ def events_stream_upsert_sink(
         base = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
         )
+        # right-sized commit input (r13, guide §6 — see
+        # events_snapshot_mor_compact_fold)
         snap.commit_append(
-            spark, root, base.filter(F.col("event_id") % 2 == 0)
+            spark, root,
+            _sized(base.filter(F.col("event_id") % 2 == 0), sf_dir),
         )
         feed = (
             base.filter(F.col("event_id") % 4 == 0)
@@ -2240,8 +2307,11 @@ def events_stream_backlog_drain(
             "event_id", "event_type", "value"
         )
         for i in range(4):
+            # right-sized commit inputs (r13, guide §6 — see
+            # events_snapshot_mor_compact_fold)
             snap.commit_append(
-                spark, root, base.filter(F.col("event_id") % 4 == i)
+                spark, root,
+                _sized(base.filter(F.col("event_id") % 4 == i), sf_dir),
             )
 
         def drain() -> None:

@@ -97,26 +97,41 @@ from metastore_spark.sources import snapshots as snap
 
 
 class _FileSlice(InputPartition):
-    """One data file plus everything the worker kernel needs: the
-    target schema (JSON), the manifest's column-ID map, the file's
-    write-time column metadata, the snapshot's position-delete files,
-    and the equality-delete entries whose scope covers THIS file
-    (resolved driver-side; [{paths, cols}] JSON)."""
+    """One scan task: a byte-target PACK of data files plus everything
+    the worker kernel needs — the target schema (JSON), the manifest's
+    column-ID map, the snapshot's position-delete files, and per file
+    its write-time column metadata and the equality-delete entries
+    whose scope covers it (resolved driver-side; [{paths, cols}]
+    JSON). ``items`` is [(path, columns_json, eq_json)]; files are
+    packed to ``_slice_target_bytes()`` per task (guide §2.2/§6 —
+    one task per tiny file paid pure scheduling overhead on
+    micro-batch-sized commits, while at scale right-sized files pack
+    one-per-slice and parallelism is unchanged)."""
 
-    def __init__(self, path, schema_json, ids_json, columns_json,
-                 delete_paths, eq_json=None):
-        self.path = path
+    def __init__(self, items, schema_json, ids_json, delete_paths):
+        self.items = items
         self.schema_json = schema_json
         self.ids_json = ids_json
-        self.columns_json = columns_json
         self.delete_paths = delete_paths
-        self.eq_json = eq_json
+
+
+def _slice_target_bytes() -> int:
+    """Per-task input pack target for the DataSource scan, in on-disk
+    parquet bytes. Parameterised for deployments (SPARK_GRAFT_SLICE_MB);
+    the 32 MiB local default keeps sf-fixture scans to a handful of
+    tasks while any production-sized (128 MB+) file still gets its own
+    task."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_SLICE_MB", "32")) << 20
+    except ValueError:
+        return 32 << 20
 
 
 def _arrow_read(part: _FileSlice):
     """Worker kernel: parquet -> (MOR mask) -> ID/name projection ->
-    arrow batches matching the target schema exactly. Runs inside the
-    Python data source executor; imports stay local."""
+    arrow batches matching the target schema exactly, one packed file
+    at a time. Runs inside the Python data source executor; imports
+    stay local."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -124,72 +139,71 @@ def _arrow_read(part: _FileSlice):
 
     schema = StructType.fromJson(json.loads(part.schema_json))
     ids = json.loads(part.ids_json) if part.ids_json else None
-    cols_meta = (
-        json.loads(part.columns_json) if part.columns_json else None
-    )
-    by_id = (
-        {v["id"]: name for name, v in cols_meta.items()}
-        if cols_meta
-        else {}
-    )
-
-    def src_of(field_name: str):
-        if ids and by_id:
-            return by_id.get(ids.get(field_name))
-        return field_name
-
-    present = set(pq.ParquetFile(part.path).schema_arrow.names)
-    wanted = [
-        s
-        for s in (src_of(f.name) for f in schema.fields)
-        if s is not None and s in present
-    ]
-    tbl = pq.read_table(part.path, columns=wanted)  # column pruning
-    if part.delete_paths:
-        fname = os.path.basename(part.path)
-        dels = pq.read_table(
-            part.delete_paths, columns=["file_name", "pos"]
+    for path, columns_json, eq_json in part.items:
+        cols_meta = json.loads(columns_json) if columns_json else None
+        by_id = (
+            {v["id"]: name for name, v in cols_meta.items()}
+            if cols_meta
+            else {}
         )
-        pos = dels.filter(pc.equal(dels["file_name"], fname))["pos"]
-        if len(pos):
-            keep = pa.array(
-                ~_positions_mask(pos.to_pylist(), tbl.num_rows)
+
+        def src_of(field_name: str):
+            if ids and by_id:
+                return by_id.get(ids.get(field_name))
+            return field_name
+
+        present = set(pq.ParquetFile(path).schema_arrow.names)
+        wanted = [
+            s
+            for s in (src_of(f.name) for f in schema.fields)
+            if s is not None and s in present
+        ]
+        tbl = pq.read_table(path, columns=wanted)  # column pruning
+        if part.delete_paths:
+            fname = os.path.basename(path)
+            dels = pq.read_table(
+                part.delete_paths, columns=["file_name", "pos"]
             )
-            tbl = tbl.filter(keep)
-    arrays, names = [], []
-    for f in schema.fields:
-        target = to_arrow_type(f.dataType)
-        s = src_of(f.name)
-        if s is not None and s in tbl.column_names:
-            col = tbl[s].combine_chunks()
-            if col.type != target:
-                col = col.cast(target)  # widen (e.g. int32 -> int64)
-        else:
-            col = pa.nulls(tbl.num_rows, target)
-        arrays.append(col)
-        names.append(f.name)
-    out = pa.table(arrays, names=names)
-    # equality deletes scoped to this file: anti-join the key sets on
-    # the PROJECTED (committed-name) frame — keys bind committed names
-    # at their commit time; rename/drop of a referenced key column is
-    # blocked while the delete is live, and a WIDENED key column's
-    # narrow write-time key type is cast up to the projected type
-    # before the join (lossless for every legal widening, matching
-    # the JVM path's implicit coercion)
-    for entry in json.loads(part.eq_json) if part.eq_json else []:
-        keys = pq.read_table(entry["paths"], columns=entry["cols"])
-        for c in entry["cols"]:
-            want = out.schema.field(c).type
-            if keys.schema.field(c).type != want:
-                keys = keys.set_column(
-                    keys.column_names.index(c),
-                    c,
-                    keys[c].cast(want),
+            pos = dels.filter(pc.equal(dels["file_name"], fname))["pos"]
+            if len(pos):
+                keep = pa.array(
+                    ~_positions_mask(pos.to_pylist(), tbl.num_rows)
                 )
-        out = out.join(
-            keys, keys=entry["cols"], join_type="left anti"
-        )
-    yield from out.to_batches(max_chunksize=8192)
+                tbl = tbl.filter(keep)
+        arrays, names = [], []
+        for f in schema.fields:
+            target = to_arrow_type(f.dataType)
+            s = src_of(f.name)
+            if s is not None and s in tbl.column_names:
+                col = tbl[s].combine_chunks()
+                if col.type != target:
+                    col = col.cast(target)  # widen (e.g. int32 -> int64)
+            else:
+                col = pa.nulls(tbl.num_rows, target)
+            arrays.append(col)
+            names.append(f.name)
+        out = pa.table(arrays, names=names)
+        # equality deletes scoped to this file: anti-join the key sets
+        # on the PROJECTED (committed-name) frame — keys bind committed
+        # names at their commit time; rename/drop of a referenced key
+        # column is blocked while the delete is live, and a WIDENED key
+        # column's narrow write-time key type is cast up to the
+        # projected type before the join (lossless for every legal
+        # widening, matching the JVM path's implicit coercion)
+        for entry in json.loads(eq_json) if eq_json else []:
+            keys = pq.read_table(entry["paths"], columns=entry["cols"])
+            for c in entry["cols"]:
+                want = out.schema.field(c).type
+                if keys.schema.field(c).type != want:
+                    keys = keys.set_column(
+                        keys.column_names.index(c),
+                        c,
+                        keys[c].cast(want),
+                    )
+            out = out.join(
+                keys, keys=entry["cols"], join_type="left anti"
+            )
+        yield from out.to_batches(max_chunksize=8192)
 
 
 def _positions_mask(positions, n):
@@ -204,9 +218,16 @@ def _positions_mask(positions, n):
 def _slices_for_manifest(
     root: str, manifest: dict, schema_json: str, files: list[str] | None = None
 ) -> list[_FileSlice]:
-    """Driver-side planning: one slice per data file, carrying its
-    segment's write-time column metadata (evolution cohort) and the
-    manifest's delete files."""
+    """Driver-side planning: data files PACKED into byte-target slices
+    (greedy, manifest order — deterministic under task retries), each
+    file carrying its segment's write-time column metadata (evolution
+    cohort); the manifest's delete files ride at the slice level.
+    Packing bounds the task count by input bytes instead of file count
+    (guide §2.2/§6): a micro-batch-commit table with dozens of KB-sized
+    files plans a handful of tasks, while production-sized files still
+    land one per slice. File sizes come from the local filesystem
+    (metadata stat, no open); a missing file costs nothing here — the
+    read itself reports it."""
     ids_json = (
         json.dumps(manifest["column_ids"])
         if manifest.get("column_ids")
@@ -248,7 +269,7 @@ def _slices_for_manifest(
         if manifest.get("legacy_columns")
         else None
     )
-    out = []
+    items: list[tuple[str, str | None, str | None]] = []
     if "segments" in manifest:
         for seg in manifest["segments"]:
             obj = snap._read_segment_obj(root, seg)
@@ -260,30 +281,32 @@ def _slices_for_manifest(
             for f in obj["files"]:
                 if only is not None and f not in only:
                     continue
-                out.append(
-                    _FileSlice(
-                        os.path.join(root, f),
-                        schema_json,
-                        ids_json,
-                        cj,
-                        delete_paths,
-                        _eq_json_for(f),
-                    )
+                items.append(
+                    (os.path.join(root, f), cj, _eq_json_for(f))
                 )
     else:  # legacy inline-files manifest
         for f in manifest.get("files", []):
             if only is not None and f not in only:
                 continue
-            out.append(
-                _FileSlice(
-                    os.path.join(root, f),
-                    schema_json,
-                    ids_json,
-                    legacy_cj,
-                    delete_paths,
-                    _eq_json_for(f),
-                )
+            items.append(
+                (os.path.join(root, f), legacy_cj, _eq_json_for(f))
             )
+    target = _slice_target_bytes()
+    out: list[_FileSlice] = []
+    pack: list[tuple[str, str | None, str | None]] = []
+    packed = 0
+    for item in items:
+        try:
+            size = os.path.getsize(item[0])
+        except OSError:
+            size = target  # unknown -> own slice; the read reports it
+        if pack and packed + size > target:
+            out.append(_FileSlice(pack, schema_json, ids_json, delete_paths))
+            pack, packed = [], 0
+        pack.append(item)
+        packed += size
+    if pack:
+        out.append(_FileSlice(pack, schema_json, ids_json, delete_paths))
     return out
 
 

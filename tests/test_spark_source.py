@@ -329,13 +329,18 @@ def test_batch_source_prune_options_plan_fewer_partitions(
         _df(spark, 0, 1000).repartitionByRange(8, "k"),
         stats_cols=["k"],
     )
+    def n_files(slices):
+        # slices pack multiple files by byte target (r13); the prune
+        # contract is about FILES planned, not task count
+        return sum(len(s.items) for s in slices)
+
     src = SnapshotDataSource({"path": root})
     full = src.reader(None).partitions()
     pruned_reader = SnapshotDataSource(
         {"path": root, "prune.k": "100,199"}
     ).reader(None)
     pruned = pruned_reader.partitions()
-    assert 0 < len(pruned) < len(full)
+    assert 0 < n_files(pruned) < n_files(full)
     got = (
         spark.read.format("snapshot")
         .option("prune.k", "100,199")
@@ -350,7 +355,7 @@ def test_batch_source_prune_options_plan_fewer_partitions(
     open_hi = SnapshotDataSource(
         {"path": root, "prune.k": "900,"}
     ).reader(None).partitions()
-    assert 0 < len(open_hi) < len(full)
+    assert 0 < n_files(open_hi) < n_files(full)
 
 
 def test_batch_source_prune_in_uses_blooms(registered, tmp_path):
@@ -367,8 +372,13 @@ def test_batch_source_prune_in_uses_blooms(registered, tmp_path):
         {"path": root, "prune_in.k": "17"}
     ).reader(None).partitions()
     # hash-partitioned on a different key, so k=17 lives in few files;
-    # blooms prove absence where min/max ranges cannot
-    assert 0 < len(pruned) < len(full)
+    # blooms prove absence where min/max ranges cannot (counts are
+    # planned FILES — slices pack multiple files by byte target, r13)
+    assert (
+        0
+        < sum(len(s.items) for s in pruned)
+        < sum(len(s.items) for s in full)
+    )
     got = (
         spark.read.format("snapshot")
         .option("prune_in.k", "17")
@@ -478,3 +488,26 @@ def test_stream_backlog_admission_cap(registered, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_slices_pack_files_by_byte_target(registered, tmp_path, monkeypatch):
+    """r13: the planner packs many tiny files into few byte-target
+    slices (one task per KB-sized micro-batch file was pure scheduler
+    overhead), the pack is deterministic, and the packed read serves
+    the identical rows. A 0-MB target degenerates to one file per
+    slice — the pre-pack plan — so production-sized files keep their
+    own task."""
+    spark = registered
+    root = str(tmp_path / "t")
+    snap.commit_append(spark, root, _df(spark, 0, 400).repartition(8))
+    full = SnapshotDataSource({"path": root}).reader(None).partitions()
+    assert sum(len(s.items) for s in full) == len(snap.files_of(root, 1))
+    # tiny files under the default target -> fewer slices than files
+    assert len(full) < sum(len(s.items) for s in full)
+    # per-file plan under a zero target
+    monkeypatch.setenv("SPARK_GRAFT_SLICE_MB", "0")
+    per_file = SnapshotDataSource({"path": root}).reader(None).partitions()
+    assert len(per_file) == sum(len(s.items) for s in per_file)
+    monkeypatch.delenv("SPARK_GRAFT_SLICE_MB")
+    via_source = spark.read.format("snapshot").load(root)
+    assert _sorted(via_source) == _sorted(snap.read_snapshot(spark, root))
