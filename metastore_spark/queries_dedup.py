@@ -1014,6 +1014,19 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banded-minhash join makes per band bucket."""
     d = _t_compute(spark, sf_dir, "documents")
     ex = dd.distinct_shingle_stream(d, "text", "doc_id", 3)
+    # NEGATIVE RESULT (r13, do not re-attempt without new evidence):
+    # replacing this count window with groupBy(shingle)+anti-join of
+    # the over-cap set (partial aggregation, no sort, no hot-shingle
+    # single-task count) measured SLOWER under interleaved A/B with a
+    # stable q1 control — 1.07-1.30x at sf0.1 and 1.80x at sf1
+    # (best-of-legs; both with ex and/or kept persisted). The window
+    # reuses the one shuffle-by-shingle the pair join needs anyway,
+    # while the restructure paid an extra exchange for the cap
+    # aggregate plus a broadcast build and heavier cache traffic. The
+    # theoretical hot-shingle skew in the window count remains bounded
+    # in practice: a skewed shingle's postings sort within one task
+    # but the window writes one count, and the df<=cap filter drops
+    # the heavy groups immediately after.
     kept = (
         ex.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
