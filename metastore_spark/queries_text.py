@@ -923,7 +923,13 @@ def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (a, b) -> concat(a, ' ', b))"
             )
         ).alias("big"),
-    )
+        # referenced 3x (fb build, fc via fb, join probe) with no
+        # common-subtree reuse in the plan — unpersisted, the regex
+        # tokenization + bigram explode ran THREE times per query
+        # (r13, guide §5: reused AND expensive; the same pattern as
+        # docs_contamination / docs_repetition_signals). Query-scoped:
+        # the registry wrapper clears caches between queries.
+    ).persist()
     fb = bigs.groupBy("big").agg(F.count(F.lit(1)).alias("cnt_b"))
     fc = (
         fb.select(F.expr("split_part(big, ' ', 1)").alias("w1"), "cnt_b")
