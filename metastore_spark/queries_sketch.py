@@ -282,6 +282,14 @@ def events_user_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = hll.day_registers(ev, "ts", "user_id")
     regs.persist()
     est = hll.scope_estimates(regs).drop("used")
+    # NEGATIVE RESULT (r12 at sf0.1, re-tested r13 at sf1 AND sf3 per
+    # VERDICT r12 item 7 — do not re-attempt below sf10): sharing one
+    # distinct-(day,user) pass between the two exact legs (3 events
+    # scans -> 2) measured SLOWER on every interleaved leg at every SF
+    # tried (1.16x best-of-legs at sf1: 2.34 vs 2.71 s; 1.14x at sf3:
+    # 2.61 vs 2.98 s) — the distinct-pair shuffle + persist barrier
+    # costs more than the saved map-side-partial-agg scan, and the
+    # scan it removes is the cheapest part of the query.
     day_exact = ev.groupBy(
         F.to_date(F.date_trunc("day", F.col("ts")))
         .cast("string")
